@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + value-hash).
+
+Design note: the geo queries derive direction vectors from integer keys
+with pure integer/IEEE arithmetic (s2geometry_spark.sources.points), so
+the Spark/numpy pipeline and the DuckDB SQL oracle (an independent
+recursive-CTE Hilbert implementation) agree bit-for-bit on cell ids.
 """
 
 from __future__ import annotations
@@ -12,27 +15,148 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TILE_LEVEL = 8
+
+
+def _orders_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s2geometry_spark.sources import points as P
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return P.with_xyz(orders.select(F.col("o_orderkey").alias("key")))
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship the package to python workers regardless of how the driver
+    built the SparkSession."""
+    import os
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:
+        sys.path.insert(0, here)
+    from s2geometry_spark.plans.session import package_zip
+
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added
+
+
+# ---------------------------------------------------------------------
+# Queries (Spark side)
+# ---------------------------------------------------------------------
+
+def q_cellid_leaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row leaf cell-id assignment (flagship kernel)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import tile as T
+
+    return T.assign_cellids(_orders_points(spark, sf_dir)).select("key", "cell_id")
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile (level-8 ancestor) counts — the mosaic histogram."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import tile as T
+
+    df = T.assign_cellids(_orders_points(spark, sf_dir))
+    return T.tile_counts(df, TILE_LEVEL).select("tile_id", "n")
+
+
+def q_cell_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level / parent / range bit ops on derived leaf cells (pure JVM)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.functions import sparkfns as S
+    from s2geometry_spark.operators import tile as T
+
+    df = T.assign_cellids(_orders_points(spark, sf_dir))
+    return df.select(
+        "key",
+        S.cell_parent(F.col("cell_id"), 4).alias("parent4"),
+        S.cell_parent(F.col("cell_id"), 16).alias("parent16"),
+        S.cell_range_min(F.col("cell_id"), 12).alias("rmin12"),
+        S.cell_range_max(F.col("cell_id"), 12).alias("rmax12"),
+        S.cell_bias(F.col("cell_id")).alias("biased"),
+    )
+
+
+def q_cell_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token codec on level-12 ancestors (JVM string ops)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.functions import sparkfns as S
+    from s2geometry_spark.operators import tile as T
+
+    df = T.assign_cellids(_orders_points(spark, sf_dir))
+    return df.select(
+        "key",
+        S.cell_token(S.cell_parent(F.col("cell_id"), 12)).alias("token12"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_tile_assign(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s2_cellid_leaf": q_cellid_leaf,
+        "s2_tile_assign": q_tile_assign,
+        "s2_cell_hierarchy": q_cell_hierarchy,
+        "s2_cell_token": q_cell_token,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------
+# Oracles (DuckDB side)
+# ---------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import os
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:
+        sys.path.insert(0, here)
+    from s2geometry_spark.functions import duckdb_oracle as O
+    from s2geometry_spark.sources import points as P
+
+    pts = P.xyz_sql_cte("orders", "o_orderkey")
+    base = (
+        "WITH RECURSIVE "
+        + O.lookup_values_sql()
+        + ", "
+        + pts
+        + ", "
+        + O.cellid_pipeline_ctes()
+    )
+    return {
+        "s2_cellid_leaf": base + "\nSELECT key, cell_id FROM cells",
+        "s2_tile_assign": (
+            base
+            + f"\nSELECT {O.parent_sql('cell_id', TILE_LEVEL)} AS tile_id,"
+            + " COUNT(*) AS n FROM cells GROUP BY 1"
+        ),
+        "s2_cell_hierarchy": (
+            base
+            + "\nSELECT key, "
+            + O.parent_sql("cell_id", 4)
+            + " AS parent4, "
+            + O.parent_sql("cell_id", 16)
+            + " AS parent16, "
+            + O.parent_sql("cell_id", 12)
+            + f" - {(1 << (2 * (30 - 12))) - 1} AS rmin12, "
+            + O.parent_sql("cell_id", 12)
+            + f" + {(1 << (2 * (30 - 12))) - 1} AS rmax12, "
+            + "xor(cell_id, CAST('-9223372036854775808' AS BIGINT)) AS biased "
+            + "FROM cells"
+        ),
+        "s2_cell_token": (
+            base
+            + "\nSELECT key, "
+            + O.token_sql(O.parent_sql("cell_id", 12))
+            + " AS token12 FROM cells"
+        ),
+    }

@@ -1,0 +1,147 @@
+"""DuckDB-SQL generators re-implementing the cell-id pipeline.
+
+This is an *independent second implementation* of the S2 point->cell-id
+pipeline in pure ANSI-ish SQL (DuckDB dialect), used as the correctness
+oracle for the Spark/numpy path.  Every step is plain IEEE-double or
+integer arithmetic, so Spark and DuckDB agree bit-for-bit:
+
+  xyz -> face (largest-abs component, later-axis tie-break)
+      -> (u,v) perspective divide        (S2Coords.cs:265-277)
+      -> (s,t) inverse quadratic         (S2Coords.cs:174-176)
+      -> (i,j) round-half-even + clamp   (S2Coords.cs:196-200)
+      -> Hilbert position via 8 recursive-CTE rounds over the same
+         1024-entry lookup table          (S2CellId.cs:817-853)
+
+The lookup table content is generated from the numpy tables at call
+time, guaranteeing the two implementations share one source of truth
+for the traversal order while the arithmetic is written twice.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from ..constants import LIMIT_IJ, MAX_LEVEL
+from ..kernels.hilbert import LOOKUP_POS
+
+
+@lru_cache(maxsize=1)
+def lookup_values_sql() -> str:
+    """1024-row VALUES relation lp(idx, pos8, obits)."""
+    rows = ",".join(
+        f"({idx},{int(v) >> 2},{int(v) & 3})" for idx, v in enumerate(LOOKUP_POS)
+    )
+    return f"lp(idx, pos8, obits) AS (SELECT * FROM (VALUES {rows}) t(a,b,c))"
+
+
+def _rhe(x: str) -> str:
+    """Round-half-to-even of a double expression (exact, no +0.5 trick:
+    frac is computed by exact subtraction, ties resolved by parity)."""
+    return (
+        f"(CASE WHEN ({x}) - floor({x}) > 0.5 THEN floor({x}) + 1 "
+        f"WHEN ({x}) - floor({x}) < 0.5 THEN floor({x}) "
+        f"ELSE floor({x}) + CAST(CAST(floor({x}) AS BIGINT) & 1 AS DOUBLE) END)"
+    )
+
+
+# 2^(8k) constants for the per-round position shift, as HUGEINT-safe
+# multiplications (DuckDB << on BIGINT would overflow at k=7).
+_POW256 = {k: 1 << (8 * k) for k in range(8)}
+_SHIFT_CASE = "CASE e.k " + " ".join(
+    f"WHEN {k} THEN CAST('{v}' AS HUGEINT)" for k, v in _POW256.items()
+) + " END"
+
+_FACE_SHIFT = str(1 << (2 * MAX_LEVEL))  # face << 60, pre-doubling
+_TWO63 = "CAST('9223372036854775808' AS HUGEINT)"
+_TWO64 = "CAST('18446744073709551616' AS HUGEINT)"
+
+
+def cellid_pipeline_ctes(pts_cte_name: str = "pts") -> str:
+    """CTE chain from pts(key, x, y, z) to cells(key, cell_id BIGINT).
+
+    Column `cell_id` holds the raw 64 bits two's-complement, matching
+    Spark LongType storage.
+    """
+    imax = LIMIT_IJ - 1
+    return f"""
+faced AS (
+  SELECT key, x, y, z,
+    CASE WHEN abs(x) > abs(y)
+         THEN CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END
+         ELSE CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END END AS axis
+  FROM {pts_cte_name}
+),
+faced2 AS (
+  SELECT key, x, y, z,
+    CASE WHEN (CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+         THEN axis + 3 ELSE axis END AS face
+  FROM faced
+),
+uv AS (
+  SELECT key, face,
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM faced2
+),
+st AS (
+  SELECT key, face,
+    CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS s,
+    CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS t
+  FROM uv
+),
+ij AS (
+  SELECT key, face,
+    CAST(least(greatest({_rhe(f"{LIMIT_IJ}*s - 0.5")}, 0), {imax}) AS BIGINT) AS i,
+    CAST(least(greatest({_rhe(f"{LIMIT_IJ}*t - 0.5")}, 0), {imax}) AS BIGINT) AS j
+  FROM st
+),
+enc AS (
+  SELECT key, i, j, 7 AS k,
+         CAST(face AS HUGEINT) * CAST('{_FACE_SHIFT}' AS HUGEINT) AS n,
+         CAST(face & 1 AS BIGINT) AS ob
+  FROM ij
+  UNION ALL
+  SELECT e.key, e.i, e.j, e.k - 1,
+         e.n + CAST(l.pos8 AS HUGEINT) * ({_SHIFT_CASE}),
+         CAST(l.obits AS BIGINT)
+  FROM enc e JOIN lp l
+    ON l.idx = e.ob + (((e.i >> (e.k*4)) & 15) * 64) + (((e.j >> (e.k*4)) & 15) * 4)
+  WHERE e.k >= 0
+),
+cells AS (
+  SELECT key,
+    CASE WHEN n*2+1 >= {_TWO63}
+         THEN CAST(n*2+1 - {_TWO64} AS BIGINT)
+         ELSE CAST(n*2+1 AS BIGINT) END AS cell_id
+  FROM enc WHERE k = -1
+)"""
+
+
+def cellid_query(table: str, key_expr: str, pts_cte: str) -> str:
+    """Full statement: SELECT key, cell_id for every row of `table`."""
+    return (
+        "WITH RECURSIVE "
+        + lookup_values_sql()
+        + ", "
+        + pts_cte
+        + ", "
+        + cellid_pipeline_ctes()
+        + "\nSELECT key, cell_id FROM cells"
+    )
+
+
+def parent_sql(cell_expr: str, level: int) -> str:
+    """Ancestor bit trick on raw signed bits, same as sparkfns.cell_parent."""
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return f"((({cell_expr}) & CAST(-{lsb} AS BIGINT)) | {lsb})"
+
+
+def token_sql(cell_expr: str) -> str:
+    """Uppercase-hex trailing-zero-stripped token in DuckDB."""
+    hex16 = f"lpad(upper(to_hex({cell_expr})), 16, '0')"
+    return (
+        f"CASE WHEN ({cell_expr}) = 0 THEN 'X' "
+        f"ELSE regexp_replace({hex16}, '0+$', '') END"
+    )

@@ -1,0 +1,76 @@
+"""pandas/Arrow UDF wrappers over the numpy kernels.
+
+Every UDF is vectorized batch-at-a-time (Arrow transfer, numpy body) —
+never per-row Python (north rule).  Raw cell-id bits are stored in
+LongType; the kernels view them as uint64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType
+
+from ..kernels import cellid as C
+
+
+@pandas_udf(LongType())
+def xyz_to_cellid(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+    """Leaf cell id of a direction vector (need not be unit length)."""
+    return pd.Series(
+        C.as_i64(C.xyz_to_cellid(x.to_numpy(), y.to_numpy(), z.to_numpy()))
+    )
+
+
+@pandas_udf(LongType())
+def ll_to_cellid(lat: pd.Series, lon: pd.Series) -> pd.Series:
+    """Leaf cell id of (lat, lon) in degrees."""
+    return pd.Series(C.as_i64(C.ll_to_cellid(lat.to_numpy(), lon.to_numpy())))
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def cellid_to_center_ll(cid: pd.Series) -> pd.Series:
+    lat, lon = C.cellid_to_ll(cid.to_numpy())
+    return pd.Series(list(np.stack([lat, lon], axis=1)))
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def cellid_to_center_xyz(cid: pd.Series) -> pd.Series:
+    x, y, z = C.cellid_to_xyz(cid.to_numpy())
+    return pd.Series(list(np.stack([x, y, z], axis=1)))
+
+
+@pandas_udf(LongType())
+def cell_level(cid: pd.Series) -> pd.Series:
+    return pd.Series(C.level(cid.to_numpy()).astype(np.int64))
+
+
+@pandas_udf(StringType())
+def cell_token(cid: pd.Series) -> pd.Series:
+    return pd.Series(C.to_token(cid.to_numpy()))
+
+
+@pandas_udf(LongType())
+def cell_from_token(tok: pd.Series) -> pd.Series:
+    return pd.Series(C.as_i64(C.from_token(tok.tolist())))
+
+
+@pandas_udf(ArrayType(LongType()))
+def cell_all_neighbors(cid: pd.Series, nbr_level: pd.Series) -> pd.Series:
+    out = C.all_neighbors(cid.to_numpy(), nbr_level.to_numpy())
+    return pd.Series([C.as_i64(a).tolist() for a in out])
+
+
+def ancestors_array(levels: list[int]):
+    """UDF factory: array of ancestor cell ids at the given levels —
+    the probe-side covering terms for the term equi-join (SURVEY §2.4).
+    Pure bit arithmetic, vectorized."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _anc(cid: pd.Series) -> pd.Series:
+        ids = cid.to_numpy()
+        cols = [C.as_i64(C.parent(ids, lv)) for lv in levels]
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    return _anc
