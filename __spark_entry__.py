@@ -95,6 +95,35 @@ def q_cell_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nation_caps(spark: SparkSession, sf_dir: str):
+    from s2geometry_spark.sources import regions_src as R
+
+    keys = [
+        r[0]
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_nationkey")
+        .collect()
+    ]
+    return R.synthetic_caps(sorted(keys))
+
+
+def q_pip_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-cap spatial join: covering-term broadcast equi-join +
+    exact chord refine; output identical to brute force."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.operators import tile as T
+
+    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    return SJ.point_in_cap_join(spark, pts, _nation_caps(spark, sf_dir))
+
+
+def q_pip_cap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Images per region — join + aggregate."""
+    pairs = q_pip_cap_join(spark, sf_dir)
+    return pairs.groupBy("region_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tile_assign(spark, "/root/testdata/sf0.001")
@@ -106,6 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_tile_assign": q_tile_assign,
         "s2_cell_hierarchy": q_cell_hierarchy,
         "s2_cell_token": q_cell_token,
+        "s2_pip_cap_join": q_pip_cap_join,
+        "s2_pip_cap_count": q_pip_cap_count,
     }
 
 
@@ -122,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         sys.path.insert(0, here)
     from s2geometry_spark.functions import duckdb_oracle as O
     from s2geometry_spark.sources import points as P
+    from s2geometry_spark.sources import regions_src as R
 
     pts = P.xyz_sql_cte("orders", "o_orderkey")
     base = (
@@ -131,6 +163,24 @@ def oracle_sql() -> dict[str, str]:
         + pts
         + ", "
         + O.cellid_pipeline_ctes()
+    )
+    upts = (
+        "upts AS (SELECT key, x/r AS ux, y/r AS uy, z/r AS uz FROM "
+        "(SELECT key, x, y, z, sqrt(x*x + y*y + z*z) AS r FROM pts))"
+    )
+    cap_chord = (
+        "least((p.ux-c.cx)*(p.ux-c.cx) + (p.uy-c.cy)*(p.uy-c.cy) + "
+        "(p.uz-c.cz)*(p.uz-c.cz), 4.0)"
+    )
+    pip_base = (
+        "WITH "
+        + pts
+        + ", "
+        + upts
+        + ", "
+        + R.caps_sql_cte("nation", "n_nationkey")
+        + f" SELECT p.key AS key, c.region_id AS region_id "
+        f"FROM upts p CROSS JOIN ucaps c WHERE {cap_chord} <= c.r2"
     )
     return {
         "s2_cellid_leaf": base + "\nSELECT key, cell_id FROM cells",
@@ -158,5 +208,11 @@ def oracle_sql() -> dict[str, str]:
             + "\nSELECT key, "
             + O.token_sql(O.parent_sql("cell_id", 12))
             + " AS token12 FROM cells"
+        ),
+        "s2_pip_cap_join": pip_base,
+        "s2_pip_cap_count": (
+            "SELECT region_id, COUNT(*) AS n_points FROM ("
+            + pip_base
+            + ") GROUP BY region_id"
         ),
     }

@@ -1,0 +1,93 @@
+"""Region dim-table -> exploded covering DataFrame.
+
+Driver-side coverer over the (small) region side, exploded into rows
+(region_id, cell_id, is_interior, level) for the covering-term
+equi-join (SURVEY.md §2.4, after Index/S2RegionTermIndexer.cs:80-135).
+The covering table is broadcast; at 10^12-image scale the probe side
+streams through a hash join with zero shuffle of the fact table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..kernels import cellid as CI
+from ..kernels import cellunion as CU
+from ..kernels.coverer import CovererOptions, RegionCoverer
+from ..kernels.geom import Region
+
+
+def build_covering_rows(
+    regions: list[tuple[object, Region]],
+    options: CovererOptions | None = None,
+    interior: bool = False,
+) -> pd.DataFrame:
+    """Compute coverings for (region_id, Region) pairs on the driver.
+
+    Returns pandas DataFrame (region_id, cell_id int64 raw bits, level,
+    is_interior).  For exterior coverings is_interior marks covering
+    cells that are entirely contained in the region (cheap PIP skip at
+    refine time, mirroring MutableS2ShapeIndex contains_center).
+    """
+    import numpy as np
+
+    rc = RegionCoverer(options or CovererOptions())
+    rows = []
+    for region_id, region in regions:
+        cov = (
+            rc.get_interior_covering(region) if interior else rc.get_covering(region)
+        )
+        for cid in cov:
+            lv = CU._level(cid)
+            from ..kernels.geom import Cell
+
+            is_int = bool(region.contains_cell(Cell(cid)))
+            rows.append((region_id, CI.as_i64(np.array([cid], np.uint64))[0], lv, is_int))
+    return pd.DataFrame(
+        rows, columns=["region_id", "cell_id", "level", "is_interior"]
+    ).astype({"cell_id": "int64", "level": "int32", "is_interior": "bool"})
+
+
+def covering_df(
+    spark: SparkSession,
+    regions: list[tuple[object, Region]],
+    options: CovererOptions | None = None,
+    extra_cols: pd.DataFrame | None = None,
+) -> DataFrame:
+    """Spark DataFrame of covering rows, optionally joined with extra
+    per-region columns (e.g. cap parameters for the refine step)."""
+    pdf = build_covering_rows(regions, options)
+    if extra_cols is not None:
+        pdf = pdf.merge(extra_cols, on="region_id", how="left")
+    return spark.createDataFrame(pdf, schema=_schema_of(pdf, regions))
+
+
+def _schema_of(pdf: pd.DataFrame, regions):
+    """Explicit schema so empty coverings (empty/degenerate regions)
+    still produce a valid empty DataFrame."""
+    from pyspark.sql import types as T
+
+    mapping = {
+        "int64": T.LongType(), "int32": T.IntegerType(),
+        "float64": T.DoubleType(), "bool": T.BooleanType(),
+        "object": T.StringType(),
+    }
+    fields = []
+    for col, dtype in pdf.dtypes.items():
+        t = mapping.get(str(dtype))
+        if t is None or (col == "region_id" and str(dtype) == "object"):
+            sample = regions[0][0] if regions else ""
+            t = T.LongType() if isinstance(sample, (int,)) else T.StringType()
+        fields.append(T.StructField(str(col), t, True))
+    return T.StructType(fields)
+
+
+def covering_levels(pdf_or_df) -> list[int]:
+    """Distinct levels present in a covering table — the probe side only
+    explodes ancestors at these levels."""
+    if isinstance(pdf_or_df, pd.DataFrame):
+        return sorted(int(v) for v in pdf_or_df["level"].unique())
+    return sorted(
+        r["level"] for r in pdf_or_df.select("level").distinct().collect()
+    )

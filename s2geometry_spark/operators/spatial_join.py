@@ -1,0 +1,126 @@
+"""Distributed point-in-region joins.
+
+Pattern (SURVEY.md §2.4, after Index/S2RegionTermIndexer.cs): the
+region side explodes to covering cells (small, broadcast); the point
+side explodes each leaf cell to its ancestors at exactly the covering's
+distinct levels; a hash equi-join on the cell id yields candidates
+(a superset, at most one covering cell matches per region since
+covering cells are disjoint); an exact vectorized refine predicate
+keeps true containments.
+
+Scale notes:
+- Broadcast path: zero shuffle of the fact table; candidate explosion
+  factor == number of distinct covering levels (typically 4-8).
+- Shuffle path (region side too big to broadcast): hash join on
+  (cell_id) with explicit salting for hot cells — replicate each
+  covering row SALT_K times, probe picks pmod(hash(key), SALT_K); plus
+  AQE skew-join as backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import sparkfns as S
+from ..kernels.coverer import CovererOptions
+from ..kernels.geom import Cap
+from . import coverings as COV
+
+
+def normalized_cols(df: DataFrame, x="x", y="y", z="z") -> DataFrame:
+    """Append unit-vector columns (ux,uy,uz) — plain JVM arithmetic."""
+    r = F.sqrt(F.col(x) * F.col(x) + F.col(y) * F.col(y) + F.col(z) * F.col(z))
+    return df.withColumns(
+        {"ux": F.col(x) / r, "uy": F.col(y) / r, "uz": F.col(z) / r}
+    )
+
+
+def explode_ancestors(
+    points: DataFrame, levels: list[int], cell_col: str = "cell_id"
+) -> DataFrame:
+    """One row per (point, level) with the ancestor cell at that level.
+
+    Pure-JVM: array of bit-arithmetic parents + explode; stays in
+    whole-stage codegen."""
+    arr = F.array(*[S.cell_parent(F.col(cell_col), lv) for lv in levels])
+    return points.withColumn("anc_cell", F.explode(arr))
+
+
+def cap_refine_predicate(
+    ux: Column, uy: Column, uz: Column, cx: Column, cy: Column, cz: Column, r2: Column
+) -> Column:
+    """Exact cap containment: squared chord length <= radius2
+    (S2Cap.cs:480-486).  min(4, |p-c|^2) like S1ChordAngle ctor."""
+    dx, dy, dz = ux - cx, uy - cy, uz - cz
+    chord2 = dx * dx + dy * dy + dz * dz
+    return F.least(chord2, F.lit(4.0)) <= r2
+
+
+def point_in_cap_join(
+    spark: SparkSession,
+    points: DataFrame,
+    caps: list[tuple[object, Cap]],
+    options: CovererOptions | None = None,
+    broadcast: bool = True,
+    salt_k: int = 0,
+    point_key: str = "key",
+) -> DataFrame:
+    """Join points (with x,y,z and cell_id columns) to containing caps.
+
+    Returns (point_key, region_id) pairs, exactly the brute-force
+    result set (refine predicate is bit-identical arithmetic).
+    """
+    import pandas as pd
+
+    extra = pd.DataFrame(
+        [
+            (rid, c.center[0], c.center[1], c.center[2], c.radius2)
+            for rid, c in caps
+        ],
+        columns=["region_id", "cx", "cy", "cz", "r2"],
+    )
+    cov = COV.covering_df(spark, caps, options, extra_cols=extra)
+    levels = COV.covering_levels(
+        COV.build_covering_rows(caps, options)
+    )
+    probe = explode_ancestors(normalized_cols(points), levels)
+    cov = cov.withColumnRenamed("cell_id", "cov_cell")
+    if salt_k and not broadcast:
+        # replicate region rows K times; probe picks one salt bucket
+        cov = cov.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_k)]))
+        )
+        probe = probe.withColumn(
+            "salt", F.pmod(F.hash(F.col(point_key)), F.lit(salt_k))
+        )
+        join_cond = (F.col("anc_cell") == F.col("cov_cell")) & (
+            probe["salt"] == cov["salt"]
+        )
+        joined = probe.join(cov, on=join_cond, how="inner")
+    else:
+        right = F.broadcast(cov) if broadcast else cov
+        joined = probe.join(right, probe["anc_cell"] == right["cov_cell"], "inner")
+    refined = joined.where(
+        cap_refine_predicate(
+            F.col("ux"), F.col("uy"), F.col("uz"),
+            F.col("cx"), F.col("cy"), F.col("cz"), F.col("r2"),
+        )
+    )
+    # covering cells are disjoint -> at most one candidate row per
+    # (point, region); no dedup needed.
+    return refined.select(F.col(point_key), F.col("region_id"))
+
+
+def point_in_cap_semi(
+    spark: SparkSession,
+    points: DataFrame,
+    caps: list[tuple[object, Cap]],
+    options: CovererOptions | None = None,
+    point_key: str = "key",
+    anti: bool = False,
+) -> DataFrame:
+    """Semi/anti form: points that are inside (outside) any cap."""
+    pairs = point_in_cap_join(spark, points, caps, options, point_key=point_key)
+    how = "left_anti" if anti else "left_semi"
+    return points.join(pairs.select(point_key).distinct(), on=point_key, how=how)
