@@ -124,6 +124,34 @@ def q_pip_cap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("region_id").agg(F.count(F.lit(1)).alias("n_points"))
 
 
+def _nation_loops(spark: SparkSession, sf_dir: str):
+    from s2geometry_spark.sources import regions_src as R
+
+    keys = [
+        r[0]
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_nationkey")
+        .collect()
+    ]
+    return R.synthetic_loops(sorted(keys))
+
+
+def q_pip_loop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon (S2Loop) spatial join: covering-term broadcast
+    equi-join + crossing-number parity refine (S2Loop.cs Contains)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.operators import tile as T
+
+    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    return SJ.point_in_loop_join(spark, pts, _nation_loops(spark, sf_dir))
+
+
+def q_pip_loop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_pip_loop_join(spark, sf_dir)
+    return pairs.groupBy("region_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tile_assign(spark, "/root/testdata/sf0.001")
@@ -137,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_token": q_cell_token,
         "s2_pip_cap_join": q_pip_cap_join,
         "s2_pip_cap_count": q_pip_cap_count,
+        "s2_pip_loop_join": q_pip_loop_join,
+        "s2_pip_loop_count": q_pip_loop_count,
     }
 
 
@@ -182,6 +212,11 @@ def oracle_sql() -> dict[str, str]:
         + f" SELECT p.key AS key, c.region_id AS region_id "
         f"FROM upts p CROSS JOIN ucaps c WHERE {cap_chord} <= c.r2"
     )
+    # Loop-edge literals for the PIP-loop brute-force oracle: the same
+    # driver-computed float64 vertices the Spark join broadcasts (nation
+    # is the fixed 25-row TPC-H dim table, keys 0..24 at every SF).
+    loops = R.synthetic_loops(range(25))
+    pip_loop = O.pip_loop_sql(pts, R.loop_edges_sql_values(loops))
     return {
         "s2_cellid_leaf": base + "\nSELECT key, cell_id FROM cells",
         "s2_tile_assign": (
@@ -213,6 +248,12 @@ def oracle_sql() -> dict[str, str]:
         "s2_pip_cap_count": (
             "SELECT region_id, COUNT(*) AS n_points FROM ("
             + pip_base
+            + ") GROUP BY region_id"
+        ),
+        "s2_pip_loop_join": pip_loop,
+        "s2_pip_loop_count": (
+            "SELECT region_id, COUNT(*) AS n_points FROM ("
+            + pip_loop
             + ") GROUP BY region_id"
         ),
     }

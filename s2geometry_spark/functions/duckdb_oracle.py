@@ -132,6 +132,63 @@ def cellid_query(table: str, key_expr: str, pts_cte: str) -> str:
     )
 
 
+def pip_loop_sql(pts_cte: str, loop_edges_cte: str) -> str:
+    """Brute-force point-in-loop join: crossing-number parity of the
+    edge (Origin -> P) against every loop edge, mirroring
+    kernels.edges.crossing_parity_fast term-for-term (same IEEE ops in
+    the same order) for bit-identical Spark/DuckDB answers.
+
+    pts_cte supplies pts(key, x, y, z) (raw direction vectors);
+    loop_edges_cte supplies loop_edges(region_id, cx..cz, dx..dz,
+    origin_inside) with literal float64 vertices.
+    """
+    from ..kernels.edges import ORIGIN
+
+    ax, ay, az = (f"CAST('{v!r}' AS DOUBLE)" for v in ORIGIN)
+    sgn = "CASE WHEN {0} > 0 THEN 1 WHEN {0} < 0 THEN -1 ELSE 0 END"
+    return f"""WITH {pts_cte},
+{loop_edges_cte},
+nrm AS (
+  SELECT key, x, y, z,
+         ({ay})*z - ({az})*y AS nx,
+         ({az})*x - ({ax})*z AS ny,
+         ({ax})*y - ({ay})*x AS nz
+  FROM pts
+),
+ed AS (
+  SELECT region_id, cx, cy, cz, dx, dy, dz, origin_inside,
+         cy*dz - cz*dy AS cdx, cz*dx - cx*dz AS cdy, cx*dy - cy*dx AS cdz
+  FROM loop_edges
+),
+pairs AS (
+  SELECT n.key, n.x, n.y, n.z, e.region_id, e.origin_inside,
+         e.cdx, e.cdy, e.cdz,
+         ((n.nx*e.cx + n.ny*e.cy) + n.nz*e.cz) AS det_c,
+         ((n.nx*e.dx + n.ny*e.dy) + n.nz*e.dz) AS det_d
+  FROM nrm n CROSS JOIN ed e
+),
+sgns AS (
+  SELECT key, region_id, origin_inside,
+         {sgn.format('det_c')} AS s_c, {sgn.format('det_d')} AS s_d,
+         ((cdx*x + cdy*y) + cdz*z) AS det_b,
+         ((cdx*({ax}) + cdy*({ay})) + cdz*({az})) AS det_a
+  FROM pairs
+),
+cr AS (
+  SELECT key, region_id, origin_inside,
+    CASE WHEN s_c <> s_d AND s_c <> 0 AND s_d <> 0
+              AND {sgn.format('det_b')} = s_c
+              AND {sgn.format('det_a')} = -s_c
+         THEN 1 ELSE 0 END AS crossed
+  FROM sgns
+)
+SELECT key, region_id FROM (
+  SELECT key, region_id,
+         SUM(crossed) AS ncross, MAX(origin_inside) AS oi
+  FROM cr GROUP BY key, region_id
+) WHERE (ncross + oi) % 2 = 1"""
+
+
 def parent_sql(cell_expr: str, level: int) -> str:
     """Ancestor bit trick on raw signed bits, same as sparkfns.cell_parent."""
     lsb = 1 << (2 * (MAX_LEVEL - level))

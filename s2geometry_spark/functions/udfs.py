@@ -62,6 +62,43 @@ def cell_all_neighbors(cid: pd.Series, nbr_level: pd.Series) -> pd.Series:
     return pd.Series([C.as_i64(a).tolist() for a in out])
 
 
+def loop_parity_udf(loops_by_id: dict):
+    """UDF factory: crossing-number parity of candidate (region, point)
+    rows against the region's loop (kernels.edges.crossing_parity_fast,
+    mirrored in the DuckDB oracle's pip_loop_sql).
+
+    ``loops_by_id``: {region_id: (verts ndarray (n,3), origin_inside)} —
+    closure-captured, shipped once per executor in the serialized task
+    (on a real cluster: a broadcast variable; loop dim tables are tiny
+    relative to the fact side by design, SURVEY.md §3.2).
+    Returns contains := parity XOR origin_inside as boolean.
+    """
+    from pyspark.sql.types import BooleanType
+
+    from ..kernels import edges as E
+
+    @pandas_udf(BooleanType())
+    def _contains(rid: pd.Series, x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+        rids = rid.to_numpy()
+        px, py, pz = x.to_numpy(), y.to_numpy(), z.to_numpy()
+        out = np.zeros(len(rids), dtype=bool)
+        # vectorize per region group within the Arrow batch
+        order = np.argsort(rids, kind="stable")
+        sorted_rids = rids[order]
+        starts = np.flatnonzero(
+            np.r_[True, sorted_rids[1:] != sorted_rids[:-1]]
+        )
+        bounds = np.r_[starts, len(sorted_rids)]
+        for si, ei in zip(bounds[:-1], bounds[1:]):
+            idx = order[si:ei]
+            verts, origin_inside = loops_by_id[sorted_rids[si]]
+            par = E.crossing_parity_fast(verts, px[idx], py[idx], pz[idx])
+            out[idx] = (par ^ int(origin_inside)).astype(bool)
+        return pd.Series(out)
+
+    return _contains
+
+
 def ancestors_array(levels: list[int]):
     """UDF factory: array of ancestor cell ids at the given levels —
     the probe-side covering terms for the term equi-join (SURVEY §2.4).

@@ -1,0 +1,313 @@
+"""Robust orientation predicates + vectorized crossing-number containment.
+
+Semantics follow the reference:
+- Sign triage/exact/symbolic:        S2Predicates.cs:402-452, ExactSign +
+  SymbolicallyPerturbedSign (S2Predicates.cs:455-560)
+- CrossingSign state machine:        S2EdgeCrosser.cs:262-296,333-396
+- VertexCrossing / EdgeOrVertex:     S2EdgeCrossings.cs:120-216
+- point-in-loop parity:              S2Loop contains: crossing count of the
+  edge (Origin -> P) against the loop's edge chain, seeded by the loop's
+  origin_inside bit (S2Region/S2Loop.cs InitOriginAndBound + Contains)
+- fixed reference Origin:            S2PointUtil.cs:15-31
+- RefDir/Ortho:                      S2PointUtil.cs:54-74
+
+Two execution tiers:
+- ``contains_points`` — the *robust* kernel: float64 triage with the
+  reference's error bound, exact integer (Fraction) fallback + symbolic
+  perturbation on the (rare) uncertain rows.  Used by tests and any
+  caller that needs reference-grade exactness.
+- ``crossing_parity_fast`` — the *mirrorable* kernel: plain IEEE-double
+  sign tests in a fixed evaluation order, so the identical arithmetic
+  can be emitted as DuckDB SQL for the driver's correctness oracle
+  (general-position inputs; agreement with the robust kernel is
+  asserted in tests on the synthetic tables).
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import numpy as np
+
+DBL_EPS = 2.220446049250313e-16
+MAX_DET_ERROR = 1.8274 * DBL_EPS  # S2Predicates.cs:439 (unit-length inputs)
+
+# S2PointUtil.cs:15-31 — the fixed "point at infinity" for PIP parity.
+ORIGIN = (-0.0099994664350250197, 0.0025924542609324121, 0.99994664350250195)
+
+
+# ---------------------------------------------------------------------
+# Scalar robust predicates (driver-side; tuples of float)
+# ---------------------------------------------------------------------
+
+def cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def triage_sign(a, b, c, a_cross_b=None) -> int:
+    """S2Predicates.cs:420-452: sign of det(a,b,c) or 0 if uncertain."""
+    if a_cross_b is None:
+        a_cross_b = cross(a, b)
+    det = dot(a_cross_b, c)
+    if det > MAX_DET_ERROR:
+        return 1
+    if det < -MAX_DET_ERROR:
+        return -1
+    return 0
+
+
+def _sign_int(x) -> int:
+    if x > 0:
+        return 1
+    if x < 0:
+        return -1
+    return 0
+
+
+def _symbolic_sign(a, b, c, b_cross_c) -> int:
+    """Symbolic perturbation for exactly-collinear triples
+    (S2Predicates.cs SymbolicallyPerturbedSign); requires a < b < c
+    lexicographically; inputs exact (Fraction)."""
+    for v in (b_cross_c[2], b_cross_c[1], b_cross_c[0],
+              c[0] * a[1] - c[1] * a[0], c[0], -c[1],
+              c[2] * a[0] - c[0] * a[2], c[2]):
+        s = _sign_int(v)
+        if s != 0:
+            return s
+    for v in (a[0] * b[1] - a[1] * b[0], -b[0], b[1], a[0]):
+        s = _sign_int(v)
+        if s != 0:
+            return s
+    return 1
+
+
+def exact_sign(a, b, c, perturb: bool = True) -> int:
+    """Exact-arithmetic sign with optional symbolic perturbation
+    (S2Predicates.cs ExactSign): never returns 0 for distinct points."""
+    if a == b or b == c or c == a:
+        return 0
+    # Sort into a < b < c (lexicographic), tracking permutation parity.
+    perm_sign = 1
+    pa, pb, pc = a, b, c
+    if pa > pb:
+        pa, pb = pb, pa
+        perm_sign = -perm_sign
+    if pb > pc:
+        pb, pc = pc, pb
+        perm_sign = -perm_sign
+    if pa > pb:
+        pa, pb = pb, pa
+        perm_sign = -perm_sign
+    fa = tuple(Fraction(v) for v in pa)
+    fb = tuple(Fraction(v) for v in pb)
+    fc = tuple(Fraction(v) for v in pc)
+    b_cross_c = cross(fb, fc)
+    det = dot(b_cross_c, fa)
+    if det != 0:
+        return perm_sign * _sign_int(det)
+    if not perturb:
+        return 0
+    return perm_sign * _symbolic_sign(fa, fb, fc, b_cross_c)
+
+
+def sign(a, b, c, a_cross_b=None) -> int:
+    """Robust CCW orientation: triage then exact (S2Predicates.cs:58-64,
+    402-414).  Never 0 for distinct points."""
+    s = triage_sign(a, b, c, a_cross_b)
+    if s != 0:
+        return s
+    return exact_sign(a, b, c)
+
+
+def ortho(a):
+    """Deterministic unit vector orthogonal to a (S2PointUtil.cs:54-67)."""
+    k = int(np.argmax(np.abs(a))) - 1
+    if k < 0:
+        k = 2
+    temp = [0.012, 0.0053, 0.00457]
+    temp[k] = 1.0
+    v = cross(a, tuple(temp))
+    n = math.sqrt(dot(v, v))
+    return (v[0] / n, v[1] / n, v[2] / n)
+
+
+def ref_dir(a):
+    return ortho(a)
+
+
+def ordered_ccw(a, b, c, o) -> bool:
+    """True if b is CCW-between a and c around o (S2Predicates.cs:80-93)."""
+    total = 0
+    if sign(b, o, a) >= 0:
+        total += 1
+    if sign(c, o, b) >= 0:
+        total += 1
+    if sign(a, o, c) > 0:
+        total += 1
+    return total >= 2
+
+
+def angle_contains_vertex(a, b, c) -> bool:
+    """S2EdgeCrossings.cs:105-117."""
+    return not ordered_ccw(ref_dir(b), c, a, b)
+
+
+def vertex_crossing(a, b, c, d) -> bool:
+    """Shared-vertex crossing parity (S2EdgeCrossings.cs:120-141)."""
+    if a == b or c == d:
+        return False
+    if a == c:
+        return (b == d) or ordered_ccw(ref_dir(a), d, b, a)
+    if b == d:
+        return ordered_ccw(ref_dir(b), c, a, b)
+    if a == d:
+        return (b == c) or ordered_ccw(ref_dir(a), c, b, a)
+    if b == c:
+        return ordered_ccw(ref_dir(b), d, a, b)
+    raise ValueError("VertexCrossing called with 4 distinct vertices")
+
+
+def crossing_sign(a, b, c, d) -> int:
+    """+1 interior crossing / 0 shared vertex / -1 none
+    (S2EdgeCrosser.cs:262-296 + CrossingSignInternal2 :343-396, robust)."""
+    a_cross_b = cross(a, b)
+    acb = -triage_sign(a, b, c, a_cross_b)
+    bda = triage_sign(a, b, d, a_cross_b)
+    if acb == -bda and bda != 0:
+        return -1
+    # slow path
+    if a == c or a == d or b == c or b == d:
+        return 0
+    if a == b or c == d:
+        return -1
+    if acb == 0:
+        acb = -exact_sign(a, b, c)
+    if bda == 0:
+        bda = exact_sign(a, b, d)
+    if bda != acb:
+        return -1
+    c_cross_d = cross(c, d)
+    cbd = -sign(c, d, b, c_cross_d)
+    if cbd != acb:
+        return -1
+    dac = sign(c, d, a, c_cross_d)
+    return 1 if dac == acb else -1
+
+
+def edge_or_vertex_crossing(a, b, c, d) -> bool:
+    """S2EdgeCrossings.cs:159-170 semantics."""
+    s = crossing_sign(a, b, c, d)
+    if s < 0:
+        return False
+    if s > 0:
+        return True
+    return vertex_crossing(a, b, c, d)
+
+
+# ---------------------------------------------------------------------
+# Vectorized point-in-loop parity
+# ---------------------------------------------------------------------
+
+def _dets_fast(ax, ay, az, bx, by, bz, c):
+    """(A x B) . C with fixed evaluation order (mirrored in SQL):
+    ((t0*c0 + t1*c1) + t2*c2)."""
+    t0 = ay * bz - az * by
+    t1 = az * bx - ax * bz
+    t2 = ax * by - ay * bx
+    return (t0 * c[0] + t1 * c[1]) + t2 * c[2]
+
+
+def crossing_parity_fast(
+    verts: np.ndarray, px: np.ndarray, py: np.ndarray, pz: np.ndarray
+) -> np.ndarray:
+    """Parity (0/1) of interior crossings of edge (ORIGIN -> P) with the
+    closed loop ``verts`` ((n,3) float64), plain IEEE doubles.
+
+    Sign tests are scale-invariant, so P may be unnormalized direction
+    vectors.  The arithmetic mirrors ``duckdb_oracle.pip_loop_sql``
+    term-for-term for bit-identical Spark/DuckDB answers on
+    general-position inputs.
+    """
+    ax, ay, az = ORIGIN
+    # A x B for all points (B = P)
+    nx = ay * pz - az * py
+    ny = az * px - ax * pz
+    nz = ax * py - ay * px
+    parity = np.zeros(len(px), dtype=np.int64)
+    n = len(verts)
+    for k in range(n):
+        c = verts[k]
+        d = verts[(k + 1) % n]
+        det_c = (nx * c[0] + ny * c[1]) + nz * c[2]
+        det_d = (nx * d[0] + ny * d[1]) + nz * d[2]
+        s_c = np.sign(det_c)
+        s_d = np.sign(det_d)
+        maybe = (s_c != s_d) & (s_c != 0) & (s_d != 0)
+        if not maybe.any():
+            continue
+        # C x D is per-edge constant
+        cdx = c[1] * d[2] - c[2] * d[1]
+        cdy = c[2] * d[0] - c[0] * d[2]
+        cdz = c[0] * d[1] - c[1] * d[0]
+        det_b = (cdx * px + cdy * py) + cdz * pz
+        det_a = (cdx * ax + cdy * ay) + cdz * az
+        acb = -s_c
+        cbd = -np.sign(det_b)
+        dac = np.sign(det_a)  # scalar per edge
+        crossed = maybe & (cbd == acb) & (dac == acb)
+        parity ^= crossed.astype(np.int64)
+    return parity
+
+
+def crossing_parity_robust(verts: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """Parity of EdgeOrVertexCrossing of (ORIGIN -> P) vs the loop chain,
+    scalar robust predicates per (point, edge).  Points must be unit
+    length (reference requires unit inputs for its error bounds)."""
+    a = ORIGIN
+    out = np.zeros(len(points), dtype=np.int64)
+    n = len(verts)
+    vt = [tuple(float(x) for x in v) for v in verts]
+    for i, p in enumerate(points):
+        b = (float(p[0]), float(p[1]), float(p[2]))
+        par = 0
+        for k in range(n):
+            if edge_or_vertex_crossing(a, b, vt[k], vt[(k + 1) % n]):
+                par ^= 1
+        out[i] = par
+    return out
+
+
+def normalize_rows(p: np.ndarray) -> np.ndarray:
+    return p / np.sqrt((p * p).sum(axis=1))[:, None]
+
+
+def loop_origin_inside(verts: np.ndarray) -> bool:
+    """origin_inside bit per S2Loop.InitOriginAndBound: guess outside,
+    check containment of vertex 1 against AngleContainsVertex."""
+    v0 = tuple(float(x) for x in verts[0])
+    v1 = tuple(float(x) for x in verts[1])
+    v2 = tuple(float(x) for x in verts[2])
+    v1_inside = v0 != v1 and v2 != v1 and angle_contains_vertex(v0, v1, v2)
+    # parity of crossings Origin->v1 (with origin_inside == False)
+    par = int(crossing_parity_robust(verts, verts[1:2])[0])
+    contains_v1 = bool(par)  # inside = False ^ parity
+    return v1_inside != contains_v1
+
+
+def loop_contains_points(
+    verts: np.ndarray, points: np.ndarray, origin_inside: bool | None = None
+) -> np.ndarray:
+    """Robust point-in-loop for unit-length points ((m,3))."""
+    if origin_inside is None:
+        origin_inside = loop_origin_inside(verts)
+    par = crossing_parity_robust(verts, points)
+    return (par ^ int(origin_inside)).astype(bool)

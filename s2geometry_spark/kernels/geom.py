@@ -669,6 +669,13 @@ class LatLngRect(Region):
     def intersects_rect(self, y: "LatLngRect") -> bool:
         return self.lat.intersects(y.lat) and self.lng.intersects(y.lng)
 
+    def union_rect(self, y: "LatLngRect") -> "LatLngRect":
+        if self.is_empty():
+            return y
+        if y.is_empty():
+            return self
+        return LatLngRect(self.lat.union(y.lat), self.lng.union(y.lng))
+
     def expanded_latlng(self, lat_margin: float, lng_margin: float) -> "LatLngRect":
         lat = self.lat.expanded(lat_margin)
         lng = self.lng.expanded(lng_margin)

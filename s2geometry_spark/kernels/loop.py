@@ -1,0 +1,223 @@
+"""S2Loop-equivalent region: a single closed geodesic ring.
+
+Driver-side Region implementation for the coverer (the loop dim table
+is small; the 10^12-row fact side only ever sees covering cell ids and
+the vectorized parity kernel).  Semantics:
+
+- containment parity + origin bit:  S2Region/S2Loop.cs (InitOriginAndBound,
+  Contains), via kernels.edges
+- rect bound of an edge chain:      S2LatLngRectBounder.cs:140-260
+  (conservative; pole-crossing edges handled via the max-latitude of the
+  great circle through each edge)
+- cell pruning (MayIntersect/Contains(S2Cell)): conservative
+  rect-interval tests per edge — over-inclusive for MayIntersect (the
+  exact refine downstream removes false candidates) and under-inclusive
+  for Contains (an interior cell is only claimed when provably no edge
+  touches it and its center is inside), which preserves join exactness
+  (SURVEY.md §2.4 point-in-polygon refine).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import edges as E
+from .geom import (
+    PI,
+    PI_2,
+    Cap,
+    Cell,
+    LatLngRect,
+    R1Interval,
+    Region,
+    S1Interval,
+    latitude,
+    longitude,
+)
+
+DBL_EPS = E.DBL_EPS
+
+
+class RectBounder:
+    """Conservative lat/lng bound of a vertex chain
+    (S2LatLngRectBounder.cs)."""
+
+    def __init__(self) -> None:
+        self.bound = LatLngRect.empty()
+        self._a = None
+        self._a_lat = 0.0
+        self._a_lng = 0.0
+
+    def add_point(self, b) -> None:
+        b_lat, b_lng = latitude(b), longitude(b)
+        if self.bound.is_empty():
+            self.bound = LatLngRect(
+                R1Interval(b_lat, b_lat), S1Interval(b_lng, b_lng)
+            )
+        else:
+            a = self._a
+            # N = 2*(A x B) — zero (not arbitrary) for proportional inputs
+            n = E.cross(
+                (a[0] - b[0], a[1] - b[1], a[2] - b[2]),
+                (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+            )
+            n_norm = math.sqrt(E.dot(n, n))
+            if n_norm < 1.91346e-15:
+                # nearly identical or antipodal endpoints
+                if E.dot(a, b) < 0:
+                    self.bound = LatLngRect(
+                        R1Interval(-PI_2, PI_2), S1Interval.full()
+                    )
+                else:
+                    self.bound = self.bound.union_rect(
+                        _rect_from_point_pair(
+                            self._a_lat, self._a_lng, b_lat, b_lng
+                        )
+                    )
+            else:
+                lng_ab = S1Interval.from_point_pair(self._a_lng, b_lng)
+                if lng_ab.get_length() >= PI - 2 * DBL_EPS:
+                    lng_ab = S1Interval.full()
+                lat_ab = R1Interval.from_point_pair(self._a_lat, b_lat)
+                # does AB attain its min/max latitude in the interior?
+                m = E.cross(n, (0.0, 0.0, 1.0))
+                m_a = E.dot(m, a)
+                m_b = E.dot(m, b)
+                m_error = 6.06638e-16 * n_norm + 6.83174e-31
+                if m_a * m_b < 0 or abs(m_a) <= m_error or abs(m_b) <= m_error:
+                    max_lat = min(
+                        math.atan2(
+                            math.sqrt(n[0] * n[0] + n[1] * n[1]), abs(n[2])
+                        )
+                        + 3 * DBL_EPS,
+                        PI_2,
+                    )
+                    d = (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+                    lat_budget_z = (
+                        0.5 * math.sqrt(E.dot(d, d)) * math.sin(max_lat)
+                    )
+                    lat_budget = 2 * math.asin(
+                        min((1 + 4 * DBL_EPS) * lat_budget_z, 1.0)
+                    )
+                    max_delta = (
+                        0.5 * (lat_budget - (lat_ab.hi - lat_ab.lo)) + DBL_EPS
+                    )
+                    lo, hi = lat_ab.lo, lat_ab.hi
+                    if m_a <= m_error and m_b >= -m_error:
+                        hi = min(max_lat, hi + max_delta)
+                    if m_b <= m_error and m_a >= -m_error:
+                        lo = max(-max_lat, lo - max_delta)
+                    lat_ab = R1Interval(lo, hi)
+                self.bound = self.bound.union_rect(LatLngRect(lat_ab, lng_ab))
+        self._a = b
+        self._a_lat, self._a_lng = b_lat, b_lng
+
+    def get_bound(self) -> LatLngRect:
+        """Expand by the S2LatLng conversion error, close at poles."""
+        lat = R1Interval(self.bound.lat.lo - 2 * DBL_EPS,
+                         self.bound.lat.hi + 2 * DBL_EPS)
+        lat = lat.intersection(R1Interval(-PI_2, PI_2))
+        return LatLngRect(lat, self.bound.lng).polar_closure()
+
+
+def _rect_from_point_pair(lat1, lng1, lat2, lng2) -> LatLngRect:
+    return LatLngRect(
+        R1Interval.from_point_pair(lat1, lat2),
+        S1Interval.from_point_pair(lng1, lng2),
+    )
+
+
+def edge_chain_bound(verts: np.ndarray, closed: bool = True) -> LatLngRect:
+    rb = RectBounder()
+    for v in verts:
+        rb.add_point((float(v[0]), float(v[1]), float(v[2])))
+    if closed and len(verts):
+        v = verts[0]
+        rb.add_point((float(v[0]), float(v[1]), float(v[2])))
+    return rb.get_bound()
+
+
+class Loop(Region):
+    """Closed CCW geodesic ring; interior = left of the edges."""
+
+    def __init__(self, verts: np.ndarray):
+        verts = np.asarray(verts, dtype=np.float64)
+        assert verts.ndim == 2 and verts.shape[1] == 3 and len(verts) >= 3
+        self.verts = verts
+        self.origin_inside = E.loop_origin_inside(verts)
+        bound = edge_chain_bound(verts)
+        # S2Loop.InitBound: the edge-chain bound misses interiors that
+        # wrap a pole — expand to the pole + full longitude when the
+        # loop contains it.
+        if self._contains_nobound((0.0, 0.0, 1.0)):
+            bound = LatLngRect(
+                R1Interval(bound.lat.lo, PI_2), S1Interval.full()
+            )
+        if self._contains_nobound((0.0, 0.0, -1.0)):
+            bound = LatLngRect(
+                R1Interval(-PI_2, bound.lat.hi), S1Interval.full()
+            )
+        self.bound = bound
+        # per-edge conservative rect bounds for cell pruning
+        self._edge_bounds = []
+        n = len(verts)
+        for k in range(n):
+            rb = RectBounder()
+            for v in (verts[k], verts[(k + 1) % n]):
+                rb.add_point((float(v[0]), float(v[1]), float(v[2])))
+            self._edge_bounds.append(rb.get_bound())
+
+    # -- point containment (robust) ------------------------------------
+
+    def _contains_nobound(self, p) -> bool:
+        return bool(
+            E.loop_contains_points(
+                self.verts, np.asarray([p], dtype=np.float64),
+                self.origin_inside,
+            )[0]
+        )
+
+    def contains_point(self, p) -> bool:
+        if not self.bound.contains_ll(latitude(p), longitude(p)):
+            return False
+        return bool(
+            E.loop_contains_points(
+                self.verts, np.asarray([p], dtype=np.float64),
+                self.origin_inside,
+            )[0]
+        )
+
+    def contains_points(self, points: np.ndarray) -> np.ndarray:
+        return E.loop_contains_points(self.verts, points, self.origin_inside)
+
+    # -- region contract ------------------------------------------------
+
+    def get_rect_bound(self) -> LatLngRect:
+        return self.bound
+
+    def get_cap_bound(self) -> Cap:
+        return self.bound.get_cap_bound()
+
+    def _boundary_may_intersect(self, cell_bound: LatLngRect) -> bool:
+        return any(
+            eb.intersects_rect(cell_bound) for eb in self._edge_bounds
+        )
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        cb = cell.get_rect_bound()
+        if not self.bound.intersects_rect(cb):
+            return False
+        if self._boundary_may_intersect(cb):
+            return True
+        # no boundary in the cell: the cell is uniformly in or out
+        return self.contains_point(cell.center())
+
+    def contains_cell(self, cell: Cell) -> bool:
+        cb = cell.get_rect_bound()
+        if not self.bound.intersects_rect(cb):
+            return False
+        if self._boundary_may_intersect(cb):
+            return False  # conservative: only claim provable interiors
+        return self.contains_point(cell.center())

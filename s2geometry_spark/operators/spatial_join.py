@@ -112,6 +112,48 @@ def point_in_cap_join(
     return refined.select(F.col(point_key), F.col("region_id"))
 
 
+def point_in_loop_join(
+    spark: SparkSession,
+    points: DataFrame,
+    loops: list,
+    options: CovererOptions | None = None,
+    broadcast: bool = True,
+    skip_interior: bool = False,
+    point_key: str = "key",
+) -> DataFrame:
+    """Join points (x,y,z + cell_id columns) to containing loop regions.
+
+    Pattern (SURVEY.md §2.4): region loops -> driver-side coverer ->
+    broadcast covering table; probe explodes leaf ancestors at the
+    covering's levels; hash equi-join; crossing-number parity refine
+    (vectorized pUDF, S2Loop.cs Contains semantics).
+
+    ``skip_interior=True`` skips the parity test for candidates whose
+    covering cell is provably interior (MutableS2ShapeIndex
+    contains_center analogue) — enable when the refine kernel dominates;
+    the driver-contract query keeps it off so the output is arithmetic-
+    identical to the brute-force SQL oracle.
+    """
+    from ..functions import udfs as U
+
+    cov_pdf = COV.build_covering_rows(loops, options)
+    levels = COV.covering_levels(cov_pdf)
+    cov = spark.createDataFrame(
+        cov_pdf, schema=COV._schema_of(cov_pdf, loops)
+    ).withColumnRenamed("cell_id", "cov_cell")
+    probe = explode_ancestors(points, levels)
+    right = F.broadcast(cov) if broadcast else cov
+    joined = probe.join(right, probe["anc_cell"] == right["cov_cell"], "inner")
+    loops_by_id = {
+        rid: (lp.verts, lp.origin_inside) for rid, lp in loops
+    }
+    contains = U.loop_parity_udf(loops_by_id)
+    pred = contains(F.col("region_id"), F.col("x"), F.col("y"), F.col("z"))
+    if skip_interior:
+        pred = F.col("is_interior") | pred
+    return joined.where(pred).select(F.col(point_key), F.col("region_id"))
+
+
 def point_in_cap_semi(
     spark: SparkSession,
     points: DataFrame,

@@ -51,6 +51,69 @@ def caps_sql_cte(table: str, key_expr: str, name: str = "ucaps") -> str:
     )
 
 
+def loop_vertices(key: int):
+    """Deterministic regular-polygon loop around the key's direction.
+
+    Trig runs ONCE here on the driver; the resulting float64 vertices are
+    shared verbatim by the Spark side (broadcast) and the DuckDB oracle
+    (literal VALUES via repr round-trip), so no cross-engine libm skew
+    can enter the crossing tests.
+    """
+    import numpy as np
+
+    from ..kernels import edges as E
+
+    cx, cy, cz, _ = cap_params(key)
+    c = (cx, cy, cz)
+    u = E.ortho(c)
+    v = E.cross(c, u)  # right-handed: theta goes CCW seen from outside
+    radius = 0.05 + (key % 9) * 0.02  # radians, ~3..13 degrees
+    nv = 4 + (key % 5)
+    cr, sr = math.cos(radius), math.sin(radius)
+    verts = []
+    for k in range(nv):
+        th = 2 * math.pi * k / nv
+        ct, st = math.cos(th), math.sin(th)
+        p = tuple(
+            cr * c[i] + sr * (ct * u[i] + st * v[i]) for i in range(3)
+        )
+        n = math.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2])
+        verts.append((p[0] / n, p[1] / n, p[2] / n))
+    return np.asarray(verts, dtype=np.float64)
+
+
+def synthetic_loops(keys) -> list[tuple[int, "object"]]:
+    """(key, Loop) pairs; CCW rings containing their center."""
+    from ..kernels.loop import Loop
+
+    return [(int(k), Loop(loop_vertices(int(k)))) for k in keys]
+
+
+def loop_edges_sql_values(loops, name: str = "loop_edges") -> str:
+    """DuckDB inline edge table with literal (bit round-trip) vertices:
+    (region_id, ex.., ey.., origin_inside) one row per directed edge."""
+    def dlit(v: float) -> str:
+        # exact round-trip: shortest repr parsed as DOUBLE (not DECIMAL)
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    rows = []
+    for rid, lp in loops:
+        verts = lp.verts
+        oi = 1 if lp.origin_inside else 0
+        n = len(verts)
+        for k in range(n):
+            c = verts[k]
+            d = verts[(k + 1) % n]
+            rows.append(
+                f"({rid}, {dlit(c[0])}, {dlit(c[1])}, {dlit(c[2])}, "
+                f"{dlit(d[0])}, {dlit(d[1])}, {dlit(d[2])}, {oi})"
+            )
+    return (
+        f"{name}(region_id, cx, cy, cz, dx, dy, dz, origin_inside) AS "
+        f"(VALUES {', '.join(rows)})"
+    )
+
+
 def synthetic_rects(keys) -> list[tuple[int, LatLngRect]]:
     """Deterministic lat/lng rectangles (for pytest oracles)."""
     out = []
