@@ -152,6 +152,25 @@ def q_pip_loop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("region_id").agg(F.count(F.lit(1)).alias("n_points"))
 
 
+KNN_K = 3
+
+
+def q_knn_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k nearest supplier points per order point — cell-ring-expansion
+    kNN join (S2ClosestPointQuery semantics)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import knn as KNN
+    from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.sources import points as P
+
+    q = T.assign_cellids(_orders_points(spark, sf_dir))
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    idx = T.assign_cellids(
+        P.with_xyz(sup.select(F.col("s_suppkey").alias("key")))
+    )
+    return KNN.knn_join(spark, q, idx, KNN_K)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tile_assign(spark, "/root/testdata/sf0.001")
@@ -167,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_cap_count": q_pip_cap_count,
         "s2_pip_loop_join": q_pip_loop_join,
         "s2_pip_loop_count": q_pip_loop_count,
+        "s2_knn_supplier": q_knn_supplier,
     }
 
 
@@ -217,6 +237,14 @@ def oracle_sql() -> dict[str, str]:
     # is the fixed 25-row TPC-H dim table, keys 0..24 at every SF).
     loops = R.synthetic_loops(range(25))
     pip_loop = O.pip_loop_sql(pts, R.loop_edges_sql_values(loops))
+
+    from s2geometry_spark.operators.knn import knn_oracle_sql
+
+    knn_sql = knn_oracle_sql(
+        P.xyz_sql_cte("orders", "o_orderkey", name="qpts"),
+        P.xyz_sql_cte("supplier", "s_suppkey", name="ipts"),
+        KNN_K,
+    )
     return {
         "s2_cellid_leaf": base + "\nSELECT key, cell_id FROM cells",
         "s2_tile_assign": (
@@ -250,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
             + pip_base
             + ") GROUP BY region_id"
         ),
+        "s2_knn_supplier": knn_sql,
         "s2_pip_loop_join": pip_loop,
         "s2_pip_loop_count": (
             "SELECT region_id, COUNT(*) AS n_points FROM ("

@@ -1,0 +1,219 @@
+"""Distributed kNN join via bounded cell-ring expansion.
+
+Re-expresses S2ClosestPointQuery's best-first cell search
+(Query/S2ClosestPointQueryBase.cs, base algorithm
+Query/S2ClosestEdgeQueryBase.cs:211-363) as a bounded loop of Spark
+joins (SURVEY.md §2.4 / §3.3):
+
+round r: every *unfinished* query joins its 3x3 cell neighborhood at
+level L_r against the index side keyed by ``parent(leaf, L_r)``;
+accumulated candidates are ranked with a window (distance, index_key) —
+the reference's result ordering (S2ClosestEdgeQueryBase.cs:69-120).  A
+query finishes when its k-th squared-chord distance is smaller than the
+guaranteed-covered radius of its ring: any point outside the 3x3
+neighborhood is at least one cell min-width away (S2Metrics kMinWidth,
+S2Metrics.cs:75-86).  Each following round coarsens the level by 2
+(ring area x16), so the loop is bounded by ~L/2 rounds and in practice
+finishes in 1-2; the final fallback (level exhausted, still unfinished)
+is a cross join of the residual queries — a vanishing fraction.
+
+Scale notes:
+- the fact-side never shuffles: the ring explode (x9) feeds a hash
+  equi-join on (level, cell); the per-round unfinished set shrinks
+  geometrically.
+- distance arithmetic is plain JVM column math (whole-stage codegen,
+  bit-identical to the DuckDB oracle's SQL); only the neighbor-ring
+  expansion is an Arrow pUDF.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..constants import KMIN_WIDTH
+from ..functions import sparkfns as S
+from ..operators.spatial_join import normalized_cols
+
+MIN_LEVEL_FLOOR = 1  # below this, fall back to cross join
+
+
+def _chord2_from_radians(radians: float) -> float:
+    if radians >= math.pi:
+        return 4.0
+    s = math.sin(0.5 * radians)
+    return 4 * s * s
+
+
+def _ring_udf(level: int):
+    """pUDF: 3x3 neighborhood (cell + 8 edge/vertex neighbors) of the
+    level-`level` ancestor, as array<long> (S2CellId.AppendAllNeighbors
+    semantics, S2CellId.cs:754-810)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from ..kernels import cellid as CI
+
+    @pandas_udf(ArrayType(LongType()))
+    def _ring(cid: pd.Series) -> pd.Series:
+        ids = CI.parent(cid.to_numpy(), level)
+        rings = CI.all_neighbors(ids, level)
+        own = CI.as_i64(ids).tolist()
+        out = [
+            sorted({o, *CI.as_i64(nbrs).tolist()})
+            for o, nbrs in zip(own, rings)
+        ]
+        return pd.Series(out)
+
+    return _ring
+
+
+def _dist2(qx, qy, qz, ix, iy, iz):
+    """Squared chord length on unit vectors, fixed evaluation order
+    (mirrored in the DuckDB oracle)."""
+    dx, dy, dz = qx - ix, qy - iy, qz - iz
+    return (dx * dx + dy * dy) + dz * dz
+
+
+def default_seed_level(n_index: int, per_cell: float = 1.0) -> int:
+    """Level where the index averages ~per_cell points per cell."""
+    n_cells = max(n_index / per_cell, 6.0)
+    level = int(math.floor(math.log(n_cells / 6.0, 4.0)))
+    return max(MIN_LEVEL_FLOOR, min(level, 30))
+
+
+def knn_join(
+    spark: SparkSession,
+    queries: DataFrame,
+    index: DataFrame,
+    k: int,
+    seed_level: int | None = None,
+    query_key: str = "key",
+    index_key: str = "key",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """k nearest index points per query point.
+
+    Inputs need (key, x, y, z, cell_id) columns.  Returns
+    (query_key, neighbor_key, dist2, rn) with rn in [1, k] ordered by
+    (dist2, neighbor_key) — the reference's (distance, shape_id) result
+    order made deterministic on ties.
+    """
+    if seed_level is None:
+        seed_level = default_seed_level(index.count())
+
+    q = (
+        normalized_cols(queries)
+        .select(
+            F.col(query_key).alias("qk"),
+            F.col("ux").alias("qux"), F.col("uy").alias("quy"),
+            F.col("uz").alias("quz"), F.col("cell_id").alias("qcell"),
+        )
+    )
+    idx = (
+        normalized_cols(index)
+        .select(
+            F.col(index_key).alias("ik"),
+            F.col("ux").alias("iux"), F.col("uy").alias("iuy"),
+            F.col("uz").alias("iuz"), F.col("cell_id").alias("icell_leaf"),
+        )
+    )
+
+    unfinished = q
+    candidates = None
+    level = seed_level
+    w = Window.partitionBy("qk").orderBy("dist2", "ik")
+
+    for _ in range(max_rounds):
+        if level < MIN_LEVEL_FLOOR:
+            break
+        ring = _ring_udf(level)
+        probe = unfinished.withColumn(
+            "jcell", F.explode(ring(F.col("qcell")))
+        )
+        iside = idx.withColumn("jcell", S.cell_parent(F.col("icell_leaf"), level))
+        cand = (
+            probe.join(iside, on="jcell", how="inner")
+            .select(
+                "qk", "ik",
+                _dist2(
+                    F.col("qux"), F.col("quy"), F.col("quz"),
+                    F.col("iux"), F.col("iuy"), F.col("iuz"),
+                ).alias("dist2"),
+            )
+        )
+        candidates = cand if candidates is None else candidates.unionByName(cand)
+        candidates = candidates.dropDuplicates(["qk", "ik"]).localCheckpoint()
+
+        # termination: k found AND kth dist within the ring guarantee
+        guarantee = _chord2_from_radians(KMIN_WIDTH.get_value(level))
+        kth = (
+            candidates.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .groupBy("qk")
+            .agg(F.max("dist2").alias("kth"), F.count("*").alias("nk"))
+            .where((F.col("nk") >= k) & (F.col("kth") < F.lit(guarantee)))
+        )
+        unfinished = unfinished.join(kth.select("qk"), on="qk", how="left_anti")
+        if unfinished.isEmpty():
+            break
+        level -= 2
+    else:
+        level = MIN_LEVEL_FLOOR - 1
+
+    if level < MIN_LEVEL_FLOOR and not unfinished.isEmpty():
+        # residual cross join (exact; tiny fraction by construction)
+        cand = unfinished.crossJoin(idx).select(
+            "qk", "ik",
+            _dist2(
+                F.col("qux"), F.col("quy"), F.col("quz"),
+                F.col("iux"), F.col("iuy"), F.col("iuz"),
+            ).alias("dist2"),
+        )
+        candidates = (
+            cand if candidates is None else candidates.unionByName(cand)
+        ).dropDuplicates(["qk", "ik"])
+
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("qk").alias("key"),
+            F.col("ik").alias("neighbor_key"),
+            "dist2",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def knn_oracle_sql(
+    q_pts_cte: str, i_pts_cte: str, k: int
+) -> str:
+    """DuckDB brute-force kNN mirroring knn_join's arithmetic:
+    normalization and squared-chord distance in identical IEEE order,
+    ties broken by (dist2, neighbor_key) as in the reference's result
+    ordering."""
+    d2 = (
+        "((q.ux-i.ux)*(q.ux-i.ux) + (q.uy-i.uy)*(q.uy-i.uy)) "
+        "+ (q.uz-i.uz)*(q.uz-i.uz)"
+    )
+    return f"""WITH {q_pts_cte},
+{i_pts_cte},
+uq AS (SELECT key, x/r AS ux, y/r AS uy, z/r AS uz FROM
+       (SELECT key, x, y, z, sqrt(x*x + y*y + z*z) AS r FROM qpts)),
+ui AS (SELECT key, x/r AS ux, y/r AS uy, z/r AS uz FROM
+       (SELECT key, x, y, z, sqrt(x*x + y*y + z*z) AS r FROM ipts)),
+pairs AS (
+  SELECT q.key AS key, i.key AS neighbor_key, {d2} AS dist2
+  FROM uq q CROSS JOIN ui i
+)
+SELECT key, neighbor_key, dist2, rn FROM (
+  SELECT key, neighbor_key, dist2,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY dist2, neighbor_key) AS rn
+  FROM pairs
+) WHERE rn <= {k}"""

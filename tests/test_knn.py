@@ -1,0 +1,88 @@
+"""kNN join correctness vs brute force (CheckDistanceResults-style
+oracle, Utils/S2TestingCheckDistance.cs:3-60 approach: indexed path vs
+exhaustive search must agree exactly, including tie order)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.operators import knn as KNN
+from s2geometry_spark.operators import tile as T
+from s2geometry_spark.sources import points as P
+
+
+@pytest.fixture(scope="module")
+def q_df(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return T.assign_cellids(
+        P.with_xyz(orders.select(F.col("o_orderkey").alias("key")))
+    )
+
+
+@pytest.fixture(scope="module")
+def idx_df(spark, sf_dir):
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return T.assign_cellids(
+        P.with_xyz(sup.select(F.col("s_suppkey").alias("key")))
+    )
+
+
+def brute_force_knn(q_pdf, i_pdf, k):
+    qv = q_pdf[["x", "y", "z"]].to_numpy()
+    qv = qv / np.sqrt((qv * qv).sum(axis=1))[:, None]
+    iv = i_pdf[["x", "y", "z"]].to_numpy()
+    iv = iv / np.sqrt((iv * iv).sum(axis=1))[:, None]
+    qk = q_pdf["key"].to_numpy()
+    ik = i_pdf["key"].to_numpy()
+    order_i = np.argsort(ik, kind="stable")
+    out = []
+    for qi in range(len(qk)):
+        d = qv[qi][None, :] - iv
+        dist2 = (d * d).sum(axis=1)
+        # tie order: (dist2, neighbor_key)
+        sel = sorted(range(len(ik)), key=lambda j: (dist2[j], ik[j]))[:k]
+        for rn, j in enumerate(sel, start=1):
+            out.append((int(qk[qi]), int(ik[j]), rn))
+    return sorted(out)
+
+
+class TestKnnJoin:
+    def test_matches_brute_force(self, spark, q_df, idx_df):
+        k = 3
+        got = sorted(
+            (r["key"], r["neighbor_key"], r["rn"])
+            for r in KNN.knn_join(spark, q_df, idx_df, k).collect()
+        )
+        want = brute_force_knn(
+            q_df.select("key", "x", "y", "z").toPandas(),
+            idx_df.select("key", "x", "y", "z").toPandas(),
+            k,
+        )
+        assert got == want
+        assert len(got) == q_df.count() * k
+
+    def test_coarse_seed_level_same_result(self, spark, q_df, idx_df):
+        """Seeding too fine forces multi-round expansion + fallback —
+        result must be identical."""
+        k = 2
+        fine = sorted(
+            (r["key"], r["neighbor_key"], r["rn"])
+            for r in KNN.knn_join(
+                spark, q_df.limit(200), idx_df, k, seed_level=10
+            ).collect()
+        )
+        auto = sorted(
+            (r["key"], r["neighbor_key"], r["rn"])
+            for r in KNN.knn_join(spark, q_df.limit(200), idx_df, k).collect()
+        )
+        assert fine == auto
+
+    def test_k_larger_than_index(self, spark, q_df, idx_df):
+        n_idx = idx_df.count()
+        got = KNN.knn_join(spark, q_df.limit(20), idx_df, n_idx + 5)
+        per_q = (
+            got.groupBy("key").count().select("count").distinct().collect()
+        )
+        assert [r["count"] for r in per_q] == [n_idx]
