@@ -171,6 +171,47 @@ def q_knn_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KNN.knn_join(spark, q, idx, KNN_K)
 
 
+N_IMAGES = 2000
+IMAGE_TILE_LEVEL = 4
+
+
+def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic image+caption table (BASELINE input_hint schema) ->
+    geotag -> leaf cell -> tile histogram.  Payload decode is binary
+    (PNG codec), so this is a rows-only check (no SQL oracle)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import mosaic as M
+    from s2geometry_spark.sources import images as IMG
+
+    imgs = IMG.image_table(spark, N_IMAGES)
+    tiled = M.with_tiles(imgs, IMAGE_TILE_LEVEL)
+    return tiled.groupBy("tile_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_tile_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile mosaic rasters (decode + compose + re-encode in Arrow
+    batches) with mean-color stats.  Rows-only check (binary payloads)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import mosaic as M
+    from s2geometry_spark.sources import images as IMG
+
+    imgs = IMG.image_table(spark, N_IMAGES)
+    tiled = M.with_tiles(imgs, IMAGE_TILE_LEVEL)
+    return M.tile_mosaics(tiled)
+
+
+def q_tile_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector: tile extents projected (Plate Carree) and
+    tessellated back to geodesic rings.  Rows-only check."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import mosaic as M
+    from s2geometry_spark.sources import images as IMG
+
+    imgs = IMG.image_table(spark, N_IMAGES)
+    tiled = M.with_tiles(imgs, IMAGE_TILE_LEVEL)
+    return M.tile_extents(tiled.select("tile_id").distinct())
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tile_assign(spark, "/root/testdata/sf0.001")
@@ -187,6 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_loop_join": q_pip_loop_join,
         "s2_pip_loop_count": q_pip_loop_count,
         "s2_knn_supplier": q_knn_supplier,
+        "s2_image_tile_counts": q_image_tile_counts,
+        "s2_tile_mosaic": q_tile_mosaic,
+        "s2_tile_extents": q_tile_extents,
     }
 
 

@@ -1,0 +1,116 @@
+"""Deterministic synthetic image+caption table (BASELINE input_hint):
+
+    (image_id string, bytes binary, w int, h int, fmt string,
+     caption string, phash long) + derived geotag (lat, lon)
+
+Generated *distributed* (mapInPandas over spark.range) so any scale
+can be produced without driver memory; every column is a pure function
+of the row index, so re-generation is the oracle for payload
+invariants (decoded pixels allclose / PSNR>=40dB, caption byte-equal,
+phash unchanged) after any shuffle/join.
+
+Geotags: 80% uniform-ish over the sphere, 20% clustered around 8
+fixed hot spots (FIXTURES.md §1) to exercise skew/salting in the
+covering-term join.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..kernels import png as PNG
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+        T.StructField("lon", T.DoubleType(), False),
+    ]
+)
+
+HOTSPOTS = [  # (lat, lon) fixed urban-like centers for skew
+    (40.71, -74.00), (51.51, -0.13), (35.68, 139.69), (-23.55, -46.63),
+    (19.08, 72.88), (48.86, 2.35), (1.35, 103.82), (-33.87, 151.21),
+]
+
+_WORDS = (
+    "granite harbor maple lantern orbit meadow cinder violet summit "
+    "drift ember willow quarry beacon tundra mosaic"
+).split()
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — deterministic per-row PRN."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return x ^ (x >> np.uint64(31))
+
+
+def row_record(i: int) -> dict:
+    """All columns for row index i — the single source of truth used by
+    both the distributed generator and the pytest payload oracle."""
+    image_id = f"img{i:012d}"
+    seed = int(_mix64(np.array([i], dtype=np.uint64))[0])
+    w = 16 + (seed % 49)
+    h = 16 + ((seed >> 8) % 49)
+    fmt = "png" if i % 4 else "jpeg"
+    # deterministic pixels: splitmix64 stream over pixel indices
+    n_px = w * h * 3
+    stream = _mix64(
+        np.arange(n_px, dtype=np.uint64) + np.uint64(seed)
+    ).astype(np.uint64)
+    rgb = (stream & np.uint64(0xFF)).astype(np.uint8).reshape(h, w, 3)
+    if fmt == "png":
+        data = PNG.encode_png(rgb)
+    else:
+        data = PNG.encode_fake_jpeg(rgb)
+    caption_words = [
+        _WORDS[(seed >> (4 * k)) % len(_WORDS)] for k in range(6)
+    ]
+    caption = f"caption of {image_id}: " + " ".join(caption_words)
+    phash = PNG.phash64(rgb.tobytes())
+    # geotag: 20% clustered at hot spots
+    g = int(_mix64(np.array([i + (1 << 40)], dtype=np.uint64))[0])
+    if g % 5 == 0:
+        hs = HOTSPOTS[g % len(HOTSPOTS)]
+        lat = hs[0] + ((g >> 16) % 2001 - 1000) / 1000.0  # +-1 deg
+        lon = hs[1] + ((g >> 32) % 2001 - 1000) / 1000.0
+    else:
+        lat = ((g >> 8) % 1798000) / 10000.0 - 89.9
+        lon = ((g >> 24) % 3600000) / 10000.0 - 180.0
+    return {
+        "image_id": image_id, "bytes": data, "w": w, "h": h, "fmt": fmt,
+        "caption": caption, "phash": phash, "lat": lat, "lon": lon,
+    }
+
+
+def image_table(spark: SparkSession, n: int, partitions: int = 0) -> DataFrame:
+    """Distributed deterministic image table of n rows."""
+    parts = partitions or max(4, spark.sparkContext.defaultParallelism)
+    base = spark.range(0, n, numPartitions=parts)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [row_record(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=SCHEMA)
+
+
+def expected_pixels(i: int) -> np.ndarray:
+    """Oracle: the decoded pixels row i must reproduce (exact for png,
+    quantized for the fake-jpeg stub)."""
+    rec = row_record(i)
+    return PNG.decode_image(rec["bytes"], rec["fmt"])
