@@ -174,6 +174,56 @@ def q_knn_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_IMAGES = 2000
 IMAGE_TILE_LEVEL = 4
 
+EMBED_K = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_doc_token_stats(spark, sf_dir):
+    from s2geometry_spark.operators import textops as TX
+    return TX.token_stats(_docs(spark, sf_dir))
+
+
+def q_doc_lang_id(spark, sf_dir):
+    from s2geometry_spark.operators import textops as TX
+    return TX.lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from s2geometry_spark.operators import textops as TX
+    return TX.fingerprints(_docs(spark, sf_dir))
+
+
+def q_doc_dedup_exact(spark, sf_dir):
+    from s2geometry_spark.operators import textops as TX
+    return TX.dedup_exact(_docs(spark, sf_dir))
+
+
+def q_doc_simhash(spark, sf_dir):
+    from s2geometry_spark.operators import textops as TX
+    return TX.simhash(_docs(spark, sf_dir))
+
+
+def q_doc_near_dup(spark, sf_dir):
+    from s2geometry_spark.operators import textops as TX
+    return TX.near_dup_pairs(_docs(spark, sf_dir))
+
+
+def q_embed_cosine_topk(spark, sf_dir):
+    from s2geometry_spark.operators import similarity as SIM
+    return SIM.cosine_topk(_emb(spark, sf_dir), EMBED_K)
+
+
+def q_embed_ann_lsh(spark, sf_dir):
+    from s2geometry_spark.operators import similarity as SIM
+    return SIM.ann_lsh_topk(_emb(spark, sf_dir), EMBED_K)
+
 
 def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic image+caption table (BASELINE input_hint schema) ->
@@ -231,6 +281,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_image_tile_counts": q_image_tile_counts,
         "s2_tile_mosaic": q_tile_mosaic,
         "s2_tile_extents": q_tile_extents,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_simhash": q_doc_simhash,
+        "doc_near_dup": q_doc_near_dup,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_ann_lsh": q_embed_ann_lsh,
     }
 
 
@@ -282,6 +340,8 @@ def oracle_sql() -> dict[str, str]:
     loops = R.synthetic_loops(range(25))
     pip_loop = O.pip_loop_sql(pts, R.loop_edges_sql_values(loops))
 
+    from s2geometry_spark.operators import similarity as SIM
+    from s2geometry_spark.operators import textops as TX
     from s2geometry_spark.operators.knn import knn_oracle_sql
 
     knn_sql = knn_oracle_sql(
@@ -329,4 +389,12 @@ def oracle_sql() -> dict[str, str]:
             + pip_loop
             + ") GROUP BY region_id"
         ),
+        "doc_token_stats": TX.token_stats_sql(),
+        "doc_lang_id": TX.lang_id_sql(),
+        "doc_fingerprints": TX.fingerprints_sql(),
+        "doc_dedup_exact": TX.dedup_exact_sql(),
+        "doc_simhash": TX.simhash_sql(),
+        "doc_near_dup": TX.near_dup_pairs_sql(),
+        "embed_cosine_topk": SIM.cosine_topk_sql(EMBED_K),
+        "embed_ann_lsh": SIM.ann_lsh_topk_sql(EMBED_K),
     }

@@ -1,0 +1,362 @@
+"""Training-data text operators over the `documents` table.
+
+Large-scale pipeline ops (dedup, fingerprinting, language-ID, quality
+scoring, token stats) expressed as pure JVM-side DataFrame plans —
+whole-stage codegen, no Python in the hot path.  Every operator has a
+DuckDB SQL mirror (generated here from the same parameters) used as
+the driver's correctness oracle; the shared hash primitive is md5
+(identical hex output in Spark and DuckDB).
+
+Scale notes: all operators are single-pass scans + one hash-key
+aggregation/join; minhash banding converts O(n^2) near-dup search into
+an equi-join on band keys (the standard shingle->minhash->band->bucket
+pipeline); skewed bucket keys (boilerplate docs) are bounded by
+band-key salting upstream if needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+# marker vocabularies for the n-gram-free language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "fast", "slow", "value"),
+    "de": ("und", "der", "das", "nicht"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "les", "des", "est"),
+    "zh": ("shi", "de2", "le2", "zai"),
+}
+
+SHINGLE_K = 8
+MINHASH_N = 12
+LSH_BANDS = 4
+LSH_ROWS = 3  # bands * rows == MINHASH_N
+
+
+def _stop_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# ---------------------------------------------------------------------
+# Token stats + quality
+# ---------------------------------------------------------------------
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, distinct_ratio, n_stop,
+    stop_ratio, avg_token_len) — single-pass JVM expressions."""
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+        (n_distinct.cast("double") / n_tokens.cast("double")).alias("distinct_ratio"),
+        n_stop.cast("long").alias("n_stop"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stop_ratio"),
+        (total_len.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+    )
+
+
+def token_stats_sql(table: str = "documents") -> str:
+    stops = _stop_list_sql()
+    return f"""
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+  CAST(len(list_filter(toks, t -> t IN ({stops}))) AS BIGINT) AS n_stop,
+  CAST(len(list_filter(toks, t -> t IN ({stops}))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {table})"""
+
+
+# ---------------------------------------------------------------------
+# Language ID (marker-vocabulary heuristic)
+# ---------------------------------------------------------------------
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Deterministic marker-count argmax with lexicographic tie-break."""
+    toks = F.split(F.col("text"), " ")
+
+    def marker_score(ws):
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scored = docs.select("doc_id", *[
+        marker_score(ws).alias(f"score_{lang}")
+        for lang, ws in sorted(LANG_MARKERS.items())
+    ])
+    # argmax via greatest + chained when (first lang in sorted order wins ties)
+    best = F.greatest(*[F.col(f"score_{l}") for l in sorted(LANG_MARKERS)])
+    pred = None
+    for lang in sorted(LANG_MARKERS):
+        cond = F.col(f"score_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    score_exprs = []
+    for lang, ws in sorted(LANG_MARKERS.items()):
+        inlist = ", ".join(f"'{w}'" for w in ws)
+        score_exprs.append(
+            f"len(list_filter(toks, t -> t IN ({inlist}))) AS score_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+SELECT doc_id, {case} AS pred_lang FROM (
+  SELECT doc_id, {', '.join(score_exprs)}
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {table}))"""
+
+
+# ---------------------------------------------------------------------
+# Fingerprinting + exact dedup
+# ---------------------------------------------------------------------
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp_exact md5, fp_min minhash-of-shingles) — document
+    fingerprints for exact and fuzzy identity."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    sh = _shingles_expr("text")
+    fp_min = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fp_exact"), fp_min.alias("fp_min")
+    )
+
+
+def fingerprints_sql(table: str = "documents") -> str:
+    sh = _shingles_sql("text")
+    return f"""
+SELECT doc_id,
+  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_exact,
+  list_min(list_transform({sh}, s -> md5(s))) AS fp_min
+FROM {table}"""
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup groups: (fp, n_docs, keep_id=min doc_id)."""
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def dedup_exact_sql(table: str = "documents") -> str:
+    return (
+        f"SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id "
+        f"FROM {table} GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------
+# Shingles + MinHash + LSH near-dup
+# ---------------------------------------------------------------------
+
+def _shingles_expr(text_col: str = "text") -> Column:
+    """Array of distinct k-char shingles, JVM-side (SQL expr: Spark's
+    substring is 1-based like DuckDB's substr)."""
+    k = SHINGLE_K
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> substring({text_col}, i, {k})))"
+    )
+
+
+def _shingles_sql(text_expr: str) -> str:
+    k = SHINGLE_K
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(length({text_expr}) - {k - 1}, 1)), "
+        f"i -> substr({text_expr}, i, {k})))"
+    )
+
+
+def _minhash_col(i: int) -> Column:
+    prefix = F.lit(str(i) + "|")
+    return F.array_min(
+        F.transform(F.col("shingles"), lambda s: F.md5(F.concat(prefix, s)))
+    )
+
+
+def minhash_signature(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{N-1}): minhash signature over k-char shingles,
+    h_i = min over shingles of md5('<i>|' || shingle)."""
+    shingled = docs.select("doc_id", _shingles_expr("text").alias("shingles"))
+    sig_exprs = [
+        _minhash_col(i).alias(f"h{i}") for i in range(MINHASH_N)
+    ]
+    return shingled.select("doc_id", *sig_exprs)
+
+
+def near_dup_pairs(docs: DataFrame, with_mutants: bool = True) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs, verified by exact
+    shingle Jaccard >= 0.5.
+
+    ``with_mutants`` unions a deterministic mutated copy of each doc
+    (id + 1_000_000, text + marker suffix) so the pipeline provably
+    finds near-dups on corpora without natural ones."""
+    base = docs.select("doc_id", "text")
+    if with_mutants:
+        mut = docs.select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+        base = base.unionByName(mut)
+
+    k = SHINGLE_K
+    sh_expr = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length(text) - {k - 1}, 1)), "
+        f"i -> substring(text, i, {k})))"
+    )
+    shingled = base.select(
+        "doc_id", F.expr(sh_expr).alias("shingles")
+    )
+    sig_exprs = [
+        _minhash_col(i).alias(f"h{i}") for i in range(MINHASH_N)
+    ]
+    sigs = shingled.select("doc_id", "shingles", *sig_exprs)
+    band_cols = []
+    for b in range(LSH_BANDS):
+        parts = [F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        band_cols.append(
+            F.md5(F.concat_ws("|", *parts)).alias(f"band{b}")
+        )
+    banded = sigs.select("doc_id", "shingles", *band_cols)
+    bands = None
+    for b in range(LSH_BANDS):
+        part = banded.select(
+            "doc_id", "shingles", F.col(f"band{b}").alias("bk"),
+            F.lit(b).alias("b"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.bk") == F.col("c.bk"))
+            & (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("c.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_dup_pairs_sql(table: str = "documents", with_mutants: bool = True) -> str:
+    k = SHINGLE_K
+    base = f"SELECT doc_id, text FROM {table}"
+    if with_mutants:
+        base += (
+            f" UNION ALL SELECT doc_id + 1000000 AS doc_id, "
+            f"text || ' zz' AS text FROM {table}"
+        )
+    sh = _shingles_sql("text")
+    sig_cols = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS h{i}"
+        for i in range(MINHASH_N)
+    )
+    band_cols = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + f") AS band{b}"
+        for b in range(LSH_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, shingles, band{b} AS bk, {b} AS b FROM banded"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH base AS ({base}),
+shingled AS (SELECT doc_id, {sh} AS shingles FROM base),
+sigs AS (SELECT doc_id, shingles, {sig_cols} FROM shingled),
+banded AS (SELECT doc_id, shingles, {band_cols} FROM sigs),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         a.shingles AS sh_a, c.shingles AS sh_b
+  FROM bands a JOIN bands c
+    ON a.bk = c.bk AND a.b = c.b AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+    CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+    CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) AS jaccard
+  FROM cand
+) WHERE jaccard >= 0.5"""
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+SIMHASH_BITS = 32  # 8 md5 hex nibbles
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash long): per-token md5 -> first 8 hex nibbles ->
+    bitwise +-1 vote -> sign bits.  Pure JVM (conv + bit ops)."""
+    toks = F.expr("array_distinct(split(text, ' '))")
+    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    def bit_vote(b: int) -> Column:
+        mask = F.lit(1 << b)
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+
+    bit_cols = [bit_vote(b) for b in range(SIMHASH_BITS)]
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return docs.select("doc_id", total.cast("long").alias("simhash"))
+
+
+def simhash_sql(table: str = "documents") -> str:
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform(hashes, h -> "
+            f"CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
+    total = " + ".join(bit_terms)
+    return f"""
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM (
+  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+         t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hashes
+  FROM {table})"""
