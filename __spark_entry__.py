@@ -185,6 +185,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_loop_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-loop area/perimeter/curvature/centroid via grouped Arrow
+    kernel (order-dependent sums; no SQL oracle — gated by golden
+    pytest cases instead)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import measures_op as MO
+
+    loops = _nation_loops(spark, sf_dir)
+    return MO.loop_measures(MO.loops_vertex_df(spark, loops))
+
+
 def q_doc_token_stats(spark, sf_dir):
     from s2geometry_spark.operators import textops as TX
     return TX.token_stats(_docs(spark, sf_dir))
@@ -281,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_image_tile_counts": q_image_tile_counts,
         "s2_tile_mosaic": q_tile_mosaic,
         "s2_tile_extents": q_tile_extents,
+        "s2_loop_measures": q_loop_measures,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprints": q_doc_fingerprints,

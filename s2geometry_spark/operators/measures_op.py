@@ -1,0 +1,69 @@
+"""Distributed per-loop measures: exploded vertex table -> grouped
+Arrow kernel.
+
+The vertex-order-dependent sums (surface integral, Kahan curvature,
+S2LoopMeasures.cs:14-284) cannot be a plain F.sum — each loop's
+vertices are gathered in order inside one applyInPandas group
+(SURVEY.md §2.5), so results are bit-identical to the driver-side
+kernels while the work distributes across loops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEASURES_SCHEMA = T.StructType(
+    [
+        T.StructField("region_id", T.LongType(), False),
+        T.StructField("area", T.DoubleType(), False),
+        T.StructField("signed_area", T.DoubleType(), False),
+        T.StructField("perimeter", T.DoubleType(), False),
+        T.StructField("curvature", T.DoubleType(), False),
+        T.StructField("centroid_x", T.DoubleType(), False),
+        T.StructField("centroid_y", T.DoubleType(), False),
+        T.StructField("centroid_z", T.DoubleType(), False),
+    ]
+)
+
+
+def loops_vertex_df(spark: SparkSession, loops) -> DataFrame:
+    """Explode (region_id, Loop) pairs into ordered vertex rows."""
+    rows = []
+    for rid, lp in loops:
+        for k, v in enumerate(np.asarray(lp.verts)):
+            rows.append((int(rid), k, float(v[0]), float(v[1]), float(v[2])))
+    pdf = pd.DataFrame(rows, columns=["region_id", "vtx_idx", "x", "y", "z"])
+    return spark.createDataFrame(pdf)
+
+
+def loop_measures(vertex_df: DataFrame) -> DataFrame:
+    """(region_id, area, signed_area, perimeter, curvature, centroid)."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import measures as M
+
+        (rid,) = key
+        pdf = pdf.sort_values("vtx_idx")
+        verts = pdf[["x", "y", "z"]].to_numpy()
+        cen = M.loop_centroid(verts)
+        return pd.DataFrame(
+            [
+                {
+                    "region_id": int(rid),
+                    "area": M.loop_area(verts),
+                    "signed_area": M.loop_signed_area(verts),
+                    "perimeter": M.loop_perimeter(verts),
+                    "curvature": M.loop_curvature(verts),
+                    "centroid_x": cen[0],
+                    "centroid_y": cen[1],
+                    "centroid_z": cen[2],
+                }
+            ]
+        )
+
+    return vertex_df.groupBy("region_id").applyInPandas(
+        compute, schema=MEASURES_SCHEMA
+    )
