@@ -1,0 +1,57 @@
+"""Streaming tile pipeline: availableNow drain over the static events
+table must equal the batch twin exactly (replayability), and resume
+from checkpoint must not double-count."""
+
+from __future__ import annotations
+
+import pytest
+
+from s2geometry_spark.streaming import tile_stream as TS
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    """File-stream sources need a directory; link the single parquet
+    into one."""
+    import os
+
+    d = tmp_path_factory.mktemp("events_stream")
+    os.symlink(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _rows(df_or_table, spark=None):
+    if isinstance(df_or_table, str):
+        df = spark.sql(f"SELECT * FROM {df_or_table}")
+    else:
+        df = df_or_table
+    return sorted(
+        (r["win_start"], r["win_end"], r["tile_id"], r["n"]) for r in df.collect()
+    )
+
+
+class TestStreamingTiles:
+    def test_available_now_equals_batch(self, spark, events_dir, tmp_path):
+        path = events_dir
+        stream_df = TS.streaming_tile_counts(spark, path)
+        TS.run_available_now(stream_df, "tiles_stream", str(tmp_path / "ck"))
+        got = _rows("tiles_stream", spark)
+        want = _rows(TS.batch_tile_counts(spark, path))
+        assert got == want
+        assert len(got) > 0
+
+    def test_resume_is_idempotent(self, spark, events_dir, tmp_path):
+        path = events_dir
+        ck = str(tmp_path / "ck2")
+        stream_df = TS.streaming_tile_counts(spark, path)
+        TS.run_available_now(stream_df, "tiles_stream_a", ck)
+        first = _rows("tiles_stream_a", spark)
+        # second run from the same checkpoint: no new input -> state
+        # unchanged (no double counting)
+        stream_df2 = TS.streaming_tile_counts(spark, path)
+        TS.run_available_now(stream_df2, "tiles_stream_b", ck)
+        second = _rows("tiles_stream_b", spark)
+        assert second == [] or second == first  # sink empty (no new
+        # batches) or identical state replay — never doubled
+        want = _rows(TS.batch_tile_counts(spark, path))
+        assert first == want
