@@ -340,6 +340,32 @@ def _vertex_neighbors_one(cid: np.uint64, lv: int) -> np.ndarray:
     return parent(ids, lv)
 
 
+def ring_neighbors(cell_id: np.ndarray, lv: int) -> np.ndarray:
+    """Fully-vectorized 3x3 neighborhood at one level: the level-`lv`
+    ancestor of each id plus its 8 surrounding cells (with duplicates
+    near face corners, as AppendAllNeighbors).  Returns (n, 9) uint64.
+
+    This is the kNN ring-expansion hot path (SURVEY.md §2.4): unlike
+    ``all_neighbors`` it never drops to per-row Python.
+    """
+    cid = parent(as_u64(np.atleast_1d(cell_id)), lv)
+    size = np.int64(1 << (MAX_LEVEL - lv))
+    f, i, j = to_face_ij(cid)
+    i &= -size
+    j &= -size
+    n = cid.shape[0]
+    cols = [cid]
+    for a in (-1, 0, 1):
+        for b in (-1, 0, 1):
+            if a == 0 and b == 0:
+                continue
+            ii = i + a * size
+            jj = j + b * size
+            same = (ii >= 0) & (ii < MAX_SIZE) & (jj >= 0) & (jj < MAX_SIZE)
+            cols.append(parent(_from_face_ij_same(f, ii, jj, same), lv))
+    return np.stack(cols, axis=1)
+
+
 def all_neighbors(cell_id: np.ndarray, nbr_level=None) -> list[np.ndarray]:
     """All neighbors (including diagonals) at nbr_level >= level(id);
     per-row arrays since counts vary (AppendAllNeighbors,

@@ -60,14 +60,15 @@ def _ring_udf(level: int):
 
     @pandas_udf(ArrayType(LongType()))
     def _ring(cid: pd.Series) -> pd.Series:
-        ids = CI.parent(cid.to_numpy(), level)
-        rings = CI.all_neighbors(ids, level)
-        own = CI.as_i64(ids).tolist()
-        out = [
-            sorted({o, *CI.as_i64(nbrs).tolist()})
-            for o, nbrs in zip(own, rings)
-        ]
-        return pd.Series(out)
+        import numpy as np
+
+        mat = CI.as_i64(CI.ring_neighbors(cid.to_numpy(), level)).copy()
+        mat.sort(axis=1)
+        keep = np.ones(mat.shape, dtype=bool)
+        keep[:, 1:] = mat[:, 1:] != mat[:, :-1]
+        return pd.Series(
+            [row[k].tolist() for row, k in zip(mat, keep)]
+        )
 
     return _ring
 
@@ -79,10 +80,13 @@ def _dist2(qx, qy, qz, ix, iy, iz):
     return (dx * dx + dy * dy) + dz * dz
 
 
-def default_seed_level(n_index: int, per_cell: float = 1.0) -> int:
-    """Level where the index averages ~per_cell points per cell."""
-    n_cells = max(n_index / per_cell, 6.0)
-    level = int(math.floor(math.log(n_cells / 6.0, 4.0)))
+def default_seed_level(n_index: int, k: int = 1) -> int:
+    """Level whose 3x3 ring almost always terminates round 1: cell
+    min-width >= ~2.5x the expected k-th neighbor radius
+    (r_k ~= 2*sqrt(k/n) for n quasi-uniform points), so the ring
+    guarantee `kth < chord(minWidth)` holds for typical queries."""
+    r_k = 2.0 * math.sqrt(max(k, 1) / max(n_index, 1))
+    level = KMIN_WIDTH.get_level_for_min_value(r_k)
     return max(MIN_LEVEL_FLOOR, min(level, 30))
 
 
@@ -104,7 +108,7 @@ def knn_join(
     order made deterministic on ties.
     """
     if seed_level is None:
-        seed_level = default_seed_level(index.count())
+        seed_level = default_seed_level(index.count(), k)
 
     q = (
         normalized_cols(queries)
@@ -123,20 +127,25 @@ def knn_join(
         )
     )
 
+    # Per round: rank this round's candidates, emit final top-k for
+    # queries whose kth distance is inside the ring guarantee, and loop
+    # only the unfinished remainder at a coarser level.  A coarser 3x3
+    # ring is a superset of a finer one, so superseded candidates are
+    # simply discarded — no cross-round dedup or accumulation.
     unfinished = q
-    candidates = None
+    finished_parts: list[DataFrame] = []
     level = seed_level
     w = Window.partitionBy("qk").orderBy("dist2", "ik")
 
     for _ in range(max_rounds):
-        if level < MIN_LEVEL_FLOOR:
+        if level < MIN_LEVEL_FLOOR or unfinished.isEmpty():
             break
         ring = _ring_udf(level)
         probe = unfinished.withColumn(
             "jcell", F.explode(ring(F.col("qcell")))
         )
         iside = idx.withColumn("jcell", S.cell_parent(F.col("icell_leaf"), level))
-        cand = (
+        ranked = (
             probe.join(iside, on="jcell", how="inner")
             .select(
                 "qk", "ik",
@@ -145,48 +154,48 @@ def knn_join(
                     F.col("iux"), F.col("iuy"), F.col("iuz"),
                 ).alias("dist2"),
             )
-        )
-        candidates = cand if candidates is None else candidates.unionByName(cand)
-        candidates = candidates.dropDuplicates(["qk", "ik"]).localCheckpoint()
-
-        # termination: k found AND kth dist within the ring guarantee
-        guarantee = _chord2_from_radians(KMIN_WIDTH.get_value(level))
-        kth = (
-            candidates.withColumn("rn", F.row_number().over(w))
+            .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
-            .groupBy("qk")
-            .agg(F.max("dist2").alias("kth"), F.count("*").alias("nk"))
+            .localCheckpoint()  # <= k rows per query; reused twice below
+        )
+        guarantee = _chord2_from_radians(KMIN_WIDTH.get_value(level))
+        done_q = (
+            ranked.groupBy("qk")
+            .agg(F.max("dist2").alias("kth"), F.count(F.lit(1)).alias("nk"))
             .where((F.col("nk") >= k) & (F.col("kth") < F.lit(guarantee)))
+            .select("qk")
         )
-        unfinished = unfinished.join(kth.select("qk"), on="qk", how="left_anti")
-        if unfinished.isEmpty():
-            break
-        level -= 2
-    else:
-        level = MIN_LEVEL_FLOOR - 1
+        finished_parts.append(ranked.join(done_q, on="qk", how="left_semi"))
+        unfinished = unfinished.join(done_q, on="qk", how="left_anti").localCheckpoint()
+        # coarsen by one level: ring area x4 per round, and a query
+        # whose kth distance just missed guarantee(L) almost always
+        # satisfies guarantee(L-1) = 2x the width bound.
+        level -= 1
 
-    if level < MIN_LEVEL_FLOOR and not unfinished.isEmpty():
+    if not unfinished.isEmpty():
         # residual cross join (exact; tiny fraction by construction)
-        cand = unfinished.crossJoin(idx).select(
-            "qk", "ik",
-            _dist2(
-                F.col("qux"), F.col("quy"), F.col("quz"),
-                F.col("iux"), F.col("iuy"), F.col("iuz"),
-            ).alias("dist2"),
+        ranked = (
+            unfinished.crossJoin(idx)
+            .select(
+                "qk", "ik",
+                _dist2(
+                    F.col("qux"), F.col("quy"), F.col("quz"),
+                    F.col("iux"), F.col("iuy"), F.col("iuz"),
+                ).alias("dist2"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
         )
-        candidates = (
-            cand if candidates is None else candidates.unionByName(cand)
-        ).dropDuplicates(["qk", "ik"])
+        finished_parts.append(ranked)
 
-    return (
-        candidates.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select(
-            F.col("qk").alias("key"),
-            F.col("ik").alias("neighbor_key"),
-            "dist2",
-            F.col("rn").cast("long").alias("rn"),
-        )
+    result = finished_parts[0]
+    for part in finished_parts[1:]:
+        result = result.unionByName(part)
+    return result.select(
+        F.col("qk").alias("key"),
+        F.col("ik").alias("neighbor_key"),
+        "dist2",
+        F.col("rn").cast("long").alias("rn"),
     )
 
 
