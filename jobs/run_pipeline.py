@@ -1,0 +1,83 @@
+"""spark-submit entry: the end-to-end image->tile->join pipeline with
+checkpointed stages.
+
+    spark-submit --py-files $(python -c 'from s2geometry_spark.plans.session import package_zip; print(package_zip())') \
+        jobs/run_pipeline.py --n-images 100000 --tile-level 8 \
+        --checkpoint-root /tmp/s2_ckpt
+
+Each stage writes parquet + per-partition lineage and is skipped on
+re-run when its fingerprint is unchanged (resume mid-pipeline,
+north_rule).  On a cluster, pass --master and executor confs through
+spark-submit as usual; this script only builds a local session when
+run outside spark-submit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-images", type=int, default=100_000)
+    ap.add_argument("--tile-level", type=int, default=8)
+    ap.add_argument("--checkpoint-root", default="/tmp/s2_ckpt")
+    ap.add_argument("--mosaic", action="store_true", help="also build mosaics")
+    args = ap.parse_args()
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if here not in sys.path:
+        sys.path.insert(0, here)
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from s2geometry_spark.plans.session import build_session
+
+        spark = build_session(app_name="s2_pipeline")
+
+    from s2geometry_spark.operators import mosaic as M
+    from s2geometry_spark.plans.checkpoint import CheckpointedPipeline
+    from s2geometry_spark.sources import images as IMG
+
+    pipe = CheckpointedPipeline(spark, args.checkpoint_root)
+
+    imgs = pipe.stage(
+        "images",
+        lambda: IMG.image_table(spark, args.n_images),
+        params={"n": args.n_images},
+    )
+    tiled = pipe.stage(
+        "tiles",
+        lambda df: M.with_tiles(df, args.tile_level),
+        inputs=(imgs,),
+        params={"level": args.tile_level},
+    )
+    counts = pipe.stage(
+        "tile_counts",
+        lambda df: df.groupBy("tile_id").count(),
+        inputs=(tiled,),
+    )
+    report = {
+        "images": {"rows": imgs.rows, "resumed": imgs.resumed},
+        "tiles": {"rows": tiled.rows, "resumed": tiled.resumed},
+        "tile_counts": {"rows": counts.rows, "resumed": counts.resumed},
+    }
+    if args.mosaic:
+        mos = pipe.stage(
+            "mosaics",
+            lambda df: M.tile_mosaics(df),
+            inputs=(tiled,),
+        )
+        report["mosaics"] = {"rows": mos.rows, "resumed": mos.resumed}
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,7 @@ def get_face(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
     """
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
     axis = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
-    comp = np.choose(axis, (x, y, z))
+    comp = np.where(axis == 0, x, np.where(axis == 1, y, z))
     return np.where(comp < 0.0, axis + 3, axis).astype(np.int64)
 
 
@@ -55,13 +55,16 @@ def valid_face_xyz_to_uv(
 ) -> tuple[np.ndarray, np.ndarray]:
     """(face, p) -> (u, v), requires dot(p, face_norm) > 0."""
     face = np.asarray(face, dtype=np.int64)
-    p = np.stack([np.asarray(x, dtype=np.float64),
-                  np.asarray(y, dtype=np.float64),
-                  np.asarray(z, dtype=np.float64)])
-    rows = np.arange(p.shape[1])
-    den = p[face % 3, rows]
-    u = _U_SGN[face] * p[_U_IDX[face], rows] / den
-    v = _V_SGN[face] * p[_V_IDX[face], rows] / den
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+
+    def sel(idx):
+        return np.where(idx == 0, x, np.where(idx == 1, y, z))
+
+    den = sel(face % 3)
+    u = _U_SGN[face] * sel(_U_IDX[face]) / den
+    v = _V_SGN[face] * sel(_V_IDX[face]) / den
     return u, v
 
 
