@@ -153,6 +153,33 @@ def q_pip_loop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_K = 3
+NEAR_RADIUS = 0.08  # radians, ~510 km
+
+
+def q_near_loop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance (buffered) join: orders points within
+    NEAR_RADIUS of each loop region — covering expanded by radius,
+    parity-or-edge-distance refine."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.operators import tile as T
+
+    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    return SJ.point_near_loop_join(
+        spark, pts, _nation_loops(spark, sf_dir), NEAR_RADIUS
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-cap join via the S2CellIndex leaf-range pattern
+    (broadcast range predicate on biased ids) — row-identical to
+    s2_pip_cap_join."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.operators import tile as T
+
+    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    return SJ.point_in_cap_range_join(spark, pts, _nation_caps(spark, sf_dir))
 
 
 def q_knn_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_loop_join": q_pip_loop_join,
         "s2_pip_loop_count": q_pip_loop_count,
         "s2_knn_supplier": q_knn_supplier,
+        "s2_near_loop_join": q_near_loop_join,
+        "s2_range_join": q_range_join,
         "s2_image_tile_counts": q_image_tile_counts,
         "s2_tile_mosaic": q_tile_mosaic,
         "s2_tile_extents": q_tile_extents,
@@ -395,6 +424,10 @@ def oracle_sql() -> dict[str, str]:
             + ") GROUP BY region_id"
         ),
         "s2_knn_supplier": knn_sql,
+        "s2_near_loop_join": O.near_loop_sql(
+            pts + ", " + upts, R.loop_edges_sql_values(loops), NEAR_RADIUS
+        ),
+        "s2_range_join": pip_base,
         "s2_pip_loop_join": pip_loop,
         "s2_pip_loop_count": (
             "SELECT region_id, COUNT(*) AS n_points FROM ("

@@ -189,6 +189,85 @@ SELECT key, region_id FROM (
 ) WHERE (ncross + oi) % 2 = 1"""
 
 
+def near_loop_sql(
+    upts_cte: str, loop_edges_cte: str, radius_rad: float
+) -> str:
+    """Brute-force within-distance-of-loop join: for every (unit point,
+    loop) pair, inside-parity OR min boundary-edge squared-chord
+    distance <= chord2(radius).  Mirrors kernels.edges
+    crossing_parity_fast + kernels.polyline.edge_distance2_batch
+    term-for-term (including the runtime-folded scalar constants), so
+    the Spark refine and this SQL agree bit-for-bit.
+
+    upts_cte must provide upts(key, ux, uy, uz) UNIT vectors;
+    loop_edges_cte provides loop_edges(region_id, cx..dz,
+    origin_inside) with literal vertices.
+    """
+    import math
+
+    from ..kernels.edges import DBL_EPS, ORIGIN
+
+    s = math.sin(0.5 * min(radius_rad, math.pi))
+    r2 = repr(min(4.0, 4 * s * s))
+    k_err1 = repr(4.75 * DBL_EPS)           # folded scalar, as numpy does
+    k_err2 = repr(8 * DBL_EPS * DBL_EPS)
+    ax, ay, az = (f"CAST('{v!r}' AS DOUBLE)" for v in ORIGIN)
+    sgn = "CASE WHEN {0} > 0 THEN 1 WHEN {0} < 0 THEN -1 ELSE 0 END"
+    return f"""WITH {upts_cte},
+{loop_edges_cte},
+ed AS (
+  SELECT region_id, cx, cy, cz, dx, dy, dz, origin_inside,
+         (cy-dy)*(cz+dz) - (cz-dz)*(cy+dy) AS scx,
+         (cz-dz)*(cx+dx) - (cx-dx)*(cz+dz) AS scy,
+         (cx-dx)*(cy+dy) - (cy-dy)*(cx+dx) AS scz,
+         ((cx-dx)*(cx-dx) + (cy-dy)*(cy-dy)) + (cz-dz)*(cz-dz) AS ab2,
+         cy*dz - cz*dy AS pcx, cz*dx - cx*dz AS pcy, cx*dy - cy*dx AS pcz
+  FROM loop_edges
+),
+ed2 AS (
+  SELECT *, ((scx*scx + scy*scy) + scz*scz) AS c2 FROM ed
+),
+pair AS (
+  SELECT p.key, p.ux, p.uy, p.uz, e.*,
+    ((p.ux-e.cx)*(p.ux-e.cx) + (p.uy-e.cy)*(p.uy-e.cy)) + (p.uz-e.cz)*(p.uz-e.cz) AS xa2,
+    ((p.ux-e.dx)*(p.ux-e.dx) + (p.uy-e.dy)*(p.uy-e.dy)) + (p.uz-e.dz)*(p.uz-e.dz) AS xb2,
+    ((p.ux*e.scx + p.uy*e.scy) + p.uz*e.scz) AS x_dot_c,
+    e.scy*p.uz - e.scz*p.uy AS cxx,
+    e.scz*p.ux - e.scx*p.uz AS cxy,
+    e.scx*p.uy - e.scy*p.ux AS cxz,
+    (({ay})*p.uz - ({az})*p.uy) AS nx,
+    (({az})*p.ux - ({ax})*p.uz) AS ny,
+    (({ax})*p.uy - ({ay})*p.ux) AS nz
+  FROM upts p CROSS JOIN ed2 e
+),
+de AS (
+  SELECT key, region_id, origin_inside,
+    CASE WHEN abs(xa2 - xb2) < ab2 + (CAST('{k_err1}' AS DOUBLE)*((xa2 + xb2) + ab2) + CAST('{k_err2}' AS DOUBLE))
+              AND (((cx-ux)*cxx + (cy-uy)*cxy) + (cz-uz)*cxz) < 0
+              AND (((dx-ux)*cxx + (dy-uy)*cxy) + (dz-uz)*cxz) > 0
+         THEN (x_dot_c*x_dot_c/c2) + (1 - sqrt(((cxx*cxx + cxy*cxy) + cxz*cxz)/c2))*(1 - sqrt(((cxx*cxx + cxy*cxy) + cxz*cxz)/c2))
+         ELSE least(xa2, xb2) END AS d2,
+    CASE WHEN s_c <> s_d AND s_c <> 0 AND s_d <> 0
+              AND {sgn.format('det_b')} = s_c
+              AND {sgn.format('det_a')} = -s_c
+         THEN 1 ELSE 0 END AS crossed
+  FROM (
+    SELECT *, {sgn.format('det_c')} AS s_c, {sgn.format('det_d')} AS s_d,
+           ((pcx*ux + pcy*uy) + pcz*uz) AS det_b,
+           ((pcx*({ax}) + pcy*({ay})) + pcz*({az})) AS det_a
+    FROM (SELECT *,
+            ((nx*cx + ny*cy) + nz*cz) AS det_c,
+            ((nx*dx + ny*dy) + nz*dz) AS det_d
+          FROM pair)
+  )
+)
+SELECT key, region_id FROM (
+  SELECT key, region_id, SUM(crossed) AS ncross, MAX(origin_inside) AS oi,
+         MIN(d2) AS min_d2
+  FROM de GROUP BY key, region_id
+) WHERE (ncross + oi) % 2 = 1 OR min_d2 <= CAST('{r2}' AS DOUBLE)"""
+
+
 def parent_sql(cell_expr: str, level: int) -> str:
     """Ancestor bit trick on raw signed bits, same as sparkfns.cell_parent."""
     lsb = 1 << (2 * (MAX_LEVEL - level))

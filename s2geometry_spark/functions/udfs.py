@@ -99,6 +99,49 @@ def loop_parity_udf(loops_by_id: dict):
     return _contains
 
 
+def loop_near_udf(loops_by_id: dict, radius_chord2: float):
+    """UDF factory for the within-distance ("buffered") join refine:
+    true iff the point is inside the loop (crossing parity) OR within
+    `radius_chord2` (squared chord) of some boundary edge
+    (S2ShapeIndexBufferedRegion semantics — distance predicate, no
+    buffer geometry materialized, S2Region/S2ShapeIndexBufferedRegion.cs).
+
+    Rows must carry unit coordinates; ``loops_by_id``:
+    {region_id: (verts, origin_inside)}."""
+    from pyspark.sql.types import BooleanType
+
+    from ..kernels import edges as E
+    from ..kernels import polyline as PL
+
+    @pandas_udf(BooleanType())
+    def _near(rid: pd.Series, ux: pd.Series, uy: pd.Series, uz: pd.Series) -> pd.Series:
+        rids = rid.to_numpy()
+        px, py, pz = ux.to_numpy(), uy.to_numpy(), uz.to_numpy()
+        out = np.zeros(len(rids), dtype=bool)
+        order = np.argsort(rids, kind="stable")
+        srt = rids[order]
+        starts = np.flatnonzero(np.r_[True, srt[1:] != srt[:-1]])
+        bounds = np.r_[starts, len(srt)]
+        for si, ei in zip(bounds[:-1], bounds[1:]):
+            idx = order[si:ei]
+            verts, origin_inside = loops_by_id[srt[si]]
+            inside = (
+                E.crossing_parity_fast(verts, px[idx], py[idx], pz[idx])
+                ^ int(origin_inside)
+            ).astype(bool)
+            min_d2 = np.full(len(idx), np.inf)
+            n = len(verts)
+            for k in range(n):
+                a = tuple(float(v) for v in verts[k])
+                b = tuple(float(v) for v in verts[(k + 1) % n])
+                d2 = PL.edge_distance2_batch(px[idx], py[idx], pz[idx], a, b)
+                min_d2 = np.minimum(min_d2, d2)
+            out[idx] = inside | (min_d2 <= radius_chord2)
+        return pd.Series(out)
+
+    return _near
+
+
 def ancestors_array(levels: list[int]):
     """UDF factory: array of ancestor cell ids at the given levels —
     the probe-side covering terms for the term equi-join (SURVEY §2.4).

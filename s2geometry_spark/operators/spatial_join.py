@@ -154,6 +154,117 @@ def point_in_loop_join(
     return joined.where(pred).select(F.col(point_key), F.col("region_id"))
 
 
+def point_in_cap_range_join(
+    spark: SparkSession,
+    points: DataFrame,
+    caps: list[tuple[object, Cap]],
+    options: CovererOptions | None = None,
+    point_key: str = "key",
+) -> DataFrame:
+    """Point-in-cap join via the S2CellIndex pattern (SURVEY.md §2.4
+    cell-range join, Index/S2CellIndex.cs:56-71): coverings decomposed
+    into disjoint leaf ranges on *biased* ids; candidates from a
+    broadcast range predicate `bias(leaf) BETWEEN lo AND hi`; exact
+    chord refine.  Result rows are identical to point_in_cap_join.
+
+    Scale note: the range form suits few-large-regions workloads (ranges
+    << covering cells); for many regions the equi-join form wins.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels import cellid as CI
+    from ..kernels import cellunion as CU
+    from ..kernels.coverer import RegionCoverer
+
+    rc = RegionCoverer(options)
+    rows = []
+    for rid, cap in caps:
+        cov = CU.normalize(rc.get_covering(cap))
+        for lo, hi in CU.leaf_ranges(cov):
+            rows.append(
+                (
+                    rid,
+                    int(CI.bias(np.array([lo], np.uint64))[0]),
+                    int(CI.bias(np.array([hi], np.uint64))[0]),
+                    cap.center[0], cap.center[1], cap.center[2], cap.radius2,
+                )
+            )
+    ranges = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["region_id", "lo", "hi", "cx", "cy", "cz", "r2"],
+        )
+    )
+    probe = normalized_cols(points).withColumn(
+        "leaf_biased", S.cell_bias(F.col("cell_id"))
+    )
+    cond = (F.col("leaf_biased") >= F.col("lo")) & (
+        F.col("leaf_biased") <= F.col("hi")
+    )
+    joined = probe.join(F.broadcast(ranges), on=cond, how="inner")
+    refined = joined.where(
+        cap_refine_predicate(
+            F.col("ux"), F.col("uy"), F.col("uz"),
+            F.col("cx"), F.col("cy"), F.col("cz"), F.col("r2"),
+        )
+    )
+    return refined.select(F.col(point_key), F.col("region_id"))
+
+
+def point_near_loop_join(
+    spark: SparkSession,
+    points: DataFrame,
+    loops: list,
+    radius_rad: float,
+    options: CovererOptions | None = None,
+    point_key: str = "key",
+) -> DataFrame:
+    """Within-distance ("buffered") join: points within `radius_rad` of
+    each loop region (inside counts).  Candidates come from the loop
+    covering expanded by the radius (S2CellUnion.Expand /
+    S2ShapeIndexBufferedRegion pattern — no buffer polygon is ever
+    built); the refine predicate is crossing parity OR min boundary
+    edge distance (vectorized)."""
+    import math
+
+    import pandas as pd
+
+    from ..functions import udfs as U
+    from ..kernels import cellid as CI
+    from ..kernels import cellunion as CU
+    from ..kernels.coverer import RegionCoverer
+
+    import numpy as np
+
+    rc = RegionCoverer(options)
+    rows = []
+    for rid, lp in loops:
+        cov = CU.normalize(rc.get_covering(lp))
+        cov = CU.expand_radius(cov, radius_rad, max_level_diff=3)
+        for cid in cov:
+            rows.append(
+                (rid, int(CI.as_i64(np.array([cid], np.uint64))[0]), CU._level(cid))
+            )
+    cov_pdf = pd.DataFrame(rows, columns=["region_id", "cov_cell", "level"])
+    levels = sorted(cov_pdf["level"].unique().tolist())
+    cov = spark.createDataFrame(cov_pdf)
+    probe = explode_ancestors(normalized_cols(points), levels)
+    # expanded coverings are normalized (disjoint), so each (point,
+    # region) matches at most one covering cell — no dedup shuffle.
+    joined = probe.join(
+        F.broadcast(cov), probe["anc_cell"] == cov["cov_cell"], "inner"
+    )
+    s = math.sin(0.5 * min(radius_rad, math.pi))
+    radius_chord2 = min(4.0, 4 * s * s)
+    loops_by_id = {rid: (lp.verts, lp.origin_inside) for rid, lp in loops}
+    near = U.loop_near_udf(loops_by_id, radius_chord2)
+    refined = joined.where(
+        near(F.col("region_id"), F.col("ux"), F.col("uy"), F.col("uz"))
+    )
+    return refined.select(F.col(point_key), F.col("region_id"))
+
+
 def point_in_cap_semi(
     spark: SparkSession,
     points: DataFrame,
