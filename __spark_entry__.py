@@ -182,6 +182,40 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SJ.point_in_cap_range_join(spark, pts, _nation_caps(spark, sf_dir))
 
 
+def q_hausdorff_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed Hausdorff distance per nation: customers -> suppliers
+    (max over customers of min supplier distance)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import knn as KNN
+    from s2geometry_spark.sources import points as P
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    a = P.with_xyz(
+        cust.select(
+            F.col("c_custkey").alias("key"), F.col("c_nationkey").alias("grp")
+        )
+    )
+    b = P.with_xyz(
+        sup.select(
+            F.col("s_suppkey").alias("key"), F.col("s_nationkey").alias("grp")
+        )
+    )
+    return KNN.hausdorff_directed(a, b)
+
+
+def q_pip_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon-with-holes join: winding parity over every
+    ring's edges (S2Polygon loop-hierarchy semantics)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.sources import regions_src as R
+
+    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    return SJ.point_in_loop_join(spark, pts, R.synthetic_polygons(range(25)))
+
+
 def q_knn_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k nearest supplier points per order point — cell-ring-expansion
     kNN join (S2ClosestPointQuery semantics)."""
@@ -315,7 +349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_cap_count": q_pip_cap_count,
         "s2_pip_loop_join": q_pip_loop_join,
         "s2_pip_loop_count": q_pip_loop_count,
+        "s2_pip_polygon_join": q_pip_polygon_join,
         "s2_knn_supplier": q_knn_supplier,
+        "s2_hausdorff_nation": q_hausdorff_nation,
         "s2_near_loop_join": q_near_loop_join,
         "s2_range_join": q_range_join,
         "s2_image_tile_counts": q_image_tile_counts,
@@ -390,6 +426,12 @@ def oracle_sql() -> dict[str, str]:
         P.xyz_sql_cte("supplier", "s_suppkey", name="ipts"),
         KNN_K,
     )
+    from s2geometry_spark.operators.knn import hausdorff_oracle_sql
+
+    hausdorff_sql = hausdorff_oracle_sql(
+        P.xyz_grp_sql_cte("customer", "c_custkey", "c_nationkey", name="apts"),
+        P.xyz_grp_sql_cte("supplier", "s_suppkey", "s_nationkey", name="bpts"),
+    )
     return {
         "s2_cellid_leaf": base + "\nSELECT key, cell_id FROM cells",
         "s2_tile_assign": (
@@ -424,10 +466,15 @@ def oracle_sql() -> dict[str, str]:
             + ") GROUP BY region_id"
         ),
         "s2_knn_supplier": knn_sql,
+        "s2_hausdorff_nation": hausdorff_sql,
         "s2_near_loop_join": O.near_loop_sql(
             pts + ", " + upts, R.loop_edges_sql_values(loops), NEAR_RADIUS
         ),
         "s2_range_join": pip_base,
+        "s2_pip_polygon_join": O.pip_loop_sql(
+            pts,
+            R.loop_edges_sql_values(R.synthetic_polygons(range(25))),
+        ),
         "s2_pip_loop_join": pip_loop,
         "s2_pip_loop_count": (
             "SELECT region_id, COUNT(*) AS n_points FROM ("

@@ -67,10 +67,12 @@ def loop_parity_udf(loops_by_id: dict):
     rows against the region's loop (kernels.edges.crossing_parity_fast,
     mirrored in the DuckDB oracle's pip_loop_sql).
 
-    ``loops_by_id``: {region_id: (verts ndarray (n,3), origin_inside)} —
-    closure-captured, shipped once per executor in the serialized task
-    (on a real cluster: a broadcast variable; loop dim tables are tiny
-    relative to the fact side by design, SURVEY.md §3.2).
+    ``loops_by_id``: {region_id: (edge_list, origin_inside)} — edge
+    lists support both single loops and multi-ring polygons (winding
+    parity, S2Polygon.cs:1757-1780); closure-captured, shipped once per
+    executor in the serialized task (on a real cluster: a broadcast
+    variable; region dim tables are tiny relative to the fact side by
+    design, SURVEY.md §3.2).
     Returns contains := parity XOR origin_inside as boolean.
     """
     from pyspark.sql.types import BooleanType
@@ -91,8 +93,10 @@ def loop_parity_udf(loops_by_id: dict):
         bounds = np.r_[starts, len(sorted_rids)]
         for si, ei in zip(bounds[:-1], bounds[1:]):
             idx = order[si:ei]
-            verts, origin_inside = loops_by_id[sorted_rids[si]]
-            par = E.crossing_parity_fast(verts, px[idx], py[idx], pz[idx])
+            region_edges, origin_inside = loops_by_id[sorted_rids[si]]
+            par = E.crossing_parity_fast_edges(
+                region_edges, px[idx], py[idx], pz[idx]
+            )
             out[idx] = (par ^ int(origin_inside)).astype(bool)
         return pd.Series(out)
 

@@ -237,16 +237,25 @@ def crossing_parity_fast(
     term-for-term for bit-identical Spark/DuckDB answers on
     general-position inputs.
     """
+    n = len(verts)
+    edges = [(verts[k], verts[(k + 1) % n]) for k in range(n)]
+    return crossing_parity_fast_edges(edges, px, py, pz)
+
+
+def crossing_parity_fast_edges(
+    edges, px: np.ndarray, py: np.ndarray, pz: np.ndarray
+) -> np.ndarray:
+    """Like crossing_parity_fast but over an explicit edge list
+    [(c, d), ...] — supports multi-loop polygons (all rings' edges
+    concatenated; the parity of the total crossing count against a
+    loop *set* is the polygon winding parity, S2Polygon.cs:1757-1780)."""
     ax, ay, az = ORIGIN
     # A x B for all points (B = P)
     nx = ay * pz - az * py
     ny = az * px - ax * pz
     nz = ax * py - ay * px
     parity = np.zeros(len(px), dtype=np.int64)
-    n = len(verts)
-    for k in range(n):
-        c = verts[k]
-        d = verts[(k + 1) % n]
+    for c, d in edges:
         det_c = (nx * c[0] + ny * c[1]) + nz * c[2]
         det_d = (nx * d[0] + ny * d[1]) + nz * d[2]
         s_c = np.sign(det_c)

@@ -169,6 +169,11 @@ class Loop(Region):
                 rb.add_point((float(v[0]), float(v[1]), float(v[2])))
             self._edge_bounds.append(rb.get_bound())
 
+    @property
+    def edges(self) -> list:
+        n = len(self.verts)
+        return [(self.verts[k], self.verts[(k + 1) % n]) for k in range(n)]
+
     # -- point containment (robust) ------------------------------------
 
     def _contains_nobound(self, p) -> bool:
@@ -220,4 +225,71 @@ class Loop(Region):
             return False
         if self._boundary_may_intersect(cb):
             return False  # conservative: only claim provable interiors
+        return self.contains_point(cell.center())
+
+
+class Polygon(Region):
+    """Multi-loop polygon with holes (S2Region/S2Polygon.cs semantics):
+    a point is inside iff the total crossing parity against every
+    ring's edges (XOR the combined origin_inside bit) is odd — the
+    loop-hierarchy evaluation of S2Polygon.Contains collapsed to one
+    parity pass (S2Polygon.cs:1757-1780)."""
+
+    def __init__(self, rings: list[np.ndarray]):
+        assert rings
+        self.loops = [Loop(np.asarray(r, dtype=np.float64)) for r in rings]
+        self.origin_inside = bool(
+            np.bitwise_xor.reduce([lp.origin_inside for lp in self.loops])
+        )
+        self.edges = []
+        for lp in self.loops:
+            n = len(lp.verts)
+            for k in range(n):
+                self.edges.append((lp.verts[k], lp.verts[(k + 1) % n]))
+        bound = self.loops[0].bound
+        for lp in self.loops[1:]:
+            # holes are inside the shell, so the union is the shell
+            # bound for proper polygons; union keeps it safe regardless
+            bound = bound.union_rect(lp.bound)
+        self.bound = bound
+        self._edge_bounds = [
+            eb for lp in self.loops for eb in lp._edge_bounds
+        ]
+
+    def contains_points(self, points: np.ndarray) -> np.ndarray:
+        par = E.crossing_parity_fast_edges(
+            self.edges, points[:, 0], points[:, 1], points[:, 2]
+        )
+        return (par ^ int(self.origin_inside)).astype(bool)
+
+    def contains_point(self, p) -> bool:
+        if not self.bound.contains_ll(latitude(p), longitude(p)):
+            return False
+        return bool(
+            self.contains_points(np.asarray([p], dtype=np.float64))[0]
+        )
+
+    def get_rect_bound(self) -> LatLngRect:
+        return self.bound
+
+    def get_cap_bound(self) -> Cap:
+        return self.bound.get_cap_bound()
+
+    def _boundary_may_intersect(self, cell_bound: LatLngRect) -> bool:
+        return any(eb.intersects_rect(cell_bound) for eb in self._edge_bounds)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        cb = cell.get_rect_bound()
+        if not self.bound.intersects_rect(cb):
+            return False
+        if self._boundary_may_intersect(cb):
+            return True
+        return self.contains_point(cell.center())
+
+    def contains_cell(self, cell: Cell) -> bool:
+        cb = cell.get_rect_bound()
+        if not self.bound.intersects_rect(cb):
+            return False
+        if self._boundary_may_intersect(cb):
+            return False
         return self.contains_point(cell.center())

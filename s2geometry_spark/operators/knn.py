@@ -199,6 +199,66 @@ def knn_join(
     )
 
 
+def hausdorff_directed(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    group_col: str = "grp",
+) -> DataFrame:
+    """Directed Hausdorff distance per group: max over a in A of
+    min over b in B of dist(a, b), as squared chord
+    (S2HausdorffDistanceQuery.cs:63-100 composition: closest-point
+    query per source point + max aggregate).
+
+    Inputs carry (key, x, y, z, <group_col>).  Small-group workloads
+    join directly on the group key; for large B use knn_join(k=1)
+    per group instead.
+    """
+    a = normalized_cols(a_df).select(
+        F.col("key").alias("ak"), F.col(group_col).alias("ag"),
+        F.col("ux").alias("aux"), F.col("uy").alias("auy"),
+        F.col("uz").alias("auz"),
+    )
+    b = normalized_cols(b_df).select(
+        F.col(group_col).alias("bg"),
+        F.col("ux").alias("bux"), F.col("uy").alias("buy"),
+        F.col("uz").alias("buz"),
+    )
+    pairs = a.join(F.broadcast(b), a["ag"] == b["bg"], "inner")
+    d2 = _dist2(
+        F.col("aux"), F.col("auy"), F.col("auz"),
+        F.col("bux"), F.col("buy"), F.col("buz"),
+    )
+    mins = pairs.groupBy("ak", "ag").agg(F.min(d2).alias("min_d2"))
+    return (
+        mins.groupBy("ag")
+        .agg(F.max("min_d2").alias("hausdorff2"))
+        .select(F.col("ag").alias(group_col), "hausdorff2")
+    )
+
+
+def hausdorff_oracle_sql(
+    a_pts_cte: str, b_pts_cte: str, group_col: str = "grp"
+) -> str:
+    """DuckDB mirror of hausdorff_directed.  The pts CTEs must provide
+    (key, grp, x, y, z)."""
+    d2 = (
+        "((a.ux-b.ux)*(a.ux-b.ux) + (a.uy-b.uy)*(a.uy-b.uy)) "
+        "+ (a.uz-b.uz)*(a.uz-b.uz)"
+    )
+    return f"""WITH {a_pts_cte},
+{b_pts_cte},
+ua AS (SELECT key, grp, x/r AS ux, y/r AS uy, z/r AS uz FROM
+       (SELECT key, grp, x, y, z, sqrt(x*x + y*y + z*z) AS r FROM apts)),
+ub AS (SELECT key, grp, x/r AS ux, y/r AS uy, z/r AS uz FROM
+       (SELECT key, grp, x, y, z, sqrt(x*x + y*y + z*z) AS r FROM bpts)),
+mins AS (
+  SELECT a.key, a.grp, MIN({d2}) AS min_d2
+  FROM ua a JOIN ub b ON a.grp = b.grp
+  GROUP BY a.key, a.grp
+)
+SELECT grp AS {group_col}, MAX(min_d2) AS hausdorff2 FROM mins GROUP BY grp"""
+
+
 def knn_oracle_sql(
     q_pts_cte: str, i_pts_cte: str, k: int
 ) -> str:

@@ -145,7 +145,7 @@ def point_in_loop_join(
     right = F.broadcast(cov) if broadcast else cov
     joined = probe.join(right, probe["anc_cell"] == right["cov_cell"], "inner")
     loops_by_id = {
-        rid: (lp.verts, lp.origin_inside) for rid, lp in loops
+        rid: (rg.edges, rg.origin_inside) for rid, rg in loops
     }
     contains = U.loop_parity_udf(loops_by_id)
     pred = contains(F.col("region_id"), F.col("x"), F.col("y"), F.col("z"))

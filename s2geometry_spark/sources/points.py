@@ -53,3 +53,15 @@ def xyz_sql_cte(table: str, key_expr: str, name: str = "pts") -> str:
         f"{component_sql(key_expr, 'y')} AS y, "
         f"{component_sql(key_expr, 'z')} AS z FROM {table})"
     )
+
+
+def xyz_grp_sql_cte(
+    table: str, key_expr: str, grp_expr: str, name: str = "pts"
+) -> str:
+    """Like xyz_sql_cte plus a group column (for per-group queries)."""
+    return (
+        f"{name} AS (SELECT {key_expr} AS key, {grp_expr} AS grp, "
+        f"{component_sql(key_expr, 'x')} AS x, "
+        f"{component_sql(key_expr, 'y')} AS y, "
+        f"{component_sql(key_expr, 'z')} AS z FROM {table})"
+    )

@@ -89,21 +89,19 @@ def synthetic_loops(keys) -> list[tuple[int, "object"]]:
     return [(int(k), Loop(loop_vertices(int(k)))) for k in keys]
 
 
-def loop_edges_sql_values(loops, name: str = "loop_edges") -> str:
+def loop_edges_sql_values(regions, name: str = "loop_edges") -> str:
     """DuckDB inline edge table with literal (bit round-trip) vertices:
-    (region_id, ex.., ey.., origin_inside) one row per directed edge."""
+    (region_id, cx.., dx.., origin_inside) one row per directed edge.
+    Accepts Loop or multi-ring Polygon regions (any object with
+    ``.edges`` and ``.origin_inside``)."""
     def dlit(v: float) -> str:
         # exact round-trip: shortest repr parsed as DOUBLE (not DECIMAL)
         return f"CAST('{v!r}' AS DOUBLE)"
 
     rows = []
-    for rid, lp in loops:
-        verts = lp.verts
-        oi = 1 if lp.origin_inside else 0
-        n = len(verts)
-        for k in range(n):
-            c = verts[k]
-            d = verts[(k + 1) % n]
+    for rid, rg in regions:
+        oi = 1 if rg.origin_inside else 0
+        for c, d in rg.edges:
             rows.append(
                 f"({rid}, {dlit(c[0])}, {dlit(c[1])}, {dlit(c[2])}, "
                 f"{dlit(d[0])}, {dlit(d[1])}, {dlit(d[2])}, {oi})"
@@ -112,6 +110,26 @@ def loop_edges_sql_values(loops, name: str = "loop_edges") -> str:
         f"{name}(region_id, cx, cy, cz, dx, dy, dz, origin_inside) AS "
         f"(VALUES {', '.join(rows)})"
     )
+
+
+def synthetic_polygons(keys) -> list[tuple[int, "object"]]:
+    """(key, Polygon) pairs: the key's loop as shell + a concentric
+    ring at 40% radius as a hole (proper nesting; containment is the
+    winding parity over both rings)."""
+    import numpy as np
+
+    from ..kernels.loop import Polygon
+
+    out = []
+    for k in keys:
+        k = int(k)
+        outer = loop_vertices(k)
+        cx, cy, cz, _ = cap_params(k)
+        c = np.array([cx, cy, cz])
+        inner = outer * 0.4 + c[None, :] * 0.6
+        inner /= np.linalg.norm(inner, axis=1)[:, None]
+        out.append((k, Polygon([outer, inner])))
+    return out
 
 
 def synthetic_rects(keys) -> list[tuple[int, LatLngRect]]:
