@@ -182,6 +182,21 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SJ.point_in_cap_range_join(spark, pts, _nation_caps(spark, sf_dir))
 
 
+def q_crossing_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crossing-edges join: edge pairs of two deterministic polyline
+    sets (perpendicular zig-zags) that cross interiorly."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import crossing as CR
+    from s2geometry_spark.sources import regions_src as R
+
+    ea = R.polyline_edges(range(25), variant=0)
+    eb = R.polyline_edges(range(25), variant=1)
+    max_rad = max(CR.max_edge_radians(ea), CR.max_edge_radians(eb))
+    return CR.crossing_edges_join(
+        spark, CR.edges_df(spark, ea), CR.edges_df(spark, eb), max_rad
+    )
+
+
 def q_hausdorff_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed Hausdorff distance per nation: customers -> suppliers
     (max over customers of min supplier distance)."""
@@ -352,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_polygon_join": q_pip_polygon_join,
         "s2_knn_supplier": q_knn_supplier,
         "s2_hausdorff_nation": q_hausdorff_nation,
+        "s2_crossing_edges": q_crossing_edges,
         "s2_near_loop_join": q_near_loop_join,
         "s2_range_join": q_range_join,
         "s2_image_tile_counts": q_image_tile_counts,
@@ -428,6 +444,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from s2geometry_spark.operators.knn import hausdorff_oracle_sql
 
+    from s2geometry_spark.operators import crossing as CR
+
+    crossing_sql = CR.crossing_pairs_sql(
+        R.polyline_edges_sql_values(R.polyline_edges(range(25), 0), "ea"),
+        R.polyline_edges_sql_values(R.polyline_edges(range(25), 1), "eb"),
+    )
     hausdorff_sql = hausdorff_oracle_sql(
         P.xyz_grp_sql_cte("customer", "c_custkey", "c_nationkey", name="apts"),
         P.xyz_grp_sql_cte("supplier", "s_suppkey", "s_nationkey", name="bpts"),
@@ -467,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s2_knn_supplier": knn_sql,
         "s2_hausdorff_nation": hausdorff_sql,
+        "s2_crossing_edges": crossing_sql,
         "s2_near_loop_join": O.near_loop_sql(
             pts + ", " + upts, R.loop_edges_sql_values(loops), NEAR_RADIUS
         ),

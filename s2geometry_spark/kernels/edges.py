@@ -277,6 +277,36 @@ def crossing_parity_fast_edges(
     return parity
 
 
+def crossing_fast_batch(
+    ax, ay, az, bx, by, bz, cx, cy, cz, dx, dy, dz
+) -> np.ndarray:
+    """Vectorized interior-crossing test for edge pairs (A,B)x(C,D)
+    (arrays of coordinates, one pair per row), plain IEEE doubles in a
+    fixed order mirrored by ``duckdb_oracle.crossing_pairs_sql``.
+
+    Returns bool: True iff the edges cross at an interior point
+    (general-position fast path of S2EdgeCrosser.CrossingSign)."""
+    nx = ay * bz - az * by
+    ny = az * bx - ax * bz
+    nz = ax * by - ay * bx
+    det_c = (nx * cx + ny * cy) + nz * cz
+    det_d = (nx * dx + ny * dy) + nz * dz
+    s_c = np.sign(det_c)
+    s_d = np.sign(det_d)
+    cdx = cy * dz - cz * dy
+    cdy = cz * dx - cx * dz
+    cdz = cx * dy - cy * dx
+    det_b = (cdx * bx + cdy * by) + cdz * bz
+    det_a = (cdx * ax + cdy * ay) + cdz * az
+    return (
+        (s_c != s_d)
+        & (s_c != 0)
+        & (s_d != 0)
+        & (np.sign(det_b) == s_c)
+        & (np.sign(det_a) == -s_c)
+    )
+
+
 def crossing_parity_robust(verts: np.ndarray, points: np.ndarray) -> np.ndarray:
     """Parity of EdgeOrVertexCrossing of (ORIGIN -> P) vs the loop chain,
     scalar robust predicates per (point, edge).  Points must be unit

@@ -1,0 +1,158 @@
+"""Crossing-edges join: all pairs of geodesic edges (one from each
+side) that cross at an interior point.
+
+Pattern (SURVEY.md §2.4 crossing-edges row, Query/S2CrossingEdgeQuery.cs):
+each edge emits the 3x3 cell neighborhoods of BOTH endpoints at a level
+whose min cell width >= the longest edge — any interior crossing point
+then provably lands in a cell emitted by both sides, so a hash
+equi-join on the cell id yields a complete candidate set; an exact
+crossing-sign predicate (pure JVM column arithmetic — no Python in the
+refine) keeps true crossings.
+
+The refine expression text is shared verbatim with the DuckDB oracle
+(crossing_pairs_sql), so both engines evaluate the identical IEEE
+expression tree.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import KMIN_WIDTH
+
+EDGE_COLS = ["line_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz"]
+
+
+def crossing_condition_sql(a: str, b: str, c: str, d: str) -> str:
+    """Engine-neutral SQL boolean: edges ({a},{b}) x ({c},{d}) cross
+    interiorly.  `a`..`d` are column prefixes (e.g. 'a' -> ax, ay, az).
+    Mirrors kernels.edges.crossing_fast_batch term-for-term."""
+    nx = f"({a}y*{b}z - {a}z*{b}y)"
+    ny = f"({a}z*{b}x - {a}x*{b}z)"
+    nz = f"({a}x*{b}y - {a}y*{b}x)"
+    det_c = f"(({nx}*{c}x + {ny}*{c}y) + {nz}*{c}z)"
+    det_d = f"(({nx}*{d}x + {ny}*{d}y) + {nz}*{d}z)"
+    cdx = f"({c}y*{d}z - {c}z*{d}y)"
+    cdy = f"({c}z*{d}x - {c}x*{d}z)"
+    cdz = f"({c}x*{d}y - {c}y*{d}x)"
+    det_b = f"(({cdx}*{b}x + {cdy}*{b}y) + {cdz}*{b}z)"
+    det_a = f"(({cdx}*{a}x + {cdy}*{a}y) + {cdz}*{a}z)"
+    sgn = "CASE WHEN {0} > 0 THEN 1 WHEN {0} < 0 THEN -1 ELSE 0 END"
+    s_c = sgn.format(det_c)
+    s_d = sgn.format(det_d)
+    return (
+        f"(({s_c}) <> ({s_d}) AND ({s_c}) <> 0 AND ({s_d}) <> 0 "
+        f"AND ({sgn.format(det_b)}) = ({s_c}) "
+        f"AND ({sgn.format(det_a)}) = -({s_c}))"
+    )
+
+
+def _edge_cells_udf(level: int):
+    """pUDF: distinct 3x3 ring cells of both edge endpoints at `level`
+    (complete cover of any point within one cell min-width of either
+    endpoint — hence of the whole edge when it is shorter than that)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    import numpy as np
+
+    from ..kernels import cellid as CI
+
+    @pandas_udf(ArrayType(LongType()))
+    def _cells(
+        ax: pd.Series, ay: pd.Series, az: pd.Series,
+        bx: pd.Series, by: pd.Series, bz: pd.Series,
+    ) -> pd.Series:
+        la = CI.xyz_to_cellid(ax.to_numpy(), ay.to_numpy(), az.to_numpy())
+        lb = CI.xyz_to_cellid(bx.to_numpy(), by.to_numpy(), bz.to_numpy())
+        ra = CI.as_i64(CI.ring_neighbors(la, level))
+        rb = CI.as_i64(CI.ring_neighbors(lb, level))
+        mat = np.concatenate([ra, rb], axis=1)
+        mat.sort(axis=1)
+        keep = np.ones(mat.shape, dtype=bool)
+        keep[:, 1:] = mat[:, 1:] != mat[:, :-1]
+        return pd.Series([row[k].tolist() for row, k in zip(mat, keep)])
+
+    return _cells
+
+
+def edges_df(spark: SparkSession, edges: list) -> DataFrame:
+    """[(line_id, edge_id, a, b)] -> Spark edge table."""
+    rows = [
+        (lid, eid, a[0], a[1], a[2], b[0], b[1], b[2])
+        for lid, eid, a, b in edges
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=EDGE_COLS))
+
+
+def max_edge_radians(edges: list) -> float:
+    out = 0.0
+    for _, _, a, b in edges:
+        chord = math.sqrt(sum((a[i] - b[i]) ** 2 for i in range(3)))
+        out = max(out, 2 * math.asin(min(1.0, 0.5 * chord)))
+    return out
+
+
+def crossing_edges_join(
+    spark: SparkSession,
+    edges_a: DataFrame,
+    edges_b: DataFrame,
+    max_edge_rad: float,
+    broadcast_b: bool = True,
+) -> DataFrame:
+    """All interiorly-crossing pairs: (a_line, a_edge, b_line, b_edge).
+
+    REQUIRES every edge shorter than `max_edge_rad` (subdivide longer
+    edges upstream); the join level is chosen so the candidate cover is
+    complete at that length.
+    """
+    level = max(1, KMIN_WIDTH.get_level_for_min_value(max_edge_rad))
+    cells = _edge_cells_udf(level)
+
+    def with_cells(df: DataFrame, prefix: str) -> DataFrame:
+        out = df.withColumn(
+            "cell",
+            F.explode(
+                cells(
+                    F.col("ax"), F.col("ay"), F.col("az"),
+                    F.col("bx"), F.col("by"), F.col("bz"),
+                )
+            ),
+        )
+        renames = {
+            "line_id": f"{prefix}_line", "edge_id": f"{prefix}_edge",
+        }
+        if prefix == "b":
+            renames.update(
+                {"ax": "cx", "ay": "cy", "az": "cz",
+                 "bx": "dx", "by": "dy", "bz": "dz"}
+            )
+        for old, new in renames.items():
+            out = out.withColumnRenamed(old, new)
+        return out
+
+    a = with_cells(edges_a, "a")
+    b = with_cells(edges_b, "b")
+    if broadcast_b:
+        b = F.broadcast(b)
+    cand = a.join(b, on="cell", how="inner").dropDuplicates(
+        ["a_line", "a_edge", "b_line", "b_edge"]
+    )
+    crossed = cand.where(F.expr(crossing_condition_sql("a", "b", "c", "d")))
+    return crossed.select("a_line", "a_edge", "b_line", "b_edge")
+
+
+def crossing_pairs_sql(a_values_cte: str, b_values_cte: str) -> str:
+    """DuckDB brute-force mirror: cross join all edge pairs with the
+    identical crossing-condition expression text."""
+    cond = crossing_condition_sql("a.a", "a.b", "b.a", "b.b")
+    return f"""WITH {a_values_cte},
+{b_values_cte}
+SELECT a.line_id AS a_line, a.edge_id AS a_edge,
+       b.line_id AS b_line, b.edge_id AS b_edge
+FROM ea a CROSS JOIN eb b
+WHERE {cond}"""

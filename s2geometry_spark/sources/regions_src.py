@@ -132,6 +132,62 @@ def synthetic_polygons(keys) -> list[tuple[int, "object"]]:
     return out
 
 
+def polyline_vertices(key: int, variant: int = 0):
+    """Deterministic 4-vertex zig-zag chain near the key's direction
+    (driver trig once; float64 vertices shared verbatim by Spark and
+    the SQL oracle, like loop_vertices).  variant=1 swaps the tangent
+    basis, producing a perpendicular chain through the same center —
+    guaranteed crossings with variant 0."""
+    import numpy as np
+
+    from ..kernels import edges as E
+
+    cx, cy, cz, _ = cap_params(key)
+    c = (cx, cy, cz)
+    u = E.ortho(c)
+    v = E.cross(c, u)
+    if variant:
+        u, v = v, u
+    step = 0.03 + (key % 5) * 0.01
+    verts = []
+    for k in range(4):
+        du = (k - 1.5) * step
+        dv = (0.5 if k % 2 else -0.5) * step
+        p = tuple(c[i] + du * u[i] + dv * v[i] for i in range(3))
+        n = math.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2])
+        verts.append((p[0] / n, p[1] / n, p[2] / n))
+    return np.asarray(verts, dtype=np.float64)
+
+
+def polyline_edges(keys, variant: int = 0) -> list[tuple[int, int, tuple, tuple]]:
+    """Flat directed-edge list [(line_id, edge_id, a, b)] for the
+    deterministic polylines."""
+    out = []
+    for key in keys:
+        verts = polyline_vertices(int(key), variant)
+        for e in range(len(verts) - 1):
+            out.append(
+                (int(key), e, tuple(map(float, verts[e])), tuple(map(float, verts[e + 1])))
+            )
+    return out
+
+
+def polyline_edges_sql_values(edges, name: str) -> str:
+    """DuckDB inline table (line_id, edge_id, ax..az, bx..bz)."""
+    def dlit(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    rows = [
+        f"({lid}, {eid}, {dlit(a[0])}, {dlit(a[1])}, {dlit(a[2])}, "
+        f"{dlit(b[0])}, {dlit(b[1])}, {dlit(b[2])})"
+        for lid, eid, a, b in edges
+    ]
+    return (
+        f"{name}(line_id, edge_id, ax, ay, az, bx, by, bz) AS "
+        f"(VALUES {', '.join(rows)})"
+    )
+
+
 def synthetic_rects(keys) -> list[tuple[int, LatLngRect]]:
     """Deterministic lat/lng rectangles (for pytest oracles)."""
     out = []
