@@ -182,6 +182,44 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SJ.point_in_cap_range_join(spark, pts, _nation_caps(spark, sf_dir))
 
 
+def q_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW vertex alignment between each deterministic polyline and its
+    perpendicular twin (grouped Arrow DP kernel; rows-only check)."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.operators import measures_op as MO
+    from s2geometry_spark.sources import regions_src as R
+
+    rows = []
+    for variant in (0, 1):
+        for key in range(25):
+            verts = R.polyline_vertices(key, variant)
+            for i, v in enumerate(verts):
+                rows.append((key, variant, i, float(v[0]), float(v[1]), float(v[2])))
+    pdf = pd.DataFrame(
+        rows, columns=["line_id", "which", "vtx_idx", "x", "y", "z"]
+    )
+    return MO.dtw_align_pairs(spark.createDataFrame(pdf))
+
+
+def q_convex_hull_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile (level-1 cell) spherical convex hull of customer points
+    (grouped monotone-chain kernel; rows-only check — robust-predicate
+    hulls are not SQL-expressible)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.functions import sparkfns as S
+    from s2geometry_spark.operators import measures_op as MO
+    from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.sources import points as P
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = T.assign_cellids(
+        P.with_xyz(cust.select(F.col("c_custkey").alias("key")))
+    ).withColumn("grp", S.cell_parent(F.col("cell_id"), 1))
+    return MO.group_convex_hull(pts)
+
+
 def q_crossing_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crossing-edges join: edge pairs of two deterministic polyline
     sets (perpendicular zig-zags) that cross interiorly."""
@@ -368,6 +406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_knn_supplier": q_knn_supplier,
         "s2_hausdorff_nation": q_hausdorff_nation,
         "s2_crossing_edges": q_crossing_edges,
+        "s2_convex_hull_tile": q_convex_hull_tile,
+        "s2_dtw_alignment": q_dtw_alignment,
         "s2_near_loop_join": q_near_loop_join,
         "s2_range_join": q_range_join,
         "s2_image_tile_counts": q_image_tile_counts,

@@ -67,3 +67,75 @@ def loop_measures(vertex_df: DataFrame) -> DataFrame:
     return vertex_df.groupBy("region_id").applyInPandas(
         compute, schema=MEASURES_SCHEMA
     )
+
+
+DTW_SCHEMA = T.StructType(
+    [
+        T.StructField("line_id", T.LongType(), False),
+        T.StructField("cost", T.DoubleType(), False),
+        T.StructField("path_len", T.IntegerType(), False),
+    ]
+)
+
+
+def dtw_align_pairs(vertex_df: DataFrame) -> DataFrame:
+    """Per-line DTW alignment between the two tagged vertex chains of
+    each line_id (columns: line_id, which in {0,1}, vtx_idx, x, y, z) —
+    S2PolylineAlignment exact vertex alignment in a grouped Arrow
+    kernel (the distributed axis is the number of pairs)."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import alignment as AL
+
+        (lid,) = key
+        pdf = pdf.sort_values(["which", "vtx_idx"])
+        a = pdf[pdf["which"] == 0][["x", "y", "z"]].to_numpy()
+        b = pdf[pdf["which"] == 1][["x", "y", "z"]].to_numpy()
+        cost, path = AL.alignment(a, b)
+        return pd.DataFrame(
+            [{"line_id": int(lid), "cost": cost, "path_len": len(path)}]
+        )
+
+    return vertex_df.groupBy("line_id").applyInPandas(
+        compute, schema=DTW_SCHEMA
+    )
+
+
+HULL_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.LongType(), False),
+        T.StructField("vtx_idx", T.IntegerType(), False),
+        T.StructField("x", T.DoubleType(), False),
+        T.StructField("y", T.DoubleType(), False),
+        T.StructField("z", T.DoubleType(), False),
+    ]
+)
+
+
+def group_convex_hull(points: DataFrame, group_col: str = "grp") -> DataFrame:
+    """Per-group spherical convex hull (Andrew's monotone chain,
+    Query/S2ConvexHullQuery.cs) — exploded CCW hull vertices
+    (grp, vtx_idx, x, y, z).  Input needs unit (x, y, z) + group."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import hull as H
+
+        (g,) = key
+        pts = pdf[["x", "y", "z"]].to_numpy()
+        pts = pts / np.sqrt((pts * pts).sum(axis=1))[:, None]
+        hull = H.convex_hull(pts)
+        return pd.DataFrame(
+            {
+                "grp": int(g),
+                "vtx_idx": range(len(hull)),
+                "x": hull[:, 0] if len(hull) else [],
+                "y": hull[:, 1] if len(hull) else [],
+                "z": hull[:, 2] if len(hull) else [],
+            }
+        )
+
+    return (
+        points.withColumnRenamed(group_col, "grp")
+        .groupBy("grp")
+        .applyInPandas(compute, schema=HULL_SCHEMA)
+    )
