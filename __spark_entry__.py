@@ -182,6 +182,16 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SJ.point_in_cap_range_join(spark, pts, _nation_caps(spark, sf_dir))
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image multimodal features: decode -> stats/edge-energy ->
+    thumbnail re-encode, one Arrow pass (rows-only check)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import image_features as IF
+    from s2geometry_spark.sources import images as IMG
+
+    return IF.extract_features(IMG.image_table(spark, N_IMAGES))
+
+
 def q_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW vertex alignment between each deterministic polyline and its
     perpendicular twin (grouped Arrow DP kernel; rows-only check)."""
@@ -413,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_image_tile_counts": q_image_tile_counts,
         "s2_tile_mosaic": q_tile_mosaic,
         "s2_tile_extents": q_tile_extents,
+        "img_features": q_image_features,
         "s2_loop_measures": q_loop_measures,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,

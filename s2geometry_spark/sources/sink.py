@@ -1,0 +1,61 @@
+"""Spatially-clustered parquet sink.
+
+The write layout that makes tile-range scans cheap at 100 TB
+(SURVEY.md §2.1 result-sink row, §2.6 Hilbert-order iteration):
+
+- partition directories by a coarse bucket of the tile id (bounded
+  partition count; Iceberg's `bucket(tile_id)` analogue in plain
+  parquet),
+- rows within each file sorted by the *biased* cell id — unsigned
+  Hilbert order — so range predicates map to contiguous row-group
+  ranges and parquet min/max stats prune aggressively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import sparkfns as S
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cell_col: str = "cell_id",
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write df partitioned by tile bucket, Hilbert-sorted within
+    partitions."""
+    out = df.withColumn(
+        "tile_bucket",
+        F.pmod(F.hash(S.cell_bias(F.col(cell_col))), F.lit(n_buckets)),
+    )
+    # sort by (bucket, biased id): the dynamic-partition writer requires
+    # an ordering on the partition column and would otherwise insert its
+    # own (unstable) sort, destroying the Hilbert order within files.
+    (
+        out.repartition(n_buckets, "tile_bucket")
+        .sortWithinPartitions(
+            F.col("tile_bucket"), S.cell_bias(F.col(cell_col))
+        )
+        .write.mode(mode)
+        .partitionBy("tile_bucket")
+        .parquet(path)
+    )
+
+
+def read_clustered(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def scan_cell_range(
+    spark: SparkSession, path: str, lo_biased: int, hi_biased: int,
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Range scan on the biased order — pushed to parquet row-group
+    stats because files are sorted by the same key."""
+    df = spark.read.parquet(path)
+    key = S.cell_bias(F.col(cell_col))
+    return df.where((key >= F.lit(lo_biased)) & (key <= F.lit(hi_biased)))
