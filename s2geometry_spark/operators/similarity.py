@@ -26,18 +26,33 @@ N_PLANES = 8
 _PLANE_SEED = 20260816
 
 
+CHUNK = 16  # partial-sum width: keeps each codegen'd expression small
+
+
 def _dot_terms_spark(a: str, b: str) -> str:
-    return " + ".join(
-        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
-        for i in range(DIM)
-    )
+    """Chunked dot product: 4 partial sums of 16 terms, combined
+    left-assoc — the SAME association tree as _dot_terms_duck, so both
+    engines produce bit-identical doubles.  (A flat 64-term chain blows
+    Spark's codegen method limit and falls back to interpreted eval.)"""
+    partials = []
+    for lo in range(0, DIM, CHUNK):
+        terms = " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+            for i in range(lo, lo + CHUNK)
+        )
+        partials.append(f"({terms})")
+    return " + ".join(partials)
 
 
 def _dot_terms_duck(a: str, b: str) -> str:
-    return " + ".join(
-        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
-        for i in range(DIM)
-    )
+    partials = []
+    for lo in range(0, DIM, CHUNK):
+        terms = " + ".join(
+            f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
+            for i in range(lo, lo + CHUNK)
+        )
+        partials.append(f"({terms})")
+    return " + ".join(partials)
 
 
 def _with_norm_spark(df: DataFrame) -> DataFrame:
@@ -46,27 +61,50 @@ def _with_norm_spark(df: DataFrame) -> DataFrame:
     )
 
 
+def _components(df: DataFrame, id_alias: str, prefix: str) -> DataFrame:
+    """Pre-project the vector into 64 scalar DOUBLE columns + the norm:
+    per-pair dot products then touch only scalar columns (whole-stage
+    codegen; array element access per joined row is ~20x slower)."""
+    cols = [F.col("vec_id").alias(id_alias)] + [
+        F.expr(f"CAST(embedding[{i}] AS DOUBLE)").alias(f"{prefix}{i}")
+        for i in range(DIM)
+    ]
+    norm_terms = " + ".join(
+        "("
+        + " + ".join(
+            f"{prefix}{i} * {prefix}{i}" for i in range(lo, lo + CHUNK)
+        )
+        + ")"
+        for lo in range(0, DIM, CHUNK)
+    )
+    return df.select(*cols).withColumn(
+        f"{prefix}n", F.expr(f"sqrt({norm_terms})")
+    )
+
+
+def _scalar_dot(a_prefix: str, b_prefix: str) -> str:
+    return " + ".join(
+        "("
+        + " + ".join(
+            f"{a_prefix}{i} * {b_prefix}{i}" for i in range(lo, lo + CHUNK)
+        )
+        + ")"
+        for lo in range(0, DIM, CHUNK)
+    )
+
+
 def cosine_topk(emb: DataFrame, k: int) -> DataFrame:
     """Exact top-k cosine neighbors per vector (self excluded).
     Output (vec_id, neighbor_id, cosine, rn) ordered by
     (cosine desc, neighbor_id)."""
-    a = _with_norm_spark(emb).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    b = _with_norm_spark(emb).select(
-        F.col("vec_id").alias("nid"),
-        F.col("embedding").alias("ne"),
-        F.col("nrm").alias("nn"),
-    )
+    a = _components(emb, "qid", "q")
+    b = _components(emb, "nid", "e")
     pairs = a.crossJoin(b).where(F.col("qid") != F.col("nid"))
-    cos = F.expr(f"({_dot_terms_spark('qe', 'ne')})") / (
-        F.col("qn") * F.col("nn")
-    )
+    cos = F.expr(f"({_scalar_dot('q', 'e')})") / (F.col("qn") * F.col("en"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
     return (
         pairs.withColumn("cosine", cos)
+        .select("qid", "nid", "cosine")
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= k)
         .select(
@@ -103,25 +141,23 @@ def lsh_planes() -> np.ndarray:
     return rng.standard_normal((N_PLANES, DIM))
 
 
-def _bucket_expr_spark(col: str, planes: np.ndarray) -> str:
-    bits = []
-    for p in planes:
-        dot = " + ".join(
-            f"CAST({col}[{i}] AS DOUBLE) * CAST('{p[i]!r}' AS DOUBLE)"
-            for i in range(DIM)
+def _plane_dot(col: str, p: np.ndarray, one_based: bool) -> str:
+    off = 1 if one_based else 0
+    partials = []
+    for lo in range(0, DIM, CHUNK):
+        terms = " + ".join(
+            f"CAST({col}[{i + off}] AS DOUBLE) * CAST('{p[i]!r}' AS DOUBLE)"
+            for i in range(lo, lo + CHUNK)
         )
-        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
-    return "concat(" + ", ".join(bits) + ")"
+        partials.append(f"({terms})")
+    return " + ".join(partials)
 
 
 def _bucket_expr_duck(col: str, planes: np.ndarray) -> str:
-    bits = []
-    for p in planes:
-        dot = " + ".join(
-            f"CAST({col}[{i + 1}] AS DOUBLE) * CAST('{p[i]!r}' AS DOUBLE)"
-            for i in range(DIM)
-        )
-        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+    bits = [
+        f"(CASE WHEN ({_plane_dot(col, p, True)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    ]
     return " || ".join(bits)
 
 
@@ -129,24 +165,37 @@ def ann_lsh_topk(emb: DataFrame, k: int) -> DataFrame:
     """Approximate top-k: candidates restricted to the same LSH bucket
     (equi-join on the sign signature — the scale path)."""
     planes = lsh_planes()
-    withb = _with_norm_spark(emb).withColumn(
-        "bucket", F.expr(_bucket_expr_spark("embedding", planes))
+
+    def bucket_from_scalars(prefix: str) -> str:
+        bits = []
+        for p in planes:
+            dot = " + ".join(
+                "("
+                + " + ".join(
+                    f"{prefix}{i} * CAST('{p[i]!r}' AS DOUBLE)"
+                    for i in range(lo, lo + CHUNK)
+                )
+                + ")"
+                for lo in range(0, DIM, CHUNK)
+            )
+            bits.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+        return "concat(" + ", ".join(bits) + ")"
+
+    a = _components(emb, "qid", "q").withColumn(
+        "bucket", F.expr(bucket_from_scalars("q"))
     )
-    a = withb.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"), "bucket",
+    b = _components(emb, "nid", "e").withColumn(
+        "bucket2", F.expr(bucket_from_scalars("e"))
     )
-    b = withb.select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"),
-        F.col("nrm").alias("nn"), F.col("bucket").alias("bucket2"),
+    pairs = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket2")) & (F.col("qid") != F.col("nid")),
     )
-    pairs = a.join(b, (F.col("bucket") == F.col("bucket2")) & (F.col("qid") != F.col("nid")))
-    cos = F.expr(f"({_dot_terms_spark('qe', 'ne')})") / (
-        F.col("qn") * F.col("nn")
-    )
+    cos = F.expr(f"({_scalar_dot('q', 'e')})") / (F.col("qn") * F.col("en"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
     return (
         pairs.withColumn("cosine", cos)
+        .select("qid", "nid", "cosine")
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= k)
         .select(

@@ -241,13 +241,14 @@ def near_dup_pairs(docs: DataFrame, with_mutants: bool = True) -> DataFrame:
             F.md5(F.concat_ws("|", *parts)).alias(f"band{b}")
         )
     banded = sigs.select("doc_id", "shingles", *band_cols)
-    bands = None
-    for b in range(LSH_BANDS):
-        part = banded.select(
-            "doc_id", "shingles", F.col(f"band{b}").alias("bk"),
-            F.lit(b).alias("b"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one-pass band emission (stack) instead of a 4-way self-union —
+    # the union form recomputes the minhash signatures once per band.
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(LSH_BANDS))
+    bands = banded.select(
+        "doc_id",
+        "shingles",
+        F.expr(f"stack({LSH_BANDS}, {stack_args}) AS (b, bk)"),
+    ).select("doc_id", "shingles", "b", "bk").localCheckpoint()
     a = bands.alias("a")
     c = bands.alias("c")
     cand = (
