@@ -182,6 +182,36 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SJ.point_in_cap_range_join(spark, pts, _nation_caps(spark, sf_dir))
 
 
+def q_region_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean ops (intersection/union/difference) between each loop
+    and a tangent-shifted copy — arc-walk kernel distributed over
+    pairs; rows-only check (areas are trig-heavy)."""
+    _ensure_pkg(spark)
+    import numpy as np
+    import pandas as pd
+
+    from s2geometry_spark.kernels import edges as KE
+    from s2geometry_spark.operators import measures_op as MO
+    from s2geometry_spark.sources import regions_src as R
+
+    rows = []
+    for key in range(25):
+        base = R.loop_vertices(key)
+        cx, cy, cz, _ = R.cap_params(key)
+        u = np.array(KE.ortho((cx, cy, cz)))
+        shifted = base + u[None, :] * (0.04 + 0.01 * (key % 3))
+        shifted = shifted / np.linalg.norm(shifted, axis=1)[:, None]
+        for which, verts in ((0, base), (1, shifted)):
+            for i, v in enumerate(verts):
+                rows.append(
+                    (key, which, i, float(v[0]), float(v[1]), float(v[2]))
+                )
+    pdf = pd.DataFrame(
+        rows, columns=["pair_id", "which", "vtx_idx", "x", "y", "z"]
+    )
+    return MO.boolean_pairs(spark.createDataFrame(pdf))
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image multimodal features: decode -> stats/edge-energy ->
     thumbnail re-encode, one Arrow pass (rows-only check)."""
@@ -424,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_tile_mosaic": q_tile_mosaic,
         "s2_tile_extents": q_tile_extents,
         "img_features": q_image_features,
+        "s2_region_boolean": q_region_boolean,
         "s2_loop_measures": q_loop_measures,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,

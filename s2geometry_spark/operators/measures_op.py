@@ -69,6 +69,50 @@ def loop_measures(vertex_df: DataFrame) -> DataFrame:
     )
 
 
+BOOL_SCHEMA = T.StructType(
+    [
+        T.StructField("pair_id", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("n_rings", T.IntegerType(), False),
+        T.StructField("area", T.DoubleType(), False),
+    ]
+)
+
+
+def boolean_pairs(vertex_df: DataFrame) -> DataFrame:
+    """Per-pair boolean ops (intersection/union/difference) between two
+    tagged loops (columns: pair_id, which in {0,1}, vtx_idx, x, y, z),
+    distributed over pairs; outputs ring counts + total area
+    (general-position arc-walk kernel, kernels.boolop)."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import boolop as B
+        from ..kernels import measures as M
+        from ..kernels.loop import Loop
+
+        (pid,) = key
+        pdf = pdf.sort_values(["which", "vtx_idx"])
+        a = Loop(pdf[pdf["which"] == 0][["x", "y", "z"]].to_numpy())
+        b = Loop(pdf[pdf["which"] == 1][["x", "y", "z"]].to_numpy())
+        rows = []
+        for op in ("intersection", "union", "difference"):
+            rings = B.loop_boolean(a, b, op)
+            if op == "difference" and len(rings) == 2:
+                # shell + hole: area = shell - hole
+                area = M.loop_area(rings[0]) - M.loop_area(rings[1])
+            else:
+                area = sum(M.loop_area(r) for r in rings)
+            rows.append(
+                {"pair_id": int(pid), "op": op, "n_rings": len(rings),
+                 "area": area}
+            )
+        return pd.DataFrame(rows)
+
+    return vertex_df.groupBy("pair_id").applyInPandas(
+        compute, schema=BOOL_SCHEMA
+    )
+
+
 DTW_SCHEMA = T.StructType(
     [
         T.StructField("line_id", T.LongType(), False),
