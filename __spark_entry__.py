@@ -182,6 +182,23 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SJ.point_in_cap_range_join(spark, pts, _nation_caps(spark, sf_dir))
 
 
+def q_polyline_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polyline length/interpolate/project measures via grouped
+    Arrow kernel (rows-only check — trig-heavy)."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.operators import measures_op as MO
+    from s2geometry_spark.sources import regions_src as R
+
+    rows = []
+    for key in range(25):
+        for i, v in enumerate(R.polyline_vertices(key)):
+            rows.append((key, i, float(v[0]), float(v[1]), float(v[2])))
+    pdf = pd.DataFrame(rows, columns=["line_id", "vtx_idx", "x", "y", "z"])
+    return MO.polyline_measures(spark.createDataFrame(pdf))
+
+
 def q_region_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean ops (intersection/union/difference) between each loop
     and a tangent-shifted copy — arc-walk kernel distributed over
@@ -455,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_tile_extents": q_tile_extents,
         "img_features": q_image_features,
         "s2_region_boolean": q_region_boolean,
+        "s2_polyline_measures": q_polyline_measures,
         "s2_loop_measures": q_loop_measures,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,

@@ -69,6 +69,50 @@ def loop_measures(vertex_df: DataFrame) -> DataFrame:
     )
 
 
+POLYLINE_SCHEMA = T.StructType(
+    [
+        T.StructField("line_id", T.LongType(), False),
+        T.StructField("length", T.DoubleType(), False),
+        T.StructField("mid_x", T.DoubleType(), False),
+        T.StructField("mid_y", T.DoubleType(), False),
+        T.StructField("mid_z", T.DoubleType(), False),
+        T.StructField("mid_frac_back", T.DoubleType(), False),
+        T.StructField("proj_dist2", T.DoubleType(), False),
+    ]
+)
+
+
+def polyline_measures(vertex_df: DataFrame, probe=(0.0, 0.0, 1.0)) -> DataFrame:
+    """Per-polyline length / arc-midpoint (interpolate 0.5) /
+    uninterpolate round trip / squared-chord distance of the projection
+    of a fixed probe point (kernels.polyline; S2Polyline.cs:211-340)."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import polyline as PL
+
+        (lid,) = key
+        pdf = pdf.sort_values("vtx_idx")
+        pl = PL.Polyline(pdf[["x", "y", "z"]].to_numpy())
+        mid, nv = pl.interpolate(0.5)
+        closest, _ = pl.project(probe)
+        d = tuple(probe[i] - closest[i] for i in range(3))
+        return pd.DataFrame(
+            [
+                {
+                    "line_id": int(lid),
+                    "length": pl.length(),
+                    "mid_x": mid[0], "mid_y": mid[1], "mid_z": mid[2],
+                    "mid_frac_back": pl.uninterpolate(mid, nv),
+                    "proj_dist2": (d[0] * d[0] + d[1] * d[1]) + d[2] * d[2],
+                }
+            ]
+        )
+
+    return vertex_df.groupBy("line_id").applyInPandas(
+        compute, schema=POLYLINE_SCHEMA
+    )
+
+
 BOOL_SCHEMA = T.StructType(
     [
         T.StructField("pair_id", T.LongType(), False),

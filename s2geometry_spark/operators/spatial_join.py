@@ -119,6 +119,7 @@ def point_in_loop_join(
     options: CovererOptions | None = None,
     broadcast: bool = True,
     skip_interior: bool = False,
+    salt_k: int = 0,
     point_key: str = "key",
 ) -> DataFrame:
     """Join points (x,y,z + cell_id columns) to containing loop regions.
@@ -142,8 +143,25 @@ def point_in_loop_join(
         cov_pdf, schema=COV._schema_of(cov_pdf, loops)
     ).withColumnRenamed("cell_id", "cov_cell")
     probe = explode_ancestors(points, levels)
-    right = F.broadcast(cov) if broadcast else cov
-    joined = probe.join(right, probe["anc_cell"] == right["cov_cell"], "inner")
+    if salt_k and not broadcast:
+        # hot covering cells (urban tiles): replicate covering rows K
+        # times, probe picks one salt bucket — the shuffle join spreads
+        # a hot cell over K reducers (SURVEY.md §4 skew row).
+        cov = cov.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_k)]))
+        )
+        probe = probe.withColumn(
+            "salt", F.pmod(F.hash(F.col(point_key)), F.lit(salt_k))
+        )
+        joined = probe.join(
+            cov,
+            (probe["anc_cell"] == cov["cov_cell"])
+            & (probe["salt"] == cov["salt"]),
+            "inner",
+        )
+    else:
+        right = F.broadcast(cov) if broadcast else cov
+        joined = probe.join(right, probe["anc_cell"] == right["cov_cell"], "inner")
     loops_by_id = {
         rid: (rg.edges, rg.origin_inside) for rid, rg in loops
     }
