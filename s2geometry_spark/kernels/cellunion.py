@@ -215,3 +215,26 @@ def leaf_ranges(ids: list[int]) -> list[tuple[int, int]]:
     """Non-overlapping inclusive leaf ranges [(range_min, range_max)] of
     a normalized union — drives Spark range joins (S2CellIndex style)."""
     return [(_range_min(c), _range_max(c)) for c in ids]
+
+
+def leaf_cells_covered(ids: list[int]) -> int:
+    """Number of leaf cells spanned (S2CellUnion.cs:486-500)."""
+    total = 0
+    for cid in ids:
+        total += 1 << (2 * (MAX_LEVEL - _level(cid)))
+    return total
+
+
+def average_based_area(ids: list[int]) -> float:
+    """AverageArea(leaf) * leaf count — exact closed form, safe for
+    distributed sums (S2CellUnion.cs:504-510)."""
+    from ..constants import KAVG_AREA
+
+    return KAVG_AREA.get_value(MAX_LEVEL) * leaf_cells_covered(ids)
+
+
+def exact_area(ids: list[int]) -> float:
+    """Sum of exact cell areas (S2CellUnion.cs:527-534)."""
+    from .geom import Cell, cell_exact_area
+
+    return sum(cell_exact_area(Cell(cid)) for cid in ids)

@@ -725,3 +725,33 @@ class LatLngRect(Region):
 
     def may_intersect_cell(self, cell: Cell) -> bool:
         return self.intersects_rect(cell.get_rect_bound())
+
+
+# ---------------------------------------------------------------------
+# Cell areas (S2Cell.cs:171-213)
+# ---------------------------------------------------------------------
+
+def cell_average_area(level: int) -> float:
+    from ..constants import KAVG_AREA
+
+    return KAVG_AREA.get_value(level)
+
+
+def cell_approx_area(cell: Cell) -> float:
+    """Flat quadrilateral area with spherical correction
+    (S2Cell.cs ApproxArea); accurate to ~3% for level >= 2."""
+    if cell.level < 2:
+        return cell_average_area(cell.level)
+    v = [cell.vertex(k) for k in range(4)]
+    d20 = sub(v[2], v[0])
+    d31 = sub(v[3], v[1])
+    flat = 0.5 * math.sqrt(norm2(cross(d20, d31)))
+    return flat * 2 / (1 + math.sqrt(1 - min(flat / math.pi, 1.0)))
+
+
+def cell_exact_area(cell: Cell) -> float:
+    """Two spherical triangles (S2Cell.cs ExactArea)."""
+    from . import measures as M
+
+    v = [cell.vertex(k) for k in range(4)]
+    return M.triangle_area(v[0], v[1], v[2]) + M.triangle_area(v[0], v[2], v[3])
