@@ -189,17 +189,38 @@ def _shingles_sql(text_expr: str) -> str:
     )
 
 
+MINHASH_P = 4294967291  # largest prime < 2^32
+
+
+def _shingle_words(df: DataFrame) -> DataFrame:
+    """One md5 per shingle, split into two 32-bit words (w1, w2); the
+    N signature hashes derive affinely: h_i = (w1 + w2*i) mod P —
+    the standard one-hash minhash family (12x fewer md5 calls than
+    hashing (i || shingle) per signature row)."""
+    return df.withColumns(
+        {
+            "w1": F.expr(
+                "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
+            ),
+            "w2": F.expr(
+                "transform(shingles, s -> CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))"
+            ),
+        }
+    )
+
+
 def _minhash_col(i: int) -> Column:
-    prefix = F.lit(str(i) + "|")
-    return F.array_min(
-        F.transform(F.col("shingles"), lambda s: F.md5(F.concat(prefix, s)))
+    return F.expr(
+        f"array_min(zip_with(w1, w2, (a, b) -> (a + b * {i}) % {MINHASH_P}))"
     )
 
 
 def minhash_signature(docs: DataFrame) -> DataFrame:
     """(doc_id, h0..h{N-1}): minhash signature over k-char shingles,
     h_i = min over shingles of md5('<i>|' || shingle)."""
-    shingled = docs.select("doc_id", _shingles_expr("text").alias("shingles"))
+    shingled = _shingle_words(
+        docs.select("doc_id", _shingles_expr("text").alias("shingles"))
+    )
     sig_exprs = [
         _minhash_col(i).alias(f"h{i}") for i in range(MINHASH_N)
     ]
@@ -227,8 +248,8 @@ def near_dup_pairs(docs: DataFrame, with_mutants: bool = True) -> DataFrame:
         f"sequence(1, greatest(length(text) - {k - 1}, 1)), "
         f"i -> substring(text, i, {k})))"
     )
-    shingled = base.select(
-        "doc_id", F.expr(sh_expr).alias("shingles")
+    shingled = _shingle_words(
+        base.select("doc_id", F.expr(sh_expr).alias("shingles"))
     )
     sig_exprs = [
         _minhash_col(i).alias(f"h{i}") for i in range(MINHASH_N)
@@ -285,7 +306,8 @@ def near_dup_pairs_sql(table: str = "documents", with_mutants: bool = True) -> s
         )
     sh = _shingles_sql("text")
     sig_cols = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS h{i}"
+        f"list_min(list_transform(generate_series(1, len(w1)), "
+        f"j -> (w1[j] + w2[j] * {i}) % {MINHASH_P})) AS h{i}"
         for i in range(MINHASH_N)
     )
     band_cols = ", ".join(
@@ -301,7 +323,11 @@ def near_dup_pairs_sql(table: str = "documents", with_mutants: bool = True) -> s
     return f"""
 WITH base AS ({base}),
 shingled AS (SELECT doc_id, {sh} AS shingles FROM base),
-sigs AS (SELECT doc_id, shingles, {sig_cols} FROM shingled),
+words AS (SELECT doc_id, shingles,
+  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS w1,
+  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT)) AS w2
+  FROM shingled),
+sigs AS (SELECT doc_id, shingles, {sig_cols} FROM words),
 banded AS (SELECT doc_id, shingles, {band_cols} FROM sigs),
 bands AS ({band_union}),
 cand AS (
