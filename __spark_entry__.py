@@ -292,6 +292,20 @@ def q_crossing_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_closest_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest polyline per order point (closest-edge query over an
+    edge collection; broadcast-evaluate, vectorized edge distances)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import knn as KNN
+    from s2geometry_spark.sources import regions_src as R
+
+    pts = _orders_points(spark, sf_dir)
+    by_line: dict[int, list] = {}
+    for lid, eid, a, b in R.polyline_edges(range(25)):
+        by_line.setdefault(lid, []).append((a, b))
+    return KNN.closest_polyline(pts, sorted(by_line.items()))
+
+
 def q_hausdorff_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed Hausdorff distance per nation: customers -> suppliers
     (max over customers of min supplier distance)."""
@@ -462,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_polygon_join": q_pip_polygon_join,
         "s2_knn_supplier": q_knn_supplier,
         "s2_hausdorff_nation": q_hausdorff_nation,
+        "s2_closest_polyline": q_closest_polyline,
         "s2_crossing_edges": q_crossing_edges,
         "s2_convex_hull_tile": q_convex_hull_tile,
         "s2_dtw_alignment": q_dtw_alignment,
@@ -544,6 +559,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from s2geometry_spark.operators.knn import hausdorff_oracle_sql
 
+    from s2geometry_spark.operators.knn import closest_polyline_oracle_sql
+
+    closest_poly_sql = closest_polyline_oracle_sql(
+        pts + ", " + upts,
+        R.polyline_edges_sql_values(R.polyline_edges(range(25)), "loop_edges"),
+    )
     from s2geometry_spark.operators import crossing as CR
 
     crossing_sql = CR.crossing_pairs_sql(
@@ -589,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s2_knn_supplier": knn_sql,
         "s2_hausdorff_nation": hausdorff_sql,
+        "s2_closest_polyline": closest_poly_sql,
         "s2_crossing_edges": crossing_sql,
         "s2_near_loop_join": O.near_loop_sql(
             pts + ", " + upts, R.loop_edges_sql_values(loops), NEAR_RADIUS

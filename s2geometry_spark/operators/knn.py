@@ -236,6 +236,109 @@ def hausdorff_directed(
     )
 
 
+def closest_polyline(
+    points: DataFrame,
+    polylines: list,
+) -> DataFrame:
+    """Nearest polyline per point: (key, line_id, dist2) with dist2 the
+    min squared-chord distance over the line's edges
+    (S2ClosestEdgeQuery point target over an edge collection,
+    Query/S2ClosestEdgeQueryBase.cs semantics; the dim side is small so
+    the right plan is broadcast-evaluate-all, not index descent).
+
+    ``polylines``: [(line_id, edges [(a, b), ...])].  Ties break by
+    line_id (reference result order distance-then-shape-id).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    lines = sorted(polylines, key=lambda t: t[0])
+
+    @pandas_udf(
+        StructType(
+            [
+                StructField("line_id", LongType(), False),
+                StructField("dist2", DoubleType(), False),
+            ]
+        )
+    )
+    def _closest(ux: pd.Series, uy: pd.Series, uz: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from ..kernels import polyline as PL
+
+        px, py, pz = ux.to_numpy(), uy.to_numpy(), uz.to_numpy()
+        best_d2 = np.full(len(px), np.inf)
+        best_id = np.full(len(px), -1, dtype=np.int64)
+        for lid, edges in lines:
+            d2 = np.full(len(px), np.inf)
+            for a, b in edges:
+                d2 = np.minimum(d2, PL.edge_distance2_batch(px, py, pz, a, b))
+            better = d2 < best_d2  # strict: earlier (smaller) id wins ties
+            best_d2 = np.where(better, d2, best_d2)
+            best_id = np.where(better, lid, best_id)
+        return pd.DataFrame({"line_id": best_id, "dist2": best_d2})
+
+    out = normalized_cols(points).withColumn(
+        "best", _closest(F.col("ux"), F.col("uy"), F.col("uz"))
+    )
+    return out.select(
+        "key",
+        F.col("best.line_id").alias("line_id"),
+        F.col("best.dist2").alias("dist2"),
+    )
+
+
+def closest_polyline_oracle_sql(upts_cte: str, edges_cte: str) -> str:
+    """DuckDB mirror: per (point, edge) the identical squared-chord
+    distance expression (as near_loop_sql), min per line, argmin per
+    point with (dist2, line_id) tie order."""
+    return f"""WITH {upts_cte},
+{edges_cte},
+ed AS (
+  SELECT line_id, ax, ay, az, bx, by, bz,
+         (ay-by)*(az+bz) - (az-bz)*(ay+by) AS scx,
+         (az-bz)*(ax+bx) - (ax-bx)*(az+bz) AS scy,
+         (ax-bx)*(ay+by) - (ay-by)*(ax+bx) AS scz,
+         ((ax-bx)*(ax-bx) + (ay-by)*(ay-by)) + (az-bz)*(az-bz) AS ab2
+  FROM loop_edges
+),
+ed2 AS (SELECT *, ((scx*scx + scy*scy) + scz*scz) AS c2 FROM ed),
+pair AS (
+  SELECT p.key, e.line_id,
+    ((p.ux-e.ax)*(p.ux-e.ax) + (p.uy-e.ay)*(p.uy-e.ay)) + (p.uz-e.az)*(p.uz-e.az) AS xa2,
+    ((p.ux-e.bx)*(p.ux-e.bx) + (p.uy-e.by)*(p.uy-e.by)) + (p.uz-e.bz)*(p.uz-e.bz) AS xb2,
+    ((p.ux*e.scx + p.uy*e.scy) + p.uz*e.scz) AS x_dot_c,
+    e.scy*p.uz - e.scz*p.uy AS cxx,
+    e.scz*p.ux - e.scx*p.uz AS cxy,
+    e.scx*p.uy - e.scy*p.ux AS cxz,
+    e.ax - p.ux AS dax, e.ay - p.uy AS day, e.az - p.uz AS daz,
+    e.bx - p.ux AS dbx, e.by - p.uy AS dby, e.bz - p.uz AS dbz,
+    e.ab2, e.c2
+  FROM upts p CROSS JOIN ed2 e
+),
+de AS (
+  SELECT key, line_id,
+    CASE WHEN abs(xa2 - xb2) < ab2 + (CAST('{repr(4.75 * 2.220446049250313e-16)}' AS DOUBLE)*((xa2 + xb2) + ab2) + CAST('{repr(8 * 2.220446049250313e-16 * 2.220446049250313e-16)}' AS DOUBLE))
+              AND ((dax*cxx + day*cxy) + daz*cxz) < 0
+              AND ((dbx*cxx + dby*cxy) + dbz*cxz) > 0
+         THEN (x_dot_c*x_dot_c/c2) + (1 - sqrt(((cxx*cxx + cxy*cxy) + cxz*cxz)/c2))*(1 - sqrt(((cxx*cxx + cxy*cxy) + cxz*cxz)/c2))
+         ELSE least(xa2, xb2) END AS d2
+  FROM pair
+)
+SELECT key, line_id, dist2 FROM (
+  SELECT key, line_id, MIN(d2) AS dist2,
+         row_number() OVER (PARTITION BY key ORDER BY MIN(d2), line_id) AS rn
+  FROM de GROUP BY key, line_id
+) WHERE rn = 1"""
+
+
 def hausdorff_oracle_sql(
     a_pts_cte: str, b_pts_cte: str, group_col: str = "grp"
 ) -> str:
