@@ -184,78 +184,66 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_polyline_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-polyline length/interpolate/project measures via grouped
-    Arrow kernel (rows-only check — trig-heavy)."""
+    Arrow kernel; oracle = driver-precomputed literal table."""
     _ensure_pkg(spark)
     import pandas as pd
 
+    from s2geometry_spark.functions import literal_oracle as LO
     from s2geometry_spark.operators import measures_op as MO
-    from s2geometry_spark.sources import regions_src as R
 
-    rows = []
-    for key in range(25):
-        for i, v in enumerate(R.polyline_vertices(key)):
-            rows.append((key, i, float(v[0]), float(v[1]), float(v[2])))
-    pdf = pd.DataFrame(rows, columns=["line_id", "vtx_idx", "x", "y", "z"])
+    pdf = pd.DataFrame(
+        LO.polyline_measure_vertices(),
+        columns=["line_id", "vtx_idx", "x", "y", "z"],
+    )
     return MO.polyline_measures(spark.createDataFrame(pdf))
 
 
 def q_region_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean ops (intersection/union/difference) between each loop
     and a tangent-shifted copy — arc-walk kernel distributed over
-    pairs; rows-only check (areas are trig-heavy)."""
+    pairs; oracle = driver-precomputed literal table."""
     _ensure_pkg(spark)
-    import numpy as np
     import pandas as pd
 
-    from s2geometry_spark.kernels import edges as KE
+    from s2geometry_spark.functions import literal_oracle as LO
     from s2geometry_spark.operators import measures_op as MO
-    from s2geometry_spark.sources import regions_src as R
 
-    rows = []
-    for key in range(25):
-        base = R.loop_vertices(key)
-        cx, cy, cz, _ = R.cap_params(key)
-        u = np.array(KE.ortho((cx, cy, cz)))
-        shifted = base + u[None, :] * (0.04 + 0.01 * (key % 3))
-        shifted = shifted / np.linalg.norm(shifted, axis=1)[:, None]
-        for which, verts in ((0, base), (1, shifted)):
-            for i, v in enumerate(verts):
-                rows.append(
-                    (key, which, i, float(v[0]), float(v[1]), float(v[2]))
-                )
     pdf = pd.DataFrame(
-        rows, columns=["pair_id", "which", "vtx_idx", "x", "y", "z"]
+        LO.boolean_pair_vertices(),
+        columns=["pair_id", "which", "vtx_idx", "x", "y", "z"],
     )
     return MO.boolean_pairs(spark.createDataFrame(pdf))
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image multimodal features: decode -> stats/edge-energy ->
-    thumbnail re-encode, one Arrow pass (rows-only check)."""
+    thumbnail re-encode, one Arrow pass.  Correctness projection keeps
+    the scalar stats (exact-integer-sum forms, mirrored in the SQL
+    oracle); the PNG thumbnail payload is gated by pytest round-trip
+    tests instead."""
     _ensure_pkg(spark)
     from s2geometry_spark.operators import image_features as IF
     from s2geometry_spark.sources import images as IMG
 
-    return IF.extract_features(IMG.image_table(spark, N_IMAGES))
+    return IF.extract_features(IMG.image_table(spark, N_IMAGES)).select(
+        "image_id", "w", "h", "mean_r", "mean_g", "mean_b", "mean_gray",
+        "std_gray", "edge_energy", "phash_check",
+    )
 
 
 def q_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW vertex alignment between each deterministic polyline and its
-    perpendicular twin (grouped Arrow DP kernel; rows-only check)."""
+    perpendicular twin (grouped Arrow DP kernel; oracle = driver-
+    precomputed literal table)."""
     _ensure_pkg(spark)
     import pandas as pd
 
+    from s2geometry_spark.functions import literal_oracle as LO
     from s2geometry_spark.operators import measures_op as MO
-    from s2geometry_spark.sources import regions_src as R
 
-    rows = []
-    for variant in (0, 1):
-        for key in range(25):
-            verts = R.polyline_vertices(key, variant)
-            for i, v in enumerate(verts):
-                rows.append((key, variant, i, float(v[0]), float(v[1]), float(v[2])))
     pdf = pd.DataFrame(
-        rows, columns=["line_id", "which", "vtx_idx", "x", "y", "z"]
+        LO.dtw_pair_vertices(),
+        columns=["line_id", "which", "vtx_idx", "x", "y", "z"],
     )
     return MO.dtw_align_pairs(spark.createDataFrame(pdf))
 
@@ -436,14 +424,19 @@ def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tile_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile mosaic rasters (decode + compose + re-encode in Arrow
-    batches) with mean-color stats.  Rows-only check (binary payloads)."""
+    batches) with mean-color stats.  The full mosaic (including the PNG
+    raster) is still composed; the correctness projection keeps the
+    scalar columns, which the SQL oracle recomputes from independent
+    integer pixel sums + the recursive-CTE Hilbert tile derivation."""
     _ensure_pkg(spark)
     from s2geometry_spark.operators import mosaic as M
     from s2geometry_spark.sources import images as IMG
 
     imgs = IMG.image_table(spark, N_IMAGES)
     tiled = M.with_tiles(imgs, IMAGE_TILE_LEVEL)
-    return M.tile_mosaics(tiled)
+    return M.tile_mosaics(tiled).select(
+        "tile_id", "n_images", "mean_r", "mean_g", "mean_b"
+    )
 
 
 def q_tile_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
     if here not in sys.path:
         sys.path.insert(0, here)
     from s2geometry_spark.functions import duckdb_oracle as O
+    from s2geometry_spark.functions import literal_oracle as LO
     from s2geometry_spark.sources import points as P
     from s2geometry_spark.sources import regions_src as R
 
@@ -626,6 +620,20 @@ def oracle_sql() -> dict[str, str]:
             + pip_loop
             + ") GROUP BY region_id"
         ),
+        # driver-precomputed literal-table oracles (see
+        # s2geometry_spark/functions/literal_oracle.py for what each
+        # one independently recomputes vs takes as literals)
+        "s2_loop_measures": LO.loop_measures_sql(),
+        "s2_polyline_measures": LO.polyline_measures_sql(),
+        "s2_region_boolean": LO.region_boolean_sql(),
+        "s2_dtw_alignment": LO.dtw_alignment_sql(),
+        "s2_convex_hull_tile": LO.convex_hull_sql(LO.oracle_sf_dir()),
+        "s2_image_tile_counts": LO.image_tile_counts_sql(
+            N_IMAGES, IMAGE_TILE_LEVEL
+        ),
+        "s2_tile_mosaic": LO.tile_mosaic_sql(N_IMAGES, IMAGE_TILE_LEVEL),
+        "s2_tile_extents": LO.tile_extents_sql(N_IMAGES, IMAGE_TILE_LEVEL),
+        "img_features": LO.img_features_sql(N_IMAGES),
         "doc_token_stats": TX.token_stats_sql(),
         "doc_lang_id": TX.lang_id_sql(),
         "doc_fingerprints": TX.fingerprints_sql(),

@@ -1,0 +1,495 @@
+"""Driver-precomputed literal-table oracles for queries whose kernels
+are not directly SQL-expressible (order-dependent trig sums, codecs,
+tessellation, exact-predicate hulls).
+
+The correctness contract these provide: the *distributed* Spark result
+must match, bit for bit, the same deterministic computation run once on
+the driver (plus — where cheap — an independent SQL recomputation, e.g.
+the image tile oracles re-derive every cell id through the DuckDB
+recursive-CTE Hilbert pipeline of functions/duckdb_oracle.py and only
+take the raw (x, y, z) / integer pixel sums as literals).  Float
+literals are emitted with repr() (shortest round-trip) and CAST from
+string, so DuckDB reconstructs the exact IEEE-754 bits.
+
+Kernels referenced: S2LoopMeasures.cs, S2Polyline.cs,
+S2PolylineAlignment.cs, S2ConvexHullQuery.cs, S2EdgeTessellator.cs (see
+the individual kernel modules for file:line citations).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+DEFAULT_ORACLE_SF = "/root/testdata/sf0.01"
+
+
+def oracle_sf_dir() -> str:
+    """The sf dir the driver's correctness gate reads (sf0.01 per the
+    driver contract); tests override via SPARK_GRAFT_ORACLE_SF."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF") or DEFAULT_ORACLE_SF
+
+
+# ---------------------------------------------------------------------
+# VALUES emission
+# ---------------------------------------------------------------------
+
+def fmt_value(v, typ: str) -> str:
+    if typ == "DOUBLE":
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+    if typ == "BIGINT":
+        return f"CAST({int(v)} AS BIGINT)"
+    if typ == "INT":
+        return f"CAST({int(v)} AS INT)"
+    if typ == "BOOLEAN":
+        return "TRUE" if v else "FALSE"
+    if typ == "VARCHAR":
+        return "'" + str(v).replace("'", "''") + "'"
+    raise ValueError(f"unsupported literal type {typ}")
+
+
+def values_sql(rows, cols) -> str:
+    """rows: iterable of tuples; cols: [(name, TYPE)] -> full SELECT."""
+    cols = list(cols)
+    body = ",\n".join(
+        "(" + ",".join(fmt_value(v, t) for v, (_, t) in zip(r, cols)) + ")"
+        for r in rows
+    )
+    names = ", ".join(n for n, _ in cols)
+    return f"SELECT * FROM (VALUES\n{body}\n) AS t({names})"
+
+
+def values_cte(rows, cols, name: str) -> str:
+    cols = list(cols)
+    body = ",".join(
+        "(" + ",".join(fmt_value(v, t) for v, (_, t) in zip(r, cols)) + ")"
+        for r in rows
+    )
+    names = ", ".join(n for n, _ in cols)
+    return f"{name}({names}) AS (SELECT * FROM (VALUES {body}))"
+
+
+# ---------------------------------------------------------------------
+# Shared input builders (single source of truth for the Spark queries
+# in __spark_entry__ and the driver-side expected computations here)
+# ---------------------------------------------------------------------
+
+def boolean_pair_vertices() -> list[tuple]:
+    """(pair_id, which, vtx_idx, x, y, z) rows: each loop paired with a
+    tangent-shifted copy of itself."""
+    from ..kernels import edges as KE
+    from ..sources import regions_src as R
+
+    rows = []
+    for key in range(25):
+        base = R.loop_vertices(key)
+        cx, cy, cz, _ = R.cap_params(key)
+        u = np.array(KE.ortho((cx, cy, cz)))
+        shifted = base + u[None, :] * (0.04 + 0.01 * (key % 3))
+        shifted = shifted / np.linalg.norm(shifted, axis=1)[:, None]
+        for which, verts in ((0, base), (1, shifted)):
+            for i, v in enumerate(verts):
+                rows.append((key, which, i, float(v[0]), float(v[1]), float(v[2])))
+    return rows
+
+
+def dtw_pair_vertices() -> list[tuple]:
+    """(line_id, which, vtx_idx, x, y, z) rows for the DTW query."""
+    from ..sources import regions_src as R
+
+    rows = []
+    for variant in (0, 1):
+        for key in range(25):
+            for i, v in enumerate(R.polyline_vertices(key, variant)):
+                rows.append((key, variant, i, float(v[0]), float(v[1]), float(v[2])))
+    return rows
+
+
+def polyline_measure_vertices() -> list[tuple]:
+    """(line_id, vtx_idx, x, y, z) rows for the polyline-measures query."""
+    from ..sources import regions_src as R
+
+    rows = []
+    for key in range(25):
+        for i, v in enumerate(R.polyline_vertices(key)):
+            rows.append((key, i, float(v[0]), float(v[1]), float(v[2])))
+    return rows
+
+
+# ---------------------------------------------------------------------
+# Expected-row computations (driver-side mirrors of the grouped Arrow
+# kernels in operators/measures_op.py)
+# ---------------------------------------------------------------------
+
+@lru_cache(maxsize=1)
+def loop_measures_sql() -> str:
+    from ..kernels import measures as M
+    from ..sources import regions_src as R
+
+    out = []
+    for rid, lp in R.synthetic_loops(range(25)):
+        verts = np.array(
+            [[float(v[0]), float(v[1]), float(v[2])] for v in np.asarray(lp.verts)]
+        )
+        cen = M.loop_centroid(verts)
+        out.append(
+            (
+                rid,
+                M.loop_area(verts),
+                M.loop_signed_area(verts),
+                M.loop_perimeter(verts),
+                M.loop_curvature(verts),
+                cen[0],
+                cen[1],
+                cen[2],
+            )
+        )
+    return values_sql(
+        out,
+        [
+            ("region_id", "BIGINT"),
+            ("area", "DOUBLE"),
+            ("signed_area", "DOUBLE"),
+            ("perimeter", "DOUBLE"),
+            ("curvature", "DOUBLE"),
+            ("centroid_x", "DOUBLE"),
+            ("centroid_y", "DOUBLE"),
+            ("centroid_z", "DOUBLE"),
+        ],
+    )
+
+
+@lru_cache(maxsize=1)
+def polyline_measures_sql(probe=(0.0, 0.0, 1.0)) -> str:
+    from ..kernels import polyline as PL
+
+    byline: dict[int, list] = {}
+    for lid, _idx, x, y, z in polyline_measure_vertices():
+        byline.setdefault(lid, []).append((x, y, z))
+    out = []
+    for lid in sorted(byline):
+        pl = PL.Polyline(np.asarray(byline[lid], dtype=np.float64))
+        mid, nv = pl.interpolate(0.5)
+        closest, _ = pl.project(probe)
+        d = tuple(probe[i] - closest[i] for i in range(3))
+        out.append(
+            (
+                lid,
+                pl.length(),
+                mid[0],
+                mid[1],
+                mid[2],
+                pl.uninterpolate(mid, nv),
+                (d[0] * d[0] + d[1] * d[1]) + d[2] * d[2],
+            )
+        )
+    return values_sql(
+        out,
+        [
+            ("line_id", "BIGINT"),
+            ("length", "DOUBLE"),
+            ("mid_x", "DOUBLE"),
+            ("mid_y", "DOUBLE"),
+            ("mid_z", "DOUBLE"),
+            ("mid_frac_back", "DOUBLE"),
+            ("proj_dist2", "DOUBLE"),
+        ],
+    )
+
+
+@lru_cache(maxsize=1)
+def region_boolean_sql() -> str:
+    from ..kernels import boolop as B
+    from ..kernels import measures as M
+    from ..kernels.loop import Loop
+
+    pdf = pd.DataFrame(
+        boolean_pair_vertices(),
+        columns=["pair_id", "which", "vtx_idx", "x", "y", "z"],
+    )
+    out = []
+    for pid, grp in pdf.groupby("pair_id"):
+        grp = grp.sort_values(["which", "vtx_idx"])
+        a = Loop(grp[grp["which"] == 0][["x", "y", "z"]].to_numpy())
+        b = Loop(grp[grp["which"] == 1][["x", "y", "z"]].to_numpy())
+        for op in ("intersection", "union", "difference"):
+            rings = B.loop_boolean(a, b, op)
+            if op == "difference" and len(rings) == 2:
+                area = M.loop_area(rings[0]) - M.loop_area(rings[1])
+            else:
+                area = sum(M.loop_area(r) for r in rings)
+            out.append((int(pid), op, len(rings), area))
+    return values_sql(
+        out,
+        [
+            ("pair_id", "BIGINT"),
+            ("op", "VARCHAR"),
+            ("n_rings", "INT"),
+            ("area", "DOUBLE"),
+        ],
+    )
+
+
+@lru_cache(maxsize=1)
+def dtw_alignment_sql() -> str:
+    from ..kernels import alignment as AL
+
+    pdf = pd.DataFrame(
+        dtw_pair_vertices(),
+        columns=["line_id", "which", "vtx_idx", "x", "y", "z"],
+    )
+    out = []
+    for lid, grp in pdf.groupby("line_id"):
+        grp = grp.sort_values(["which", "vtx_idx"])
+        a = grp[grp["which"] == 0][["x", "y", "z"]].to_numpy()
+        b = grp[grp["which"] == 1][["x", "y", "z"]].to_numpy()
+        cost, path = AL.alignment(a, b)
+        out.append((int(lid), cost, len(path)))
+    return values_sql(
+        out,
+        [("line_id", "BIGINT"), ("cost", "DOUBLE"), ("path_len", "INT")],
+    )
+
+
+@lru_cache(maxsize=4)
+def convex_hull_sql(sf_dir: str, level: int = 1) -> str:
+    """Expected per-tile customer hulls — mirrors q_convex_hull_tile +
+    operators.measures_op.group_convex_hull on the driver."""
+    import pyarrow.parquet as pq
+
+    from ..kernels import cellid as C
+    from ..kernels import hull as H
+    from ..sources import points as P
+
+    keys = (
+        pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .column("c_custkey")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    comps = {}
+    for axis in ("x", "y", "z"):
+        m, p = P.MUL[axis], P.MOD[axis]
+        comps[axis] = ((keys * m) % p).astype(np.float64) / (p / 2.0) - 1.0
+    cid = C.xyz_to_cellid(comps["x"], comps["y"], comps["z"])
+    grp = C.as_i64(C.parent(cid, level))
+    pdf = pd.DataFrame(
+        {"grp": grp, "x": comps["x"], "y": comps["y"], "z": comps["z"]}
+    )
+    out = []
+    for g, sub in pdf.groupby("grp"):
+        sub = sub.sort_values(["x", "y", "z"], kind="mergesort")
+        pts = sub[["x", "y", "z"]].to_numpy()
+        pts = pts / np.sqrt((pts * pts).sum(axis=1))[:, None]
+        hull = H.convex_hull(pts)
+        for i, v in enumerate(hull):
+            out.append((int(g), i, float(v[0]), float(v[1]), float(v[2])))
+    return values_sql(
+        out,
+        [
+            ("grp", "BIGINT"),
+            ("vtx_idx", "INT"),
+            ("x", "DOUBLE"),
+            ("y", "DOUBLE"),
+            ("z", "DOUBLE"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------
+# Image-table oracles: geotag (x, y, z) + integer pixel sums as
+# literals, cell ids re-derived through the independent DuckDB Hilbert
+# pipeline, float stats re-expressed as exact-integer divisions.
+# ---------------------------------------------------------------------
+
+@lru_cache(maxsize=2)
+def _image_rows(n: int):
+    from ..kernels import cellid as C
+    from ..kernels import coords
+    from ..sources import images as IMG
+
+    lat, lon = IMG.geotags(n)
+    x, y, z = coords.ll_to_xyz(lat, lon)
+    cid = C.as_i64(C.ll_to_cellid(lat, lon))  # driver-side leaf cells
+    sums = [IMG.pixel_sums(i) for i in range(n)]
+    return x, y, z, cid, sums
+
+
+def _image_pts_cte(n: int, with_sums: bool) -> str:
+    x, y, z, _cid, sums = _image_rows(n)
+    if with_sums:
+        rows = [
+            (
+                i,
+                x[i],
+                y[i],
+                z[i],
+                sums[i]["sr"],
+                sums[i]["sg"],
+                sums[i]["sb"],
+                sums[i]["w"] * sums[i]["h"],
+            )
+            for i in range(n)
+        ]
+        cols = [
+            ("key", "BIGINT"),
+            ("x", "DOUBLE"),
+            ("y", "DOUBLE"),
+            ("z", "DOUBLE"),
+            ("sr", "BIGINT"),
+            ("sg", "BIGINT"),
+            ("sb", "BIGINT"),
+            ("npx", "BIGINT"),
+        ]
+    else:
+        rows = [(i, x[i], y[i], z[i]) for i in range(n)]
+        cols = [
+            ("key", "BIGINT"),
+            ("x", "DOUBLE"),
+            ("y", "DOUBLE"),
+            ("z", "DOUBLE"),
+        ]
+    return values_cte(rows, cols, "pts")
+
+
+def image_tile_counts_sql(n: int, level: int) -> str:
+    """Tile histogram of the synthetic image table, with every cell id
+    re-derived via the independent recursive-CTE Hilbert pipeline."""
+    from . import duckdb_oracle as O
+
+    return (
+        "WITH RECURSIVE "
+        + O.lookup_values_sql()
+        + ", "
+        + _image_pts_cte(n, with_sums=False)
+        + ", "
+        + O.cellid_pipeline_ctes()
+        + f"\nSELECT {O.parent_sql('cell_id', level)} AS tile_id,"
+        " COUNT(*) AS n FROM cells GROUP BY 1"
+    )
+
+
+def tile_mosaic_sql(n: int, level: int, max_images_per_tile: int = 256) -> str:
+    """Per-tile image counts + exact per-channel pixel means (the
+    scalar columns of tile_mosaics; the PNG raster itself is gated by
+    pytest round-trip/PSNR tests)."""
+    from . import duckdb_oracle as O
+
+    # mirror the compose() cap: only the first `max_images_per_tile`
+    # images by image_id contribute (image_id order == index order)
+    x, y, z, cid, _sums = _image_rows(n)
+    from ..kernels import cellid as C
+
+    tiles = C.as_i64(C.parent(cid, level))
+    seen: dict[int, int] = {}
+    keep = np.zeros(n, dtype=bool)
+    for i in range(n):  # index order == image_id lexicographic order
+        t = int(tiles[i])
+        c = seen.get(t, 0)
+        if c < max_images_per_tile:
+            keep[i] = True
+            seen[t] = c + 1
+    cap_filter = ""
+    if not keep.all():
+        kept_keys = ",".join(str(i) for i in range(n) if keep[i])
+        cap_filter = f" WHERE p.key IN ({kept_keys})"
+    return (
+        "WITH RECURSIVE "
+        + O.lookup_values_sql()
+        + ", "
+        + _image_pts_cte(n, with_sums=True)
+        + ", "
+        + O.cellid_pipeline_ctes()
+        + f"""
+SELECT {O.parent_sql('c.cell_id', level)} AS tile_id,
+       COUNT(*) AS n_images,
+       CAST(SUM(p.sr) AS DOUBLE) / CAST(SUM(p.npx) AS DOUBLE) AS mean_r,
+       CAST(SUM(p.sg) AS DOUBLE) / CAST(SUM(p.npx) AS DOUBLE) AS mean_g,
+       CAST(SUM(p.sb) AS DOUBLE) / CAST(SUM(p.npx) AS DOUBLE) AS mean_b
+FROM cells c JOIN pts p ON p.key = c.key{cap_filter}
+GROUP BY 1"""
+    )
+
+
+def img_features_sql(n: int) -> str:
+    """Per-image feature stats from exact integer pixel sums computed
+    straight off the generation formula (codec-independent), with the
+    operator's float expressions mirrored term-for-term in SQL."""
+    from ..sources import images as IMG
+
+    rows = []
+    for i in range(n):
+        s = IMG.pixel_sums(i)
+        rows.append(
+            (
+                s["image_id"],
+                s["w"],
+                s["h"],
+                s["sr"],
+                s["sg"],
+                s["sb"],
+                s["s1"],
+                s["s2"],
+                s["eh"],
+                s["ev"],
+                s["phash_check"],
+            )
+        )
+    cols = [
+        ("image_id", "VARCHAR"),
+        ("w", "INT"),
+        ("h", "INT"),
+        ("sr", "BIGINT"),
+        ("sg", "BIGINT"),
+        ("sb", "BIGINT"),
+        ("s1", "BIGINT"),
+        ("s2", "BIGINT"),
+        ("eh", "BIGINT"),
+        ("ev", "BIGINT"),
+        ("phash_check", "BOOLEAN"),
+    ]
+    base = values_cte(rows, cols, "raw")
+    return f"""WITH {base},
+m AS (
+  SELECT *, w * h AS n, s1 / (3.0 * (w * h)) AS mean_gray FROM raw
+)
+SELECT image_id, w, h,
+       sr / CAST(n AS DOUBLE) AS mean_r,
+       sg / CAST(n AS DOUBLE) AS mean_g,
+       sb / CAST(n AS DOUBLE) AS mean_b,
+       mean_gray,
+       CASE WHEN s2 / (9.0 * n) - mean_gray * mean_gray > 0
+            THEN sqrt(s2 / (9.0 * n) - mean_gray * mean_gray)
+            ELSE 0.0 END AS std_gray,
+       (CASE WHEN w > 1 THEN eh / (3.0 * (w - 1) * h) ELSE 0.0 END)
+     + (CASE WHEN h > 1 THEN ev / (3.0 * (h - 1) * w) ELSE 0.0 END)
+       AS edge_energy,
+       phash_check
+FROM m"""
+
+
+@lru_cache(maxsize=2)
+def tile_extents_sql(n: int, level: int) -> str:
+    """Expected exploded extent rings for every distinct tile of the
+    image table — same scalar tessellation kernel run on the driver."""
+    from ..kernels import cellid as C
+    from ..operators.mosaic import tile_extent_ring
+
+    _x, _y, _z, cid, _sums = _image_rows(n)
+    tiles = sorted(set(int(t) for t in C.as_i64(C.parent(cid, level))))
+    out = []
+    for t in tiles:
+        for i, (px, py) in enumerate(tile_extent_ring(t)):
+            out.append((t, i, px, py))
+    return values_sql(
+        out,
+        [
+            ("tile_id", "BIGINT"),
+            ("ring_idx", "INT"),
+            ("x", "DOUBLE"),
+            ("y", "DOUBLE"),
+        ],
+    )

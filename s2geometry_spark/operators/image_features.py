@@ -12,6 +12,7 @@ a real image library touches only kernels/png.py, not this plumbing.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -29,6 +30,7 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("mean_r", T.DoubleType(), False),
         T.StructField("mean_g", T.DoubleType(), False),
         T.StructField("mean_b", T.DoubleType(), False),
+        T.StructField("mean_gray", T.DoubleType(), False),
         T.StructField("std_gray", T.DoubleType(), False),
         T.StructField("edge_energy", T.DoubleType(), False),
         T.StructField("phash_check", T.BooleanType(), False),
@@ -48,13 +50,21 @@ def extract_features(images: DataFrame, thumb_size: int = 8) -> DataFrame:
             for _, row in pdf.iterrows():
                 rgb = PNG.decode_image(bytes(row["bytes"]), row["fmt"])
                 h, w = rgb.shape[:2]
-                flat = rgb.reshape(-1, 3).astype(np.float64)
-                mean = flat.mean(axis=0)
-                gray = flat.mean(axis=1)
-                gm = gray.reshape(h, w)
-                # simple gradient magnitude (edge energy)
-                gx = np.abs(np.diff(gm, axis=1)).mean() if w > 1 else 0.0
-                gy = np.abs(np.diff(gm, axis=0)).mean() if h > 1 else 0.0
+                n = w * h
+                px = rgb.astype(np.int64)
+                # all stats derive from exact integer sums so the same
+                # float expressions are reproducible in the SQL oracle
+                # (sums < 2^53: order-independent, bitwise-deterministic)
+                s = px.sum(axis=2)  # per-pixel gray*3, integer
+                s1 = int(s.sum())
+                s2 = int((s * s).sum())
+                eh = int(np.abs(np.diff(s, axis=1)).sum()) if w > 1 else 0
+                ev = int(np.abs(np.diff(s, axis=0)).sum()) if h > 1 else 0
+                mean_gray = s1 / (3.0 * n)
+                var = s2 / (9.0 * n) - mean_gray * mean_gray
+                edge = (eh / (3.0 * (w - 1) * h) if w > 1 else 0.0) + (
+                    ev / (3.0 * (h - 1) * w) if h > 1 else 0.0
+                )
                 # box-resample thumbnail
                 yi = (np.arange(thumb_size) * h) // thumb_size
                 xi = (np.arange(thumb_size) * w) // thumb_size
@@ -64,11 +74,12 @@ def extract_features(images: DataFrame, thumb_size: int = 8) -> DataFrame:
                         "image_id": row["image_id"],
                         "w": w,
                         "h": h,
-                        "mean_r": mean[0],
-                        "mean_g": mean[1],
-                        "mean_b": mean[2],
-                        "std_gray": float(gray.std()),
-                        "edge_energy": float(gx + gy),
+                        "mean_r": int(px[:, :, 0].sum()) / n,
+                        "mean_g": int(px[:, :, 1].sum()) / n,
+                        "mean_b": int(px[:, :, 2].sum()) / n,
+                        "mean_gray": mean_gray,
+                        "std_gray": math.sqrt(var) if var > 0 else 0.0,
+                        "edge_energy": edge,
                         "phash_check": PNG.phash64(rgb.tobytes())
                         == int(row["phash"]),
                         "thumb": PNG.encode_png(thumb.astype(np.uint8)),

@@ -209,6 +209,10 @@ def group_convex_hull(points: DataFrame, group_col: str = "grp") -> DataFrame:
         from ..kernels import hull as H
 
         (g,) = key
+        # canonical point order: shuffle arrival order is arbitrary, and
+        # the hull's starting vertex (cap-bound -> origin choice) depends
+        # on it — sort so output vtx_idx labels are deterministic
+        pdf = pdf.sort_values(["x", "y", "z"], kind="mergesort")
         pts = pdf[["x", "y", "z"]].to_numpy()
         pts = pts / np.sqrt((pts * pts).sum(axis=1))[:, None]
         hull = H.convex_hull(pts)

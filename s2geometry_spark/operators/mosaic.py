@@ -107,50 +107,65 @@ def tile_mosaics(
     )
 
 
-EXTENT_SCHEMA = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("x", T.DoubleType(), False),
-            T.StructField("y", T.DoubleType(), False),
-        ]
-    )
+EXTENT_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_id", T.LongType(), False),
+        T.StructField("ring_idx", T.IntegerType(), False),
+        T.StructField("x", T.DoubleType(), False),
+        T.StructField("y", T.DoubleType(), False),
+    ]
 )
 
 
-def tile_extent_udf(projection_name: str = "plate_carree", tolerance: float = 1e-4):
-    """pUDF: tile cell -> projected + tessellated boundary polygon
-    (closed ring of projected points) — the raster->vector extent."""
-    from pyspark.sql.functions import pandas_udf
+def tile_extent_ring(
+    cid: int, projection_name: str = "plate_carree", tolerance: float = 1e-4
+) -> list:
+    """One tile cell -> projected + tessellated closed boundary ring
+    [(x, y)...] — the raster->vector extent (pure kernel, shared by the
+    distributed operator and the driver-side literal oracle)."""
+    from ..kernels import projections as PR
+    from ..kernels.geom import Cell
 
-    @pandas_udf(EXTENT_SCHEMA)
-    def _extent(tile: pd.Series) -> pd.Series:
-        from ..kernels import projections as PR
-        from ..kernels.geom import Cell
-
-        proj = (
-            PR.PlateCarree() if projection_name == "plate_carree"
-            else PR.Mercator()
+    proj = (
+        PR.PlateCarree() if projection_name == "plate_carree"
+        else PR.Mercator()
+    )
+    cell = Cell(int(cid))
+    ring: list = []
+    verts = [np.asarray(cell.vertex(k)) for k in range(4)]
+    for k in range(4):
+        seg = PR.tessellate_projected(
+            verts[k], verts[(k + 1) % 4], proj, tolerance
         )
-        out = []
-        for cid in tile.tolist():
-            cell = Cell(int(cid))
-            ring: list = []
-            verts = [np.asarray(cell.vertex(k)) for k in range(4)]
-            for k in range(4):
-                seg = PR.tessellate_projected(
-                    verts[k], verts[(k + 1) % 4], proj, tolerance
-                )
-                ring.extend(seg[:-1] if k < 3 else seg)
-            out.append([{"x": float(x), "y": float(y)} for x, y in ring])
-        return pd.Series(out)
-
-    return _extent
+        ring.extend(seg[:-1] if k < 3 else seg)
+    return ring
 
 
 def tile_extents(
-    tiles: DataFrame, projection_name: str = "plate_carree"
+    tiles: DataFrame,
+    projection_name: str = "plate_carree",
+    tolerance: float = 1e-4,
 ) -> DataFrame:
-    ext = tile_extent_udf(projection_name)
-    return tiles.select(
-        "tile_id", ext(F.col("tile_id")).alias("extent")
-    )
+    """Tile rows -> exploded extent vertices (tile_id, ring_idx, x, y),
+    one row per tessellated ring vertex (scalar columns so results are
+    hashable / SQL-comparable downstream)."""
+
+    def run(batches):
+        for pdf in batches:
+            out_tid, out_idx, out_x, out_y = [], [], [], []
+            for cid in pdf["tile_id"].tolist():
+                ring = tile_extent_ring(cid, projection_name, tolerance)
+                out_tid.extend([int(cid)] * len(ring))
+                out_idx.extend(range(len(ring)))
+                out_x.extend(p[0] for p in ring)
+                out_y.extend(p[1] for p in ring)
+            yield pd.DataFrame(
+                {
+                    "tile_id": pd.Series(out_tid, dtype="int64"),
+                    "ring_idx": pd.Series(out_idx, dtype="int32"),
+                    "x": pd.Series(out_x, dtype="float64"),
+                    "y": pd.Series(out_y, dtype="float64"),
+                }
+            )
+
+    return tiles.select("tile_id").mapInPandas(run, schema=EXTENT_SCHEMA)

@@ -96,6 +96,57 @@ def row_record(i: int) -> dict:
     }
 
 
+def geotags(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (lat, lon) for rows 0..n-1 — bitwise identical to
+    row_record (same integer derivation, same IEEE divisions).  Used by
+    the driver-side literal oracle so the DuckDB correctness check can
+    recompute cell ids independently from the same geotags."""
+    g = _mix64(np.arange(n, dtype=np.uint64) + np.uint64(1 << 40))
+    hot = (g % np.uint64(5)) == 0
+    hs = np.array(HOTSPOTS, dtype=np.float64)
+    hs_idx = (g % np.uint64(len(HOTSPOTS))).astype(np.int64)
+    lat_hot = hs[hs_idx, 0] + (
+        ((g >> np.uint64(16)) % np.uint64(2001)).astype(np.float64) - 1000.0
+    ) / 1000.0
+    lon_hot = hs[hs_idx, 1] + (
+        ((g >> np.uint64(32)) % np.uint64(2001)).astype(np.float64) - 1000.0
+    ) / 1000.0
+    lat_uni = ((g >> np.uint64(8)) % np.uint64(1798000)).astype(np.float64) / 10000.0 - 89.9
+    lon_uni = ((g >> np.uint64(24)) % np.uint64(3600000)).astype(np.float64) / 10000.0 - 180.0
+    return np.where(hot, lat_hot, lat_uni), np.where(hot, lon_hot, lon_uni)
+
+
+def pixel_sums(i: int) -> dict:
+    """Integer pixel statistics of the *decoded* image for row i,
+    computed straight from the generation formula (independent of the
+    PNG/fake-jpeg codec): channel sums, gray-sum moments, edge-energy
+    sums, and the phash round-trip check.  All values are exact ints,
+    so a SQL oracle can reproduce the operator's float stats bitwise."""
+    seed = int(_mix64(np.array([i], dtype=np.uint64))[0])
+    w = 16 + (seed % 49)
+    h = 16 + ((seed >> 8) % 49)
+    fmt = "png" if i % 4 else "jpeg"
+    stream = _mix64(np.arange(w * h * 3, dtype=np.uint64) + np.uint64(seed))
+    rgb = (stream & np.uint64(0xFF)).astype(np.uint8).reshape(h, w, 3)
+    dec = rgb if fmt == "png" else (rgb & 0xFC)
+    px = dec.astype(np.int64)
+    s = px.sum(axis=2)
+    return {
+        "image_id": f"img{i:012d}",
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "sr": int(px[:, :, 0].sum()),
+        "sg": int(px[:, :, 1].sum()),
+        "sb": int(px[:, :, 2].sum()),
+        "s1": int(s.sum()),
+        "s2": int((s * s).sum()),
+        "eh": int(np.abs(np.diff(s, axis=1)).sum()) if w > 1 else 0,
+        "ev": int(np.abs(np.diff(s, axis=0)).sum()) if h > 1 else 0,
+        "phash_check": PNG.phash64(dec.tobytes()) == PNG.phash64(rgb.tobytes()),
+    }
+
+
 def image_table(spark: SparkSession, n: int, partitions: int = 0) -> DataFrame:
     """Distributed deterministic image table of n rows."""
     parts = partitions or max(4, spark.sparkContext.defaultParallelism)

@@ -9,6 +9,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
+# sf-dependent literal oracles (convex hull) must be built against the
+# same sf dir the tests run at (the driver's gate uses its sf0.01
+# default)
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", SF_DIR)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -139,16 +139,22 @@ class TestMosaics:
         tiles = tiled.select("tile_id").distinct().limit(5)
         exts = M.tile_extents(tiles).collect()
         proj = PR.PlateCarree()
+        rings: dict = {}
         for r in exts:
-            ring = r["extent"]
+            rings.setdefault(int(r["tile_id"]), []).append(
+                (int(r["ring_idx"]), (r["x"], r["y"]))
+            )
+        assert len(rings) == 5
+        for tid, pts in rings.items():
+            ring = [xy for _, xy in sorted(pts)]
             assert len(ring) >= 5  # 4 corners + closure, tessellated
-            cell = Cell(int(r["tile_id"]))
+            cell = Cell(tid)
             # each ring point unprojects to within the cell's cap bound
             # slightly expanded (points lie ON the boundary; the
             # project/unproject round trip adds ~1e-12 noise)
             cap = cell.get_cap_bound().expanded(1e-9)
             for pt in ring:
-                lat, lng = proj.unproject(np.array([pt["x"]]), np.array([pt["y"]]))
+                lat, lng = proj.unproject(np.array([pt[0]]), np.array([pt[1]]))
                 la, lo = float(lat[0]), float(lng[0])
                 c = math.cos(la)
                 p = (math.cos(lo) * c, math.sin(lo) * c, math.sin(la))
