@@ -328,6 +328,40 @@ def q_pip_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SJ.point_in_loop_join(spark, pts, R.synthetic_polygons(range(25)))
 
 
+FRACTAL_REGIONS = 8
+FRACTAL_VERTICES = 512
+
+
+def _fractal_loops_cached():
+    import functools
+
+    @functools.lru_cache(maxsize=1)
+    def build():
+        from s2geometry_spark.sources import regions_src as R
+
+        return R.fractal_loops(range(FRACTAL_REGIONS), FRACTAL_VERTICES)
+
+    return build()
+
+
+def q_pip_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join via the distributed shape index
+    (MutableS2ShapeIndex/S2ContainsPointQuery semantics): candidates
+    from the index-cell equi-join, refine against only the candidate
+    cell's clipped edges anchored at the cell center — O(edges-in-cell)
+    per point instead of O(all edges), the big-polygon scale path."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import shape_index as SI
+    from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.sources import points as P
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = T.assign_cellids(
+        P.with_xyz(cust.select(F.col("c_custkey").alias("key")))
+    )
+    return SI.point_in_loop_index_join(spark, pts, _fractal_loops_cached())
+
+
 def q_knn_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k nearest supplier points per order point — cell-ring-expansion
     kNN join (S2ClosestPointQuery semantics)."""
@@ -467,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_loop_join": q_pip_loop_join,
         "s2_pip_loop_count": q_pip_loop_count,
         "s2_pip_polygon_join": q_pip_polygon_join,
+        "s2_pip_index_join": q_pip_index_join,
         "s2_knn_supplier": q_knn_supplier,
         "s2_hausdorff_nation": q_hausdorff_nation,
         "s2_closest_polyline": q_closest_polyline,
@@ -613,6 +648,11 @@ def oracle_sql() -> dict[str, str]:
         "s2_pip_polygon_join": O.pip_loop_sql(
             pts,
             R.loop_edges_sql_values(R.synthetic_polygons(range(25))),
+        ),
+        # shape-index join must equal the brute-force all-edges result
+        "s2_pip_index_join": O.pip_loop_sql(
+            P.xyz_sql_cte("customer", "c_custkey"),
+            R.loop_edges_sql_values(_fractal_loops_cached()),
         ),
         "s2_pip_loop_join": pip_loop,
         "s2_pip_loop_count": (

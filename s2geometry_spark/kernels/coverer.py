@@ -137,7 +137,12 @@ class RegionCoverer:
             candidate.is_terminal = True
             self._add_candidate(candidate, region)
         else:
-            priority = -(
+            # Refine the largest cells first; among equal sizes prefer
+            # fewer children, then fewer terminal children
+            # (S2RegionCoverer.cs:412-421 heuristic; the C++ original's
+            # max-heap over negated priorities — heapq is a min-heap, so
+            # the priority is positive here).
+            priority = (
                 (((candidate.cell.level << shift) + len(candidate.children)) << shift)
                 + num_terminals
             )

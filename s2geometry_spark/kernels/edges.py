@@ -243,13 +243,19 @@ def crossing_parity_fast(
 
 
 def crossing_parity_fast_edges(
-    edges, px: np.ndarray, py: np.ndarray, pz: np.ndarray
+    edges, px: np.ndarray, py: np.ndarray, pz: np.ndarray, origin=ORIGIN
 ) -> np.ndarray:
     """Like crossing_parity_fast but over an explicit edge list
     [(c, d), ...] — supports multi-loop polygons (all rings' edges
     concatenated; the parity of the total crossing count against a
-    loop *set* is the polygon winding parity, S2Polygon.cs:1757-1780)."""
-    ax, ay, az = ORIGIN
+    loop *set* is the polygon winding parity, S2Polygon.cs:1757-1780).
+
+    ``origin`` is the parity anchor: the fixed reference ORIGIN for
+    whole-loop containment, or an index-cell center for the shape-index
+    refine (S2ContainsPointQuery semantics: the geodesic center->P
+    stays inside the convex cell, so only the cell's clipped edges can
+    cross it)."""
+    ax, ay, az = origin
     # A x B for all points (B = P)
     nx = ay * pz - az * py
     ny = az * px - ax * pz
@@ -308,18 +314,55 @@ def crossing_fast_batch(
 
 
 def crossing_parity_robust(verts: np.ndarray, points: np.ndarray) -> np.ndarray:
-    """Parity of EdgeOrVertexCrossing of (ORIGIN -> P) vs the loop chain,
-    scalar robust predicates per (point, edge).  Points must be unit
-    length (reference requires unit inputs for its error bounds)."""
+    """Parity of EdgeOrVertexCrossing of (ORIGIN -> P) vs the loop chain.
+
+    Vectorized triage over the edge axis (the four determinant signs of
+    S2EdgeCrosser, each guarded by the reference's kMaxDetError bound);
+    only edges where some determinant is within the error bound — or
+    that share a vertex with P — fall back to the scalar robust
+    predicate (exact + symbolic, edge_or_vertex_crossing).  Points must
+    be unit length (the reference's error bound assumes unit inputs)."""
     a = ORIGIN
-    out = np.zeros(len(points), dtype=np.int64)
+    m = len(points)
+    out = np.zeros(m, dtype=np.int64)
     n = len(verts)
-    vt = [tuple(float(x) for x in v) for v in verts]
-    for i, p in enumerate(points):
-        b = (float(p[0]), float(p[1]), float(p[2]))
-        par = 0
-        for k in range(n):
-            if edge_or_vertex_crossing(a, b, vt[k], vt[(k + 1) % n]):
+    c = np.asarray(verts, dtype=np.float64)
+    d = np.roll(c, -1, axis=0)
+    # per-edge constants: C x D and (C x D) . A
+    cd = np.cross(c, d)
+    det_a = cd @ np.asarray(a)
+    s_a = np.where(np.abs(det_a) > MAX_DET_ERROR, np.sign(det_a), 0.0)
+    pts = np.asarray(points, dtype=np.float64)
+
+    def vt(k):  # scalar-fallback vertices, built on demand (rare)
+        v = c[k % n]
+        return (float(v[0]), float(v[1]), float(v[2]))
+    for i in range(m):
+        b = (float(pts[i, 0]), float(pts[i, 1]), float(pts[i, 2]))
+        nv = np.asarray(cross(a, b))
+        det_c = c @ nv
+        det_d = d @ nv
+        det_b = cd @ pts[i]
+        s_c = np.where(np.abs(det_c) > MAX_DET_ERROR, np.sign(det_c), 0.0)
+        s_d = np.where(np.abs(det_d) > MAX_DET_ERROR, np.sign(det_d), 0.0)
+        s_b = np.where(np.abs(det_b) > MAX_DET_ERROR, np.sign(det_b), 0.0)
+        shared = ((c == pts[i]).all(axis=1)) | ((d == pts[i]).all(axis=1))
+        uncertain = shared | (
+            ((s_c == 0) | (s_d == 0) | ((s_b == 0) | (s_a == 0)))
+            # only edges not already certainly-non-crossing need the
+            # extra signs: same certain side of A x B -> no crossing
+            & ~((s_c == s_d) & (s_c != 0))
+        )
+        crossed = (
+            (s_c != 0)
+            & (s_d == -s_c)
+            & (s_b == s_c)
+            & (s_a == -s_c)
+            & ~uncertain
+        )
+        par = int(np.bitwise_xor.reduce(crossed.astype(np.int64))) if n else 0
+        for k in np.flatnonzero(uncertain):
+            if edge_or_vertex_crossing(a, b, vt(k), vt(k + 1)):
                 par ^= 1
         out[i] = par
     return out

@@ -168,6 +168,12 @@ class Loop(Region):
             for v in (verts[k], verts[(k + 1) % n]):
                 rb.add_point((float(v[0]), float(v[1]), float(v[2])))
             self._edge_bounds.append(rb.get_bound())
+        # columnar copies for the vectorized per-cell edge test (the
+        # O(edges) any() loop is the coverer hot path for big loops)
+        self._eb_lat_lo = np.array([b.lat.lo for b in self._edge_bounds])
+        self._eb_lat_hi = np.array([b.lat.hi for b in self._edge_bounds])
+        self._eb_lng_lo = np.array([b.lng.lo for b in self._edge_bounds])
+        self._eb_lng_hi = np.array([b.lng.hi for b in self._edge_bounds])
 
     @property
     def edges(self) -> list:
@@ -205,10 +211,33 @@ class Loop(Region):
     def get_cap_bound(self) -> Cap:
         return self.bound.get_cap_bound()
 
-    def _boundary_may_intersect(self, cell_bound: LatLngRect) -> bool:
-        return any(
-            eb.intersects_rect(cell_bound) for eb in self._edge_bounds
+    def edges_intersecting_rect(self, rect: LatLngRect) -> np.ndarray:
+        """Boolean mask over edges whose conservative rect bound
+        intersects `rect` — vectorized S1Interval/R1Interval
+        intersection (superset of the edges that truly intersect any
+        region inside `rect`, e.g. an S2 cell)."""
+        if rect.is_empty():
+            return np.zeros(len(self._eb_lat_lo), dtype=bool)
+        lat_ok = (self._eb_lat_lo <= rect.lat.hi) & (
+            rect.lat.lo <= self._eb_lat_hi
         )
+        # S1Interval.intersects with scalar y = rect.lng (edge lng
+        # intervals are never empty; handle inverted on either side)
+        inv_x = self._eb_lng_lo > self._eb_lng_hi
+        ylo, yhi = rect.lng.lo, rect.lng.hi
+        overlap = (ylo <= self._eb_lng_hi) | (yhi >= self._eb_lng_lo)
+        if ylo > yhi:  # y inverted
+            lng_ok = overlap | inv_x
+        else:
+            lng_ok = np.where(
+                inv_x,
+                overlap,
+                (ylo <= self._eb_lng_hi) & (yhi >= self._eb_lng_lo),
+            )
+        return lat_ok & lng_ok
+
+    def _boundary_may_intersect(self, cell_bound: LatLngRect) -> bool:
+        return bool(self.edges_intersecting_rect(cell_bound).any())
 
     def may_intersect_cell(self, cell: Cell) -> bool:
         cb = cell.get_rect_bound()

@@ -112,6 +112,48 @@ def loop_edges_sql_values(regions, name: str = "loop_edges") -> str:
     )
 
 
+def fractal_loop_vertices(key: int, n_vertices: int = 512):
+    """Deterministic high-vertex-count simple loop: a star-shaped
+    (radial-function) ring around the key's cap center whose radius
+    wiggles with several harmonics — the synthetic stand-in for
+    S2Testing.MakeFractal (Utils/S2Testing.cs:506) used to exercise the
+    shape-index refine on many-edge polygons.  Radial polygons are
+    always simple (no self-intersection) at any vertex count."""
+    import numpy as np
+
+    from ..kernels import edges as E
+
+    cx, cy, cz, _ = cap_params(key)
+    c = np.array([cx, cy, cz])
+    u = np.array(E.ortho((cx, cy, cz)))
+    v = np.cross(c, u)
+    base = 0.05 + (key % 9) * 0.02
+    th = 2 * np.pi * np.arange(n_vertices) / n_vertices
+    r = base * (
+        1.0
+        + 0.35 * np.sin(7 * th + key)
+        + 0.2 * np.sin(13 * th + 2 * key)
+        + 0.1 * np.sin(29 * th + 3 * key)
+    )
+    pts = (
+        np.cos(r)[:, None] * c[None, :]
+        + np.sin(r)[:, None]
+        * (np.cos(th)[:, None] * u[None, :] + np.sin(th)[:, None] * v[None, :])
+    )
+    pts /= np.linalg.norm(pts, axis=1)[:, None]
+    return pts.astype(np.float64)
+
+
+def fractal_loops(keys, n_vertices: int = 512) -> list[tuple[int, "object"]]:
+    """(key, Loop) pairs with `n_vertices` vertices each (CCW,
+    center-containing)."""
+    from ..kernels.loop import Loop
+
+    return [
+        (int(k), Loop(fractal_loop_vertices(int(k), n_vertices))) for k in keys
+    ]
+
+
 def synthetic_polygons(keys) -> list[tuple[int, "object"]]:
     """(key, Polygon) pairs: the key's loop as shell + a concentric
     ring at 40% radius as a hole (proper nesting; containment is the
