@@ -273,7 +273,7 @@ def q_crossing_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.sources import regions_src as R
 
     ea = R.polyline_edges(range(25), variant=0)
-    eb = R.polyline_edges(range(25), variant=1)
+    eb = R.polyline_edges(range(25), variant=2)
     max_rad = max(CR.max_edge_radians(ea), CR.max_edge_radians(eb))
     return CR.crossing_edges_join(
         spark, CR.edges_df(spark, ea), CR.edges_df(spark, eb), max_rad
@@ -598,7 +598,7 @@ def oracle_sql() -> dict[str, str]:
 
     crossing_sql = CR.crossing_pairs_sql(
         R.polyline_edges_sql_values(R.polyline_edges(range(25), 0), "ea"),
-        R.polyline_edges_sql_values(R.polyline_edges(range(25), 1), "eb"),
+        R.polyline_edges_sql_values(R.polyline_edges(range(25), 2), "eb"),
     )
     hausdorff_sql = hausdorff_oracle_sql(
         P.xyz_grp_sql_cte("customer", "c_custkey", "c_nationkey", name="apts"),

@@ -37,35 +37,148 @@ def _normalize(v):
     return (v[0] / n, v[1] / n, v[2] / n)
 
 
-def edge_intersection(a0, a1, b0, b1):
-    """Intersection point of two crossing geodesic segments (requires
-    CrossingSign > 0).
+# S2EdgeCrossings.cs:16-50 error model (this port sets DBL_ERR = eps)
+DBL_ERR = E.DBL_EPS
+TT_ERR = DBL_ERR
+_SQRT3 = 1.7320508075688772935274463415058
+INTERSECTION_ERROR = 8 * DBL_ERR
+_DBL_MIN_NORM = 2.2250738585072014e-308  # smallest normalized double
 
-    Stable interpolation form (the GetIntersectionStable idea of
-    S2EdgeCrossings.GetIntersection): the zero-crossing of edge A
-    against the plane of B, x = a0*dot(nb, a1) - a1*dot(nb, a0), which
-    is far better conditioned than cross(na, nb) when the two great
-    circles are nearly parallel.  nb uses the stable cross product."""
-    from .measures import stable_cross_prod
 
-    nb = stable_cross_prod(b0, b1)
-    da0 = E.dot(nb, a0)
-    da1 = E.dot(nb, a1)
+def _get_projection(x, a_norm, a_norm_len, a0, a1):
+    """Signed distance of x to the plane of (a0, a1), scaled by
+    |a_norm|, with a rigorous error bound
+    (S2EdgeCrossings.GetProjection)."""
+    x0 = (x[0] - a0[0], x[1] - a0[1], x[2] - a0[2])
+    x1 = (x[0] - a1[0], x[1] - a1[1], x[2] - a1[2])
+    x0_d2 = E.dot(x0, x0)
+    x1_d2 = E.dot(x1, x1)
+    if x0_d2 < x1_d2 or (x0_d2 == x1_d2 and x0 < x1):
+        dist = math.sqrt(x0_d2)
+        result = E.dot(x0, a_norm)
+    else:
+        dist = math.sqrt(x1_d2)
+        result = E.dot(x1, a_norm)
+    error = (
+        ((3.5 + 2 * _SQRT3) * a_norm_len + 32 * _SQRT3 * DBL_ERR) * dist
+        + 1.5 * abs(result)
+    ) * TT_ERR
+    return result, error
+
+
+def _intersection_stable_sorted(a0, a1, b0, b1):
+    """GetIntersectionStableSorted: requires |a1-a0| >= |b1-b0|.
+    Returns the intersection point or None if the error bound exceeds
+    kIntersectionError."""
+    a_norm = E.cross(
+        (a0[0] - a1[0], a0[1] - a1[1], a0[2] - a1[2]),
+        (a0[0] + a1[0], a0[1] + a1[1], a0[2] + a1[2]),
+    )
+    a_norm_len = math.sqrt(E.dot(a_norm, a_norm))
+    bd = (b1[0] - b0[0], b1[1] - b0[1], b1[2] - b0[2])
+    b_len = math.sqrt(E.dot(bd, bd))
+    b0_dist, b0_error = _get_projection(b0, a_norm, a_norm_len, a0, a1)
+    b1_dist, b1_error = _get_projection(b1, a_norm, a_norm_len, a0, a1)
+    if b0_dist < b1_dist:
+        b0_dist, b1_dist = -b0_dist, -b1_dist
+    dist_sum = b0_dist - b1_dist
+    error_sum = b0_error + b1_error
+    if dist_sum <= error_sum:
+        return None  # error unbounded
     x = (
-        a0[0] * da1 - a1[0] * da0,
-        a0[1] * da1 - a1[1] * da0,
-        a0[2] * da1 - a1[2] * da0,
+        b0_dist * b1[0] - b1_dist * b0[0],
+        b0_dist * b1[1] - b1_dist * b0[1],
+        b0_dist * b1[2] - b1_dist * b0[2],
     )
-    x = _normalize(x)
-    # orient into the wedge of both segments
-    mid = (
-        a0[0] + a1[0] + b0[0] + b1[0],
-        a0[1] + a1[1] + b0[1] + b1[1],
-        a0[2] + a1[2] + b0[2] + b1[2],
+    error = (
+        b_len * abs(b0_dist * b1_error - b1_dist * b0_error)
+        / (dist_sum - error_sum)
+        + 2 * TT_ERR * dist_sum
     )
-    if E.dot(x, mid) < 0:
-        x = (-x[0], -x[1], -x[2])
+    x_len2 = E.dot(x, x)
+    if x_len2 < _DBL_MIN_NORM:
+        return None
+    x_len = math.sqrt(x_len2)
+    if error > (INTERSECTION_ERROR - TT_ERR) * x_len:
+        return None
+    return (x[0] / x_len, x[1] / x_len, x[2] / x_len)
+
+
+def _compare_edges(a0, a1, b0, b1) -> bool:
+    """Reversal-invariant total order on edges
+    (S2EdgeCrossings.CompareEdges)."""
+    a = min(a0, a1)
+    if b0 >= b1:
+        b0, b1 = b1, b0
+    return a < b0 or (a == b0 and b0 < b1)
+
+
+def _normalize_exact(xf):
+    """Exact Fraction vector -> unit float64 tuple (scale into the
+    normalizable range, then one double-precision Normalize — total
+    directional error <= 2 * DBL_ERR)."""
+    m = max(abs(v) for v in xf)
+    if m == 0:
+        return (0.0, 0.0, 0.0)
+    return _normalize(tuple(float(v / m) for v in xf))
+
+
+def edge_intersection_exact(a0, a1, b0, b1):
+    """GetIntersectionExact: exact-arithmetic cross products, one final
+    double-precision normalization (S2EdgeCrossings.cs:433-474)."""
+    from fractions import Fraction
+
+    fa0 = tuple(Fraction(v) for v in a0)
+    fa1 = tuple(Fraction(v) for v in a1)
+    fb0 = tuple(Fraction(v) for v in b0)
+    fb1 = tuple(Fraction(v) for v in b1)
+    a_norm_xf = E.cross(fa0, fa1)
+    b_norm_xf = E.cross(fb0, fb1)
+    x_xf = E.cross(a_norm_xf, b_norm_xf)
+    if any(v != 0 for v in x_xf):
+        x = _normalize_exact(x_xf)
+        if E.sign(a0, a1, b1) < 0:
+            x = (-x[0], -x[1], -x[2])
+        return x
+    # exactly-collinear edges ("crossing" by simulation of simplicity):
+    # return the lexicographically smallest endpoint interior to the
+    # other edge (the reference's heuristic)
+    a_norm = _normalize_exact(a_norm_xf)
+    b_norm = _normalize_exact(b_norm_xf)
+    if a_norm == (0.0, 0.0, 0.0):
+        a_norm = E.ortho(a0)
+    if b_norm == (0.0, 0.0, 0.0):
+        b_norm = E.ortho(b0)
+    x = (10.0, 10.0, 10.0)
+    if E.ordered_ccw(b0, a0, b1, b_norm) and a0 < x:
+        x = a0
+    if E.ordered_ccw(b0, a1, b1, b_norm) and a1 < x:
+        x = a1
+    if E.ordered_ccw(a0, b0, a1, a_norm) and b0 < x:
+        x = b0
+    if E.ordered_ccw(a0, b1, a1, a_norm) and b1 < x:
+        x = b1
     return x
+
+
+def edge_intersection(a0, a1, b0, b1):
+    """Intersection point of two crossing geodesic segments, within
+    kIntersectionError of the true intersection (requires
+    CrossingSign >= 0): GetIntersectionStable in double precision
+    first, exact arithmetic whenever the stable error bound is blown
+    (S2EdgeCrossings.GetIntersection's method ladder, minus the
+    long-double tier this runtime lacks)."""
+    a_len2 = sum((a1[i] - a0[i]) ** 2 for i in range(3))
+    b_len2 = sum((b1[i] - b0[i]) ** 2 for i in range(3))
+    if a_len2 < b_len2 or (a_len2 == b_len2 and _compare_edges(a0, a1, b0, b1)):
+        result = _intersection_stable_sorted(b0, b1, a0, a1)
+    else:
+        result = _intersection_stable_sorted(a0, a1, b0, b1)
+    if result is None:
+        return edge_intersection_exact(a0, a1, b0, b1)
+    # (the sorted stable method already returns the intersection, not
+    # its antipode: it forces dist_sum = b0_dist - b1_dist >= 0)
+    return result
 
 
 def _edge_param(a0, a1, p) -> float:

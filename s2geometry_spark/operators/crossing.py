@@ -97,52 +97,139 @@ def max_edge_radians(edges: list) -> float:
     return out
 
 
+def robust_crossing_udf():
+    """pUDF refine: interior-crossing decision with the reference's
+    triage -> exact -> symbolic ladder (S2EdgeCrosser.cs:262-296).
+
+    Vectorized fast path mirrors crossing_condition_sql term-for-term;
+    rows where any of the four determinants is within kMaxDetError of
+    zero (or edges share a vertex) fall back to the scalar robust
+    ``kernels.edges.crossing_sign``.  Inputs must be unit length (the
+    triage error bound assumes it)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    from ..kernels import edges as E
+
+    @pandas_udf(BooleanType())
+    def _cross(
+        ax: pd.Series, ay: pd.Series, az: pd.Series,
+        bx: pd.Series, by: pd.Series, bz: pd.Series,
+        cx: pd.Series, cy: pd.Series, cz: pd.Series,
+        dx: pd.Series, dy: pd.Series, dz: pd.Series,
+    ) -> pd.Series:
+        cols = [
+            s.to_numpy()
+            for s in (ax, ay, az, bx, by, bz, cx, cy, cz, dx, dy, dz)
+        ]
+        Ax, Ay, Az, Bx, By, Bz, Cx, Cy, Cz, Dx, Dy, Dz = cols
+        nx = Ay * Bz - Az * By
+        ny = Az * Bx - Ax * Bz
+        nz = Ax * By - Ay * Bx
+        det_c = (nx * Cx + ny * Cy) + nz * Cz
+        det_d = (nx * Dx + ny * Dy) + nz * Dz
+        cdx = Cy * Dz - Cz * Dy
+        cdy = Cz * Dx - Cx * Dz
+        cdz = Cx * Dy - Cy * Dx
+        det_b = (cdx * Bx + cdy * By) + cdz * Bz
+        det_a = (cdx * Ax + cdy * Ay) + cdz * Az
+        err = E.MAX_DET_ERROR
+        ok_c = np.abs(det_c) > err
+        ok_d = np.abs(det_d) > err
+        s_c = np.sign(det_c)
+        s_d = np.sign(det_d)
+        decided_no = ok_c & ok_d & (s_c == s_d)
+        decided_all = (
+            ok_c & ok_d & (np.abs(det_b) > err) & (np.abs(det_a) > err)
+        )
+        fast = (
+            (s_c != s_d)
+            & (np.sign(det_b) == s_c)
+            & (np.sign(det_a) == -s_c)
+        )
+        out = np.where(decided_no, False, fast)
+        for i in np.flatnonzero(~(decided_no | decided_all)):
+            a = (Ax[i], Ay[i], Az[i])
+            b = (Bx[i], By[i], Bz[i])
+            c = (Cx[i], Cy[i], Cz[i])
+            d = (Dx[i], Dy[i], Dz[i])
+            out[i] = E.crossing_sign(a, b, c, d) > 0
+        return pd.Series(out)
+
+    return _cross
+
+
 def crossing_edges_join(
     spark: SparkSession,
     edges_a: DataFrame,
     edges_b: DataFrame,
     max_edge_rad: float,
     broadcast_b: bool = True,
+    robust: bool = True,
 ) -> DataFrame:
     """All interiorly-crossing pairs: (a_line, a_edge, b_line, b_edge).
 
     REQUIRES every edge shorter than `max_edge_rad` (subdivide longer
     edges upstream); the join level is chosen so the candidate cover is
     complete at that length.
+
+    Plan shape: the cell explosion and candidate equi-join carry only
+    (line_id, edge_id, cell) — coordinates re-attach AFTER the pair
+    dedup via broadcast joins on the edge ids, so the shuffle payload
+    is three longs per row.  ``robust=True`` routes triage-uncertain
+    candidate rows through the exact predicate (rare); ``robust=False``
+    keeps the all-JVM plain-sign refine (the DuckDB-oracle mirror).
     """
     level = max(1, KMIN_WIDTH.get_level_for_min_value(max_edge_rad))
     cells = _edge_cells_udf(level)
 
-    def with_cells(df: DataFrame, prefix: str) -> DataFrame:
-        out = df.withColumn(
-            "cell",
+    def cell_rows(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col("line_id").alias(f"{prefix}_line"),
+            F.col("edge_id").alias(f"{prefix}_edge"),
             F.explode(
                 cells(
                     F.col("ax"), F.col("ay"), F.col("az"),
                     F.col("bx"), F.col("by"), F.col("bz"),
                 )
-            ),
+            ).alias("cell"),
         )
-        renames = {
-            "line_id": f"{prefix}_line", "edge_id": f"{prefix}_edge",
-        }
-        if prefix == "b":
-            renames.update(
-                {"ax": "cx", "ay": "cy", "az": "cz",
-                 "bx": "dx", "by": "dy", "bz": "dz"}
-            )
-        for old, new in renames.items():
-            out = out.withColumnRenamed(old, new)
-        return out
 
-    a = with_cells(edges_a, "a")
-    b = with_cells(edges_b, "b")
+    a = cell_rows(edges_a, "a")
+    b = cell_rows(edges_b, "b")
     if broadcast_b:
         b = F.broadcast(b)
     cand = a.join(b, on="cell", how="inner").dropDuplicates(
         ["a_line", "a_edge", "b_line", "b_edge"]
     )
-    crossed = cand.where(F.expr(crossing_condition_sql("a", "b", "c", "d")))
+    ea = F.broadcast(
+        edges_a.select(
+            F.col("line_id").alias("a_line"), F.col("edge_id").alias("a_edge"),
+            "ax", "ay", "az", "bx", "by", "bz",
+        )
+    )
+    eb = F.broadcast(
+        edges_b.select(
+            F.col("line_id").alias("b_line"), F.col("edge_id").alias("b_edge"),
+            F.col("ax").alias("cx"), F.col("ay").alias("cy"),
+            F.col("az").alias("cz"), F.col("bx").alias("dx"),
+            F.col("by").alias("dy"), F.col("bz").alias("dz"),
+        )
+    )
+    cand = cand.join(ea, on=["a_line", "a_edge"]).join(
+        eb, on=["b_line", "b_edge"]
+    )
+    if robust:
+        pred = robust_crossing_udf()(
+            F.col("ax"), F.col("ay"), F.col("az"),
+            F.col("bx"), F.col("by"), F.col("bz"),
+            F.col("cx"), F.col("cy"), F.col("cz"),
+            F.col("dx"), F.col("dy"), F.col("dz"),
+        )
+    else:
+        pred = F.expr(crossing_condition_sql("a", "b", "c", "d"))
+    crossed = cand.where(pred)
     return crossed.select("a_line", "a_edge", "b_line", "b_edge")
 
 

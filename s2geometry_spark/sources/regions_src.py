@@ -191,10 +191,16 @@ def polyline_vertices(key: int, variant: int = 0):
     if variant:
         u, v = v, u
     step = 0.03 + (key % 5) * 0.01
+    # variant 2: perpendicular like variant 1 but skewed off the shared
+    # center so every crossing with variant 0 is strictly interior
+    # (general position) — variants 0/1 are mirror-symmetric through the
+    # center, which puts vertices exactly on the other chain's edges
+    du_off = 0.0137 * step if variant == 2 else 0.0
+    dv_hi, dv_lo = (0.48, -0.52) if variant == 2 else (0.5, -0.5)
     verts = []
     for k in range(4):
-        du = (k - 1.5) * step
-        dv = (0.5 if k % 2 else -0.5) * step
+        du = (k - 1.5) * step + du_off
+        dv = (dv_hi if k % 2 else dv_lo) * step
         p = tuple(c[i] + du * u[i] + dv * v[i] for i in range(3))
         n = math.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2])
         verts.append((p[0] / n, p[1] / n, p[2] / n))
