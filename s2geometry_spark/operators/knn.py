@@ -99,6 +99,7 @@ def knn_join(
     query_key: str = "key",
     index_key: str = "key",
     max_rounds: int = 8,
+    group_col: str | None = None,
 ) -> DataFrame:
     """k nearest index points per query point.
 
@@ -106,16 +107,23 @@ def knn_join(
     (query_key, neighbor_key, dist2, rn) with rn in [1, k] ordered by
     (dist2, neighbor_key) — the reference's (distance, shape_id) result
     order made deterministic on ties.
+
+    ``group_col``: when set (present on both sides), neighbors are
+    searched within the same group only (the per-group closest-point
+    composition the kNN-based Hausdorff path uses); the group key joins
+    alongside the cell key, so hot groups still spread over cells.
     """
     if seed_level is None:
         seed_level = default_seed_level(index.count(), k)
 
+    grp = [F.col(group_col).alias("gg")] if group_col else []
     q = (
         normalized_cols(queries)
         .select(
             F.col(query_key).alias("qk"),
             F.col("ux").alias("qux"), F.col("uy").alias("quy"),
             F.col("uz").alias("quz"), F.col("cell_id").alias("qcell"),
+            *grp,
         )
     )
     idx = (
@@ -124,6 +132,7 @@ def knn_join(
             F.col(index_key).alias("ik"),
             F.col("ux").alias("iux"), F.col("uy").alias("iuy"),
             F.col("uz").alias("iuz"), F.col("cell_id").alias("icell_leaf"),
+            *grp,
         )
     )
 
@@ -135,7 +144,8 @@ def knn_join(
     unfinished = q
     finished_parts: list[DataFrame] = []
     level = seed_level
-    w = Window.partitionBy("qk").orderBy("dist2", "ik")
+    gcols = ["gg"] if group_col else []
+    w = Window.partitionBy("qk", *gcols).orderBy("dist2", "ik")
 
     for _ in range(max_rounds):
         if level < MIN_LEVEL_FLOOR or unfinished.isEmpty():
@@ -146,9 +156,9 @@ def knn_join(
         )
         iside = idx.withColumn("jcell", S.cell_parent(F.col("icell_leaf"), level))
         ranked = (
-            probe.join(iside, on="jcell", how="inner")
+            probe.join(iside, on=["jcell", *gcols], how="inner")
             .select(
-                "qk", "ik",
+                "qk", *gcols, "ik",
                 _dist2(
                     F.col("qux"), F.col("quy"), F.col("quz"),
                     F.col("iux"), F.col("iuy"), F.col("iuz"),
@@ -160,13 +170,17 @@ def knn_join(
         )
         guarantee = _chord2_from_radians(KMIN_WIDTH.get_value(level))
         done_q = (
-            ranked.groupBy("qk")
+            ranked.groupBy("qk", *gcols)
             .agg(F.max("dist2").alias("kth"), F.count(F.lit(1)).alias("nk"))
             .where((F.col("nk") >= k) & (F.col("kth") < F.lit(guarantee)))
-            .select("qk")
+            .select("qk", *gcols)
         )
-        finished_parts.append(ranked.join(done_q, on="qk", how="left_semi"))
-        unfinished = unfinished.join(done_q, on="qk", how="left_anti").localCheckpoint()
+        finished_parts.append(
+            ranked.join(done_q, on=["qk", *gcols], how="left_semi")
+        )
+        unfinished = unfinished.join(
+            done_q, on=["qk", *gcols], how="left_anti"
+        ).localCheckpoint()
         # coarsen by one level: ring area x4 per round, and a query
         # whose kth distance just missed guarantee(L) almost always
         # satisfies guarantee(L-1) = 2x the width bound.
@@ -174,10 +188,14 @@ def knn_join(
 
     if not unfinished.isEmpty():
         # residual cross join (exact; tiny fraction by construction)
+        residual = (
+            unfinished.join(idx, on=gcols, how="inner")
+            if group_col
+            else unfinished.crossJoin(idx)
+        )
         ranked = (
-            unfinished.crossJoin(idx)
-            .select(
-                "qk", "ik",
+            residual.select(
+                "qk", *gcols, "ik",
                 _dist2(
                     F.col("qux"), F.col("quy"), F.col("quz"),
                     F.col("iux"), F.col("iuy"), F.col("iuz"),
@@ -191,28 +209,67 @@ def knn_join(
     result = finished_parts[0]
     for part in finished_parts[1:]:
         result = result.unionByName(part)
+    out_grp = (
+        [F.col("gg").alias(group_col)] if group_col else []
+    )
     return result.select(
         F.col("qk").alias("key"),
+        *out_grp,
         F.col("ik").alias("neighbor_key"),
         "dist2",
         F.col("rn").cast("long").alias("rn"),
     )
 
 
+def hausdorff_directed_knn(
+    spark: SparkSession,
+    a_df: DataFrame,
+    b_df: DataFrame,
+    group_col: str = "grp",
+) -> DataFrame:
+    """Directed Hausdorff via per-group closest-point composition:
+    knn_join(k=1) restricted to the group, then max per group — the
+    scale path for large groups (the broadcast form below is A x B per
+    group, quadratic).  Result values are identical: both take max over
+    a of the exact min squared-chord distance."""
+    from . import tile as T
+
+    if "cell_id" not in a_df.columns:
+        a_df = T.assign_cellids(a_df)
+    if "cell_id" not in b_df.columns:
+        b_df = T.assign_cellids(b_df)
+    nn = knn_join(spark, a_df, b_df, k=1, group_col=group_col)
+    return (
+        nn.groupBy(group_col)
+        .agg(F.max("dist2").alias("hausdorff2"))
+        .select(group_col, "hausdorff2")
+    )
+
+
+HAUSDORFF_KNN_THRESHOLD = 20_000
+
+
 def hausdorff_directed(
     a_df: DataFrame,
     b_df: DataFrame,
     group_col: str = "grp",
+    spark: SparkSession | None = None,
+    knn_threshold: int = HAUSDORFF_KNN_THRESHOLD,
 ) -> DataFrame:
     """Directed Hausdorff distance per group: max over a in A of
     min over b in B of dist(a, b), as squared chord
     (S2HausdorffDistanceQuery.cs:63-100 composition: closest-point
     query per source point + max aggregate).
 
-    Inputs carry (key, x, y, z, <group_col>).  Small-group workloads
-    join directly on the group key; for large B use knn_join(k=1)
-    per group instead.
+    Inputs carry (key, x, y, z, <group_col>).  Size-based plan switch
+    (the brute-vs-indexed cost switch of S2ClosestEdgeQueryBase): small
+    B sides broadcast and evaluate all pairs per group; when the B side
+    exceeds ``knn_threshold`` rows (and ``spark`` is provided), the
+    per-group kNN composition above takes over — same values, no
+    per-group quadratic blowup.
     """
+    if spark is not None and b_df.count() >= knn_threshold:
+        return hausdorff_directed_knn(spark, a_df, b_df, group_col)
     a = normalized_cols(a_df).select(
         F.col("key").alias("ak"), F.col(group_col).alias("ag"),
         F.col("ux").alias("aux"), F.col("uy").alias("auy"),

@@ -227,9 +227,21 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
     return shingled.select("doc_id", *sig_exprs)
 
 
-def near_dup_pairs(docs: DataFrame, with_mutants: bool = True) -> DataFrame:
+def near_dup_pairs(
+    docs: DataFrame, with_mutants: bool = True, salt_g: int = 8
+) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs, verified by exact
     shingle Jaccard >= 0.5.
+
+    Scale shape: candidate generation self-joins only slim
+    (doc_id, band, band_key [, salt]) rows — the shingle arrays never
+    ride through the shuffle; pairs dedup first and the two shingle
+    sets re-attach once for the verification step.  Hot band buckets
+    (boilerplate corpora where thousands of docs share every band) are
+    spread over ``salt_g`` reducers by partner-group salting: the left
+    side replicates each row once per partner group and the join key
+    includes the right row's group, so a bucket's n^2 candidate pairs
+    land on salt_g partitions instead of one.
 
     ``with_mutants`` unions a deterministic mutated copy of each doc
     (id + 1_000_000, text + marker suffix) so the pipeline provably
@@ -254,38 +266,58 @@ def near_dup_pairs(docs: DataFrame, with_mutants: bool = True) -> DataFrame:
     sig_exprs = [
         _minhash_col(i).alias(f"h{i}") for i in range(MINHASH_N)
     ]
-    sigs = shingled.select("doc_id", "shingles", *sig_exprs)
+    sigs = shingled.select("doc_id", *sig_exprs)
     band_cols = []
     for b in range(LSH_BANDS):
         parts = [F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
         band_cols.append(
             F.md5(F.concat_ws("|", *parts)).alias(f"band{b}")
         )
-    banded = sigs.select("doc_id", "shingles", *band_cols)
+    banded = sigs.select("doc_id", *band_cols)
     # one-pass band emission (stack) instead of a 4-way self-union —
     # the union form recomputes the minhash signatures once per band.
     stack_args = ", ".join(f"{b}, band{b}" for b in range(LSH_BANDS))
     bands = banded.select(
         "doc_id",
-        "shingles",
         F.expr(f"stack({LSH_BANDS}, {stack_args}) AS (b, bk)"),
-    ).select("doc_id", "shingles", "b", "bk").localCheckpoint()
-    a = bands.alias("a")
+    ).select(
+        "doc_id", "b", "bk",
+        F.pmod(F.xxhash64("doc_id"), F.lit(salt_g)).alias("g"),
+    ).localCheckpoint()
+    # left side replicates once per partner group p; join requires
+    # p == right.g, so the shuffle key (b, bk, p) splits hot buckets
+    a = bands.withColumn(
+        "p", F.explode(F.array(*[F.lit(i) for i in range(salt_g)]))
+    ).alias("a")
     c = bands.alias("c")
     cand = (
         a.join(
             c,
             (F.col("a.bk") == F.col("c.bk"))
             & (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.p") == F.col("c.g"))
             & (F.col("a.doc_id") < F.col("c.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("c.doc_id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("c.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # verification: re-attach the two shingle sets once, post-dedup
+    sh = base.select(
+        "doc_id", F.expr(sh_expr).alias("shingles")
+    )
+    cand = cand.join(
+        sh.select(
+            F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+        ),
+        on="id_a",
+    ).join(
+        sh.select(
+            F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+        ),
+        on="id_b",
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")

@@ -86,3 +86,57 @@ class TestKnnJoin:
             got.groupBy("key").count().select("count").distinct().collect()
         )
         assert [r["count"] for r in per_q] == [n_idx]
+
+
+class TestHausdorffKnnPath:
+    def test_knn_path_matches_broadcast(self, spark, sf_dir):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        a = P.with_xyz(
+            cust.select(
+                F.col("c_custkey").alias("key"),
+                F.col("c_nationkey").alias("grp"),
+            )
+        )
+        b = P.with_xyz(
+            sup.select(
+                F.col("s_suppkey").alias("key"),
+                F.col("s_nationkey").alias("grp"),
+            )
+        )
+        broad = {
+            r["grp"]: r["hausdorff2"]
+            for r in KNN.hausdorff_directed(a, b).collect()
+        }
+        via_knn = {
+            r["grp"]: r["hausdorff2"]
+            for r in KNN.hausdorff_directed_knn(spark, a, b).collect()
+        }
+        assert broad == via_knn  # bit-identical values
+
+    def test_auto_switch_uses_knn_for_large_b(self, spark, sf_dir):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        a = P.with_xyz(
+            cust.select(
+                F.col("c_custkey").alias("key"),
+                F.col("c_nationkey").alias("grp"),
+            )
+        )
+        b = P.with_xyz(
+            sup.select(
+                F.col("s_suppkey").alias("key"),
+                F.col("s_nationkey").alias("grp"),
+            )
+        )
+        got = {
+            r["grp"]: r["hausdorff2"]
+            for r in KNN.hausdorff_directed(
+                a, b, spark=spark, knn_threshold=1  # force the knn path
+            ).collect()
+        }
+        want = {
+            r["grp"]: r["hausdorff2"]
+            for r in KNN.hausdorff_directed(a, b).collect()
+        }
+        assert got == want
