@@ -362,6 +362,37 @@ def q_pip_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SI.point_in_loop_index_join(spark, pts, _fractal_loops_cached())
 
 
+def q_furthest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k furthest supplier points per order point (S2FurthestEdgeQuery
+    semantics): the antipodal min-distance run through the same
+    ring-expansion kNN machinery, dist2 = 4 - antipodal chord2."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import knn as KNN
+    from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.sources import points as P
+
+    q = T.assign_cellids(_orders_points(spark, sf_dir))
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    idx = T.assign_cellids(
+        P.with_xyz(sup.select(F.col("s_suppkey").alias("key")))
+    )
+    return KNN.furthest_join(spark, q, idx, KNN_K)
+
+
+def q_furthest_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Furthest polyline per order point (max distance over the edge
+    collection, antipodal closest-edge trick)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import knn as KNN
+    from s2geometry_spark.sources import regions_src as R
+
+    pts = _orders_points(spark, sf_dir)
+    by_line: dict[int, list] = {}
+    for lid, eid, a, b in R.polyline_edges(range(25)):
+        by_line.setdefault(lid, []).append((a, b))
+    return KNN.furthest_polyline(pts, sorted(by_line.items()))
+
+
 def q_knn_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k nearest supplier points per order point — cell-ring-expansion
     kNN join (S2ClosestPointQuery semantics)."""
@@ -503,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_polygon_join": q_pip_polygon_join,
         "s2_pip_index_join": q_pip_index_join,
         "s2_knn_supplier": q_knn_supplier,
+        "s2_furthest_supplier": q_furthest_supplier,
+        "s2_furthest_polyline": q_furthest_polyline,
         "s2_hausdorff_nation": q_hausdorff_nation,
         "s2_closest_polyline": q_closest_polyline,
         "s2_crossing_edges": q_crossing_edges,
@@ -586,6 +619,25 @@ def oracle_sql() -> dict[str, str]:
         P.xyz_sql_cte("supplier", "s_suppkey", name="ipts"),
         KNN_K,
     )
+    from s2geometry_spark.operators.knn import (
+        furthest_oracle_sql,
+        furthest_polyline_oracle_sql,
+    )
+
+    furthest_sql = furthest_oracle_sql(
+        P.xyz_sql_cte("orders", "o_orderkey", name="qpts"),
+        P.xyz_sql_cte("supplier", "s_suppkey", name="ipts"),
+        KNN_K,
+    )
+    upts_anti = (
+        "upts AS (SELECT key, (-(x))/r AS ux, (-(y))/r AS uy, "
+        "(-(z))/r AS uz FROM "
+        "(SELECT key, x, y, z, sqrt(x*x + y*y + z*z) AS r FROM pts))"
+    )
+    furthest_poly_sql = furthest_polyline_oracle_sql(
+        pts + ", " + upts_anti,
+        R.polyline_edges_sql_values(R.polyline_edges(range(25)), "loop_edges"),
+    )
     from s2geometry_spark.operators.knn import hausdorff_oracle_sql
 
     from s2geometry_spark.operators.knn import closest_polyline_oracle_sql
@@ -638,6 +690,8 @@ def oracle_sql() -> dict[str, str]:
             + ") GROUP BY region_id"
         ),
         "s2_knn_supplier": knn_sql,
+        "s2_furthest_supplier": furthest_sql,
+        "s2_furthest_polyline": furthest_poly_sql,
         "s2_hausdorff_nation": hausdorff_sql,
         "s2_closest_polyline": closest_poly_sql,
         "s2_crossing_edges": crossing_sql,

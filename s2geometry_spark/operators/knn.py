@@ -446,3 +446,86 @@ SELECT key, neighbor_key, dist2, rn FROM (
                             ORDER BY dist2, neighbor_key) AS rn
   FROM pairs
 ) WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------
+# Furthest (max-distance) queries: S2FurthestEdgeQuery.cs +
+# S2MaxDistanceTargets.cs.  On the sphere max-distance is the antipodal
+# min-distance (dist(q, p) = pi - dist(-q, p); squared-chord form:
+# d2(q, p) = 4 - d2(-q, p)), so the same ring-expansion kNN machinery
+# runs on the negated query vectors — no new index structure needed.
+# ---------------------------------------------------------------------
+
+def furthest_join(
+    spark: SparkSession,
+    queries: DataFrame,
+    index: DataFrame,
+    k: int,
+    **kw,
+) -> DataFrame:
+    """k furthest index points per query point: (key, neighbor_key,
+    dist2, rn) with rn ordered furthest-first, ties by neighbor_key
+    (the reference's max-distance result order)."""
+    from . import tile as T
+
+    anti = queries.withColumns(
+        {"x": -F.col("x"), "y": -F.col("y"), "z": -F.col("z")}
+    )
+    anti = T.assign_cellids(anti)
+    nn = knn_join(spark, anti, index, k, **kw)
+    return nn.select(
+        "key",
+        "neighbor_key",
+        (F.lit(4.0) - F.col("dist2")).alias("dist2"),
+        "rn",
+    )
+
+
+def furthest_polyline(points: DataFrame, polylines: list) -> DataFrame:
+    """Furthest polyline per point: (key, line_id, dist2) where dist2
+    is the MAX squared-chord distance to the line (attained on its
+    edges), computed as 4 - min distance of the antipode
+    (S2FurthestEdgeQuery over an edge collection)."""
+    anti = points.withColumns(
+        {"x": -F.col("x"), "y": -F.col("y"), "z": -F.col("z")}
+    )
+    out = closest_polyline(anti, polylines)
+    return out.select(
+        "key", "line_id", (F.lit(4.0) - F.col("dist2")).alias("dist2")
+    )
+
+
+def furthest_oracle_sql(q_pts_cte: str, i_pts_cte: str, k: int) -> str:
+    """DuckDB brute-force mirror of furthest_join: identical negation +
+    normalization + antipodal-distance arithmetic, ranked by the
+    antipodal distance ascending (NOT by 4-d2 descending, which could
+    collapse distinct doubles)."""
+    d2 = (
+        "((q.ux-i.ux)*(q.ux-i.ux) + (q.uy-i.uy)*(q.uy-i.uy)) "
+        "+ (q.uz-i.uz)*(q.uz-i.uz)"
+    )
+    return f"""WITH {q_pts_cte},
+{i_pts_cte},
+uq AS (SELECT key, (-(x))/r AS ux, (-(y))/r AS uy, (-(z))/r AS uz FROM
+       (SELECT key, x, y, z, sqrt(x*x + y*y + z*z) AS r FROM qpts)),
+ui AS (SELECT key, x/r AS ux, y/r AS uy, z/r AS uz FROM
+       (SELECT key, x, y, z, sqrt(x*x + y*y + z*z) AS r FROM ipts)),
+pairs AS (
+  SELECT q.key AS key, i.key AS neighbor_key, {d2} AS anti_d2
+  FROM uq q CROSS JOIN ui i
+)
+SELECT key, neighbor_key, 4.0 - anti_d2 AS dist2, rn FROM (
+  SELECT key, neighbor_key, anti_d2,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY anti_d2, neighbor_key) AS rn
+  FROM pairs
+) WHERE rn <= {k}"""
+
+
+def furthest_polyline_oracle_sql(upts_anti_cte: str, edges_cte: str) -> str:
+    """DuckDB mirror of furthest_polyline: closest_polyline arithmetic
+    over the antipodal unit points, final dist2 = 4 - d2."""
+    inner = closest_polyline_oracle_sql(upts_anti_cte, edges_cte)
+    return (
+        f"SELECT key, line_id, 4.0 - dist2 AS dist2 FROM ({inner})"
+    )
