@@ -59,27 +59,57 @@ def _build_lookup_tables() -> tuple[np.ndarray, np.ndarray]:
 LOOKUP_POS, LOOKUP_IJ = _build_lookup_tables()
 
 
+def _build_lookup_pos8() -> np.ndarray:
+    """Two composed 4-bit rounds as one 8-bit table: index =
+    (i8 << 10) | (j8 << 2) | orientation -> (pos16 << 2) | orientation'
+    (2^18 int64 entries, ~2 MB).  Halves the encode's gather count —
+    the hot-loop bottleneck — while staying bit-identical to the 4-bit
+    traversal."""
+    l4 = LOOKUP_POS.astype(np.int64)
+    idx = np.arange(1 << 18, dtype=np.int64)
+    i8 = idx >> 10
+    j8 = (idx >> 2) & 255
+    o = idx & 3
+    r1 = l4[((i8 >> 4) << 6) | (((j8 >> 4) & 15) << 2) | o]
+    r2 = l4[((i8 & 15) << 6) | ((j8 & 15) << 2) | (r1 & 3)]
+    return ((((r1 >> 2) << 8) | (r2 >> 2)) << 2) | (r2 & 3)
+
+
+LOOKUP_POS8 = _build_lookup_pos8()
+
+
 def from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
     """Vectorized leaf-cell-id encode from (face, i, j).
 
     face in [0,6), i/j in [0, 2^30).  Returns uint64 leaf cell ids.
-    Mirrors S2CellId.FromFaceIJ (S2CellId.cs:817-853): 8 rounds, each
-    folding 4 bits of i and j through the lookup table while tracking
-    curve orientation.
-    """
-    face = np.asarray(face).astype(np.uint64)
-    i = np.asarray(i).astype(np.uint64)
-    j = np.asarray(j).astype(np.uint64)
-    n = face << U(POS_BITS - 1)
-    bits = face & U(SWAP_MASK)
-    mask = U((1 << LOOKUP_BITS) - 1)
-    for k in range(7, -1, -1):
-        bits = bits + (((i >> U(k * LOOKUP_BITS)) & mask) << U(LOOKUP_BITS + 2))
-        bits = bits + (((j >> U(k * LOOKUP_BITS)) & mask) << U(2))
-        bits = LOOKUP_POS[bits]
-        n = n | ((bits >> U(2)) << U(k * 2 * LOOKUP_BITS))
-        bits = bits & U(SWAP_MASK | INVERT_MASK)
-    return n * U(2) + U(1)
+    Mirrors S2CellId.FromFaceIJ (S2CellId.cs:817-853) with 8-bit chunks
+    (4 gather rounds over LOOKUP_POS8 instead of 8 over the 4-bit
+    table) and in-place int64 ops — ~2x the 4-bit form's throughput.
+    The signed left-shift into bit 63 wraps exactly like the
+    reference's uint64 arithmetic; the result is reinterpreted, not
+    converted."""
+    f = np.asarray(face).astype(np.int64, copy=False)
+    i64 = np.asarray(i).astype(np.int64, copy=False)
+    j64 = np.asarray(j).astype(np.int64, copy=False)
+    n = f << np.int64(POS_BITS - 1)
+    bits = (f & np.int64(SWAP_MASK)).copy()
+    t1 = np.empty_like(n)
+    t2 = np.empty_like(n)
+    for k in range(3, -1, -1):
+        np.right_shift(i64, 8 * k, out=t1)
+        np.bitwise_and(t1, 255, out=t1)
+        np.left_shift(t1, 10, out=t1)
+        np.right_shift(j64, 8 * k, out=t2)
+        np.bitwise_and(t2, 255, out=t2)
+        np.left_shift(t2, 2, out=t2)
+        np.add(bits, t1, out=bits)
+        np.add(bits, t2, out=bits)
+        np.take(LOOKUP_POS8, bits, out=bits)
+        np.right_shift(bits, 2, out=t1)
+        np.left_shift(t1, 16 * k, out=t1)
+        np.bitwise_or(n, t1, out=n)
+        np.bitwise_and(bits, np.int64(SWAP_MASK | INVERT_MASK), out=bits)
+    return ((n << 1) | 1).view(np.uint64)
 
 
 def to_face_ij(
