@@ -134,11 +134,15 @@ SELECT vec_id, neighbor_id, cosine, rn FROM (
 ) WHERE rn <= {k}"""
 
 
-def lsh_planes() -> np.ndarray:
+N_BANDS = 8
+BAND_BITS = 4
+
+
+def lsh_planes(n_planes: int = N_PLANES) -> np.ndarray:
     """P deterministic hyperplanes (fixed seed); literals shared by the
     Spark plan and the SQL oracle."""
     rng = np.random.default_rng(_PLANE_SEED)
-    return rng.standard_normal((N_PLANES, DIM))
+    return rng.standard_normal((n_planes, DIM))
 
 
 def _plane_dot(col: str, p: np.ndarray, one_based: bool) -> str:
@@ -161,36 +165,72 @@ def _bucket_expr_duck(col: str, planes: np.ndarray) -> str:
     return " || ".join(bits)
 
 
-def ann_lsh_topk(emb: DataFrame, k: int) -> DataFrame:
-    """Approximate top-k: candidates restricted to the same LSH bucket
-    (equi-join on the sign signature — the scale path)."""
-    planes = lsh_planes()
+def _band_planes(n_bands: int, band_bits: int) -> list[np.ndarray]:
+    planes = lsh_planes(n_bands * band_bits)
+    return [
+        planes[b * band_bits : (b + 1) * band_bits] for b in range(n_bands)
+    ]
 
-    def bucket_from_scalars(prefix: str) -> str:
-        bits = []
-        for p in planes:
-            dot = " + ".join(
-                "("
-                + " + ".join(
-                    f"{prefix}{i} * CAST('{p[i]!r}' AS DOUBLE)"
-                    for i in range(lo, lo + CHUNK)
-                )
-                + ")"
-                for lo in range(0, DIM, CHUNK)
-            )
-            bits.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    k: int,
+    n_bands: int = N_BANDS,
+    band_bits: int = BAND_BITS,
+) -> DataFrame:
+    """Approximate top-k via banded (OR-amplified) sign-LSH: a pair is
+    a candidate when it collides in ANY of ``n_bands`` independent
+    ``band_bits``-bit signatures — the standard recall amplifier over
+    the single-signature AND form (match probability
+    1 - (1 - s^bits)^bands for cosine-similarity angle fraction s).
+
+    Scale shape mirrors the near-dup LSH join: candidate generation
+    shuffles only (vec_id, band, bucket) rows; pairs dedup before the
+    64-dim scoring components re-attach once.  Recall floors are
+    measured in tests/test_similarity_recall.py (>=0.9 on clustered
+    corpora; the uniform-random table's analytic limit is documented
+    there — no hash family beats brute force on data with no structure).
+    """
+    bands = _band_planes(n_bands, band_bits)
+
+    def band_str(col: str, planes: np.ndarray) -> str:
+        bits = [
+            f"(CASE WHEN ({_plane_dot(col, p, False)}) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes
+        ]
         return "concat(" + ", ".join(bits) + ")"
 
-    a = _components(emb, "qid", "q").withColumn(
-        "bucket", F.expr(bucket_from_scalars("q"))
+    band_cols = [
+        F.expr(band_str("embedding", bp)).alias(f"band{b}")
+        for b, bp in enumerate(bands)
+    ]
+    sigs = emb.select(F.col("vec_id"), *band_cols)
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    slim = sigs.select(
+        "vec_id", F.expr(f"stack({n_bands}, {stack_args}) AS (b, bk)")
     )
-    b = _components(emb, "nid", "e").withColumn(
-        "bucket2", F.expr(bucket_from_scalars("e"))
+    a = slim.select(
+        F.col("vec_id").alias("qid"), F.col("b"), F.col("bk")
     )
-    pairs = a.join(
-        b,
-        (F.col("bucket") == F.col("bucket2")) & (F.col("qid") != F.col("nid")),
+    c = slim.select(
+        F.col("vec_id").alias("nid"),
+        F.col("b").alias("b2"),
+        F.col("bk").alias("bk2"),
     )
+    cand = (
+        a.join(
+            c,
+            (F.col("b") == F.col("b2"))
+            & (F.col("bk") == F.col("bk2"))
+            & (F.col("qid") != F.col("nid")),
+        )
+        .select("qid", "nid")
+        .dropDuplicates(["qid", "nid"])
+    )
+    qc = _components(emb, "qid", "q")
+    ec = _components(emb, "nid", "e")
+    pairs = cand.join(qc, on="qid").join(ec, on="nid")
     cos = F.expr(f"({_scalar_dot('q', 'e')})") / (F.col("qn") * F.col("en"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
     return (
@@ -207,19 +247,37 @@ def ann_lsh_topk(emb: DataFrame, k: int) -> DataFrame:
     )
 
 
-def ann_lsh_topk_sql(k: int, table: str = "embeddings") -> str:
-    planes = lsh_planes()
+def ann_lsh_topk_sql(
+    k: int,
+    table: str = "embeddings",
+    n_bands: int = N_BANDS,
+    band_bits: int = BAND_BITS,
+) -> str:
+    bands = _band_planes(n_bands, band_bits)
     dot = _dot_terms_duck("a.embedding", "b.embedding")
     norm = _dot_terms_duck("embedding", "embedding")
-    bucket = _bucket_expr_duck("embedding", planes)
+    band_exprs = ", ".join(
+        _bucket_expr_duck("embedding", bp) + f" AS band{b}"
+        for b, bp in enumerate(bands)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS b, band{b} AS bk FROM sig"
+        for b in range(n_bands)
+    )
     return f"""
-WITH nrm AS (SELECT vec_id, embedding, sqrt({norm}) AS nrm,
-                    {bucket} AS bucket FROM {table}),
+WITH sig AS (SELECT vec_id, {band_exprs} FROM {table}),
+slim AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS qid, c.vec_id AS nid
+  FROM slim a JOIN slim c
+    ON a.b = c.b AND a.bk = c.bk AND a.vec_id != c.vec_id
+),
+nrm AS (SELECT vec_id, embedding, sqrt({norm}) AS nrm FROM {table}),
 pairs AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+  SELECT cand.qid AS vec_id, cand.nid AS neighbor_id,
          ({dot}) / (a.nrm * b.nrm) AS cosine
-  FROM nrm a JOIN nrm b
-    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+  FROM cand JOIN nrm a ON a.vec_id = cand.qid
+            JOIN nrm b ON b.vec_id = cand.nid
 )
 SELECT vec_id, neighbor_id, cosine, rn FROM (
   SELECT vec_id, neighbor_id, cosine,
