@@ -248,6 +248,23 @@ def q_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MO.dtw_align_pairs(spark.createDataFrame(pdf))
 
 
+def q_polyline_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline Intersects / NearlyCovers / SubsampleVertices relations
+    per deterministic line pair (grouped Arrow kernel; oracle =
+    driver-precomputed literal table)."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.dtw_pair_vertices(),
+        columns=["line_id", "which", "vtx_idx", "x", "y", "z"],
+    )
+    return MO.polyline_relations(spark.createDataFrame(pdf))
+
+
 def q_convex_hull_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile (level-1 cell) spherical convex hull of customer points
     (grouped monotone-chain kernel; rows-only check — robust-predicate
@@ -549,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_features": q_image_features,
         "s2_region_boolean": q_region_boolean,
         "s2_polyline_measures": q_polyline_measures,
+        "s2_polyline_relations": q_polyline_relations,
         "s2_loop_measures": q_loop_measures,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
@@ -719,6 +737,7 @@ def oracle_sql() -> dict[str, str]:
         # one independently recomputes vs takes as literals)
         "s2_loop_measures": LO.loop_measures_sql(),
         "s2_polyline_measures": LO.polyline_measures_sql(),
+        "s2_polyline_relations": LO.polyline_relations_sql(),
         "s2_region_boolean": LO.region_boolean_sql(),
         "s2_dtw_alignment": LO.dtw_alignment_sql(),
         "s2_convex_hull_tile": LO.convex_hull_sql(LO.oracle_sf_dir()),

@@ -493,3 +493,37 @@ def tile_extents_sql(n: int, level: int) -> str:
             ("y", "DOUBLE"),
         ],
     )
+
+
+@lru_cache(maxsize=1)
+def polyline_relations_sql() -> str:
+    from ..kernels import polyline_ops as PO
+    from ..operators.measures_op import POLY_REL_TOL
+
+    pdf = pd.DataFrame(
+        dtw_pair_vertices(),
+        columns=["line_id", "which", "vtx_idx", "x", "y", "z"],
+    )
+    out = []
+    for lid, grp in pdf.groupby("line_id"):
+        grp = grp.sort_values(["which", "vtx_idx"])
+        base = grp[grp["which"] == 0][["x", "y", "z"]].to_numpy()
+        other = grp[grp["which"] == 1][["x", "y", "z"]].to_numpy()
+        idx = PO.subsample_vertices(base, POLY_REL_TOL)
+        out.append(
+            (
+                int(lid),
+                PO.polyline_intersects(base, other),
+                PO.nearly_covers(base, base[idx], POLY_REL_TOL),
+                len(idx),
+            )
+        )
+    return values_sql(
+        out,
+        [
+            ("line_id", "BIGINT"),
+            ("intersects", "BOOLEAN"),
+            ("covers_sub", "BOOLEAN"),
+            ("n_sub", "INT"),
+        ],
+    )

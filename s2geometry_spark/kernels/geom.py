@@ -249,6 +249,30 @@ class S1Interval:
             lo = PI
         return S1Interval(lo, hi)
 
+    @staticmethod
+    def from_point(p: float) -> "S1Interval":
+        if p == -PI:
+            p = PI
+        return S1Interval(p, p)
+
+    def intersection(self, y: "S1Interval") -> "S1Interval":
+        """S1Interval.Intersection: shorter original on ambiguity."""
+        if y.is_empty():
+            return S1Interval.empty()
+        if self.fast_contains(y.lo):
+            if self.fast_contains(y.hi):
+                # either self contains y, or the intersection is two
+                # disjoint arcs — return the shorter original interval
+                if y.get_length() < self.get_length():
+                    return y
+                return self
+            return S1Interval(y.lo, self.hi)
+        if self.fast_contains(y.hi):
+            return S1Interval(self.lo, y.hi)
+        if y.fast_contains(self.lo):
+            return self
+        return S1Interval.empty()
+
     def union(self, y: "S1Interval") -> "S1Interval":
         if y.is_empty():
             return self

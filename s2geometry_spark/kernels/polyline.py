@@ -68,6 +68,8 @@ def project_to_edge(x, a, b):
     """Closest point on edge (a,b) to x (S2EdgeDistances.Project)."""
     if x == a or x == b:
         return x
+    if a == b:  # degenerate edge: the single point is the projection
+        return a
     n = _normalize(stable_cross_prod(a, b))
     p = _normalize(E.cross(E.cross(n, x), n))
     pn = E.cross(p, n)

@@ -231,3 +231,46 @@ def group_convex_hull(points: DataFrame, group_col: str = "grp") -> DataFrame:
         .groupBy("grp")
         .applyInPandas(compute, schema=HULL_SCHEMA)
     )
+
+
+POLY_REL_SCHEMA = T.StructType(
+    [
+        T.StructField("line_id", T.LongType(), False),
+        T.StructField("intersects", T.BooleanType(), False),
+        T.StructField("covers_sub", T.BooleanType(), False),
+        T.StructField("n_sub", T.IntegerType(), False),
+    ]
+)
+
+POLY_REL_TOL = 0.01  # radians
+
+
+def polyline_relations(vertex_df: DataFrame) -> DataFrame:
+    """Per-line polyline relations (kernels.polyline_ops): does chain 0
+    intersect its perpendicular twin (chain 1); does chain 0 nearly
+    cover its own subsampled simplification; simplified vertex count.
+    Input columns: (line_id, which in {0,1}, vtx_idx, x, y, z)."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import polyline_ops as PO
+
+        (lid,) = key
+        pdf = pdf.sort_values(["which", "vtx_idx"])
+        base = pdf[pdf["which"] == 0][["x", "y", "z"]].to_numpy()
+        other = pdf[pdf["which"] == 1][["x", "y", "z"]].to_numpy()
+        idx = PO.subsample_vertices(base, POLY_REL_TOL)
+        sub = base[idx]
+        return pd.DataFrame(
+            [
+                {
+                    "line_id": int(lid),
+                    "intersects": PO.polyline_intersects(base, other),
+                    "covers_sub": PO.nearly_covers(base, sub, POLY_REL_TOL),
+                    "n_sub": len(idx),
+                }
+            ]
+        )
+
+    return vertex_df.groupBy("line_id").applyInPandas(
+        compute, schema=POLY_REL_SCHEMA
+    )
