@@ -215,7 +215,9 @@ def region_boolean_sql() -> str:
         grp = grp.sort_values(["which", "vtx_idx"])
         a = Loop(grp[grp["which"] == 0][["x", "y", "z"]].to_numpy())
         b = Loop(grp[grp["which"] == 1][["x", "y", "z"]].to_numpy())
-        for op in ("intersection", "union", "difference"):
+        for op in (
+            "intersection", "union", "difference", "symmetric_difference"
+        ):
             rings = B.loop_boolean(a, b, op)
             if op == "difference" and len(rings) == 2:
                 area = M.loop_area(rings[0]) - M.loop_area(rings[1])

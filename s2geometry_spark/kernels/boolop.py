@@ -236,19 +236,50 @@ def _arc_midpoint(points):
     return best
 
 
+def _probe_point(verts):
+    """Strictly-boundary-interior membership probe: midpoint of the
+    longest edge (never a vertex, so shared-vertex tangencies cannot
+    put the probe on the other loop's boundary)."""
+    best, best_len = None, -1.0
+    n = len(verts)
+    for k in range(n):
+        p, q = verts[k], verts[(k + 1) % n]
+        d = sum((p[i] - q[i]) ** 2 for i in range(3))
+        if d > best_len:
+            best_len = d
+            best = _normalize((p[0] + q[0], p[1] + q[1], p[2] + q[2]))
+    return best
+
+
 def loop_boolean(a: Loop, b: Loop, op: str) -> list[np.ndarray]:
     """Boolean combination of two loops -> list of CCW result rings.
 
-    op in {"intersection", "union", "difference"} (difference = a - b).
-    REQUIRES general position (use on synthetic/real-world dim regions;
-    coincident geometry needs the snap-rounding path, not implemented).
+    op in {"intersection", "union", "difference",
+    "symmetric_difference"} (difference = a - b).
+
+    Handles interior crossings and shared-VERTEX tangencies (the
+    admin-boundary corner case): at a coincident vertex the robust
+    wedge test (OrderedCCW on the interior sector, the VertexCrossing
+    machinery of S2EdgeCrossings.cs:120-141) decides whether the
+    boundaries actually cross there, and crossing vertices split the
+    arc walk exactly like interior crossings.  Exactly-collinear
+    overlapping EDGES still need the snap-rounding path (S2Builder) —
+    out of scope; vertex-on-edge tangencies resolve deterministically
+    via the symbolic-perturbation sign.
     """
+    if op == "symmetric_difference":
+        # (A - B) u (B - A); the two parts stitch independently (their
+        # boundaries only meet at crossing points), so the ring lists
+        # concatenate.
+        return loop_boolean(a, b, "difference") + loop_boolean(
+            b, a, "difference"
+        )
     assert op in ("intersection", "union", "difference")
     averts = [tuple(map(float, v)) for v in a.verts]
     bverts = [tuple(map(float, v)) for v in b.verts]
     na, nb = len(averts), len(bverts)
 
-    # 1. crossings
+    # 1. interior crossings
     crossings = []  # (xid, a_edge, b_edge, point)
     a_by_edge: dict[int, list] = {}
     b_by_edge: dict[int, list] = {}
@@ -264,9 +295,33 @@ def loop_boolean(a: Loop, b: Loop, op: str) -> list[np.ndarray]:
                 b_by_edge.setdefault(j, []).append((p, xid))
                 xid += 1
 
+    # 1b. shared-vertex tangencies: split both walks at a coincident
+    # vertex iff B's boundary passes through A's interior wedge there
+    # (in-sector parity of B's incoming/outgoing directions).
+    for i in range(na):
+        for j in range(nb):
+            if averts[i] != bverts[j]:
+                continue
+            v = averts[i]
+            ap, an = averts[(i - 1) % na], averts[(i + 1) % na]
+            bp, bn = bverts[(j - 1) % nb], bverts[(j + 1) % nb]
+
+            def in_sector(p):
+                # direction v->p inside A's interior wedge at v: the
+                # CCW sweep from v->a_next to v->a_prev
+                return E.ordered_ccw(an, p, ap, v)
+
+            if in_sector(bp) != in_sector(bn):
+                crossings.append((xid, i, j, v))
+                # v is the START of edge i / edge j: _edge_param sorts
+                # it before any interior crossing of the same edge
+                a_by_edge.setdefault(i, []).append((v, xid))
+                b_by_edge.setdefault(j, []).append((v, xid))
+                xid += 1
+
     if not crossings:
-        a_in_b = b.contains_point(averts[0])
-        b_in_a = a.contains_point(bverts[0])
+        a_in_b = b.contains_point(_probe_point(averts))
+        b_in_a = a.contains_point(_probe_point(bverts))
         if op == "intersection":
             if a_in_b:
                 return [np.asarray(averts)]

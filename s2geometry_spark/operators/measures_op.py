@@ -139,7 +139,9 @@ def boolean_pairs(vertex_df: DataFrame) -> DataFrame:
         a = Loop(pdf[pdf["which"] == 0][["x", "y", "z"]].to_numpy())
         b = Loop(pdf[pdf["which"] == 1][["x", "y", "z"]].to_numpy())
         rows = []
-        for op in ("intersection", "union", "difference"):
+        for op in (
+            "intersection", "union", "difference", "symmetric_difference"
+        ):
             rings = B.loop_boolean(a, b, op)
             if op == "difference" and len(rings) == 2:
                 # shell + hole: area = shell - hole
