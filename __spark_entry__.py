@@ -499,7 +499,7 @@ def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators import mosaic as M
     from s2geometry_spark.sources import images as IMG
 
-    imgs = IMG.image_table(spark, N_IMAGES)
+    imgs = IMG.geo_table(spark, N_IMAGES)  # payload-free scan
     tiled = M.with_tiles(imgs, IMAGE_TILE_LEVEL)
     return tiled.groupBy("tile_id").agg(F.count(F.lit(1)).alias("n"))
 
@@ -528,7 +528,7 @@ def q_tile_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators import mosaic as M
     from s2geometry_spark.sources import images as IMG
 
-    imgs = IMG.image_table(spark, N_IMAGES)
+    imgs = IMG.geo_table(spark, N_IMAGES)  # payload-free scan
     tiled = M.with_tiles(imgs, IMAGE_TILE_LEVEL)
     return M.tile_extents(tiled.select("tile_id").distinct())
 

@@ -160,6 +160,61 @@ def image_table(spark: SparkSession, n: int, partitions: int = 0) -> DataFrame:
     return base.mapInPandas(gen, schema=SCHEMA)
 
 
+GEO_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+        T.StructField("lon", T.DoubleType(), False),
+    ]
+)
+
+
+def geo_table(spark: SparkSession, n: int, partitions: int = 0) -> DataFrame:
+    """Geotag-only projection of the image table (bitwise-identical
+    lat/lon, no payload synthesis) — the scan a tile-histogram or
+    extent query would read after Parquet column pruning; the full
+    generator cannot prune because every column is synthesized in one
+    pass."""
+    parts = partitions or max(4, spark.sparkContext.defaultParallelism)
+    base = spark.range(0, n, numPartitions=parts)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            # geotags() is a pure function of the absolute row index:
+            # compute the whole prefix once per batch is wasteful for
+            # distributed splits, so derive per-index directly
+            g = _mix64(ids.astype(np.uint64) + np.uint64(1 << 40))
+            hot = (g % np.uint64(5)) == 0
+            hs = np.array(HOTSPOTS, dtype=np.float64)
+            hs_idx = (g % np.uint64(len(HOTSPOTS))).astype(np.int64)
+            lat_hot = hs[hs_idx, 0] + (
+                ((g >> np.uint64(16)) % np.uint64(2001)).astype(np.float64)
+                - 1000.0
+            ) / 1000.0
+            lon_hot = hs[hs_idx, 1] + (
+                ((g >> np.uint64(32)) % np.uint64(2001)).astype(np.float64)
+                - 1000.0
+            ) / 1000.0
+            lat_uni = (
+                (g >> np.uint64(8)) % np.uint64(1798000)
+            ).astype(np.float64) / 10000.0 - 89.9
+            lon_uni = (
+                (g >> np.uint64(24)) % np.uint64(3600000)
+            ).astype(np.float64) / 10000.0 - 180.0
+            yield pd.DataFrame(
+                {
+                    "image_id": [f"img{int(i):012d}" for i in ids],
+                    "lat": np.where(hot, lat_hot, lat_uni),
+                    "lon": np.where(hot, lon_hot, lon_uni),
+                }
+            )
+
+    return base.mapInPandas(gen, schema=GEO_SCHEMA)
+
+
 def expected_pixels(i: int) -> np.ndarray:
     """Oracle: the decoded pixels row i must reproduce (exact for png,
     quantized for the fake-jpeg stub)."""
