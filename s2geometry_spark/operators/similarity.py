@@ -17,6 +17,7 @@ cosine scores and orderings are bit-identical.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -134,8 +135,8 @@ SELECT vec_id, neighbor_id, cosine, rn FROM (
 ) WHERE rn <= {k}"""
 
 
-N_BANDS = 8
-BAND_BITS = 4
+N_BANDS = 4
+BAND_BITS = 8
 
 
 def lsh_planes(n_planes: int = N_PLANES) -> np.ndarray:
@@ -172,6 +173,54 @@ def _band_planes(n_bands: int, band_bits: int) -> list[np.ndarray]:
     ]
 
 
+def _band_rows(emb: DataFrame, bands: list[np.ndarray]) -> DataFrame:
+    """(vec_id, b, bk) band-signature rows via one Arrow pass.
+
+    The generated-SQL form of 32 plane dots is a ~2000-term projection
+    whose Janino compile time dwarfs the data at dim-table scale, so
+    the dots run in numpy instead — with the sums accumulated in the
+    exact chunked left-associative order of _plane_dot, keeping the
+    sign bits (and hence bucket keys) bit-identical to the DuckDB
+    oracle's expression tree."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    planes = [p.copy() for p in bands]
+
+    @pandas_udf(ArrayType(StringType()))
+    def _keys(embedding: pd.Series) -> pd.Series:
+        E = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in embedding]
+        )
+        out_bits = []
+        for bp in planes:
+            band_strs = None
+            for p in bp:
+                # chunked left-assoc: partials of CHUNK terms, then
+                # left-assoc partial sum — mirrors _plane_dot exactly
+                partials = []
+                for lo in range(0, DIM, CHUNK):
+                    acc = E[:, lo] * p[lo]
+                    for i in range(lo + 1, lo + CHUNK):
+                        acc = acc + E[:, i] * p[i]
+                    partials.append(acc)
+                tot = partials[0]
+                for q in partials[1:]:
+                    tot = tot + q
+                bit = np.where(tot >= 0, "1", "0")
+                band_strs = bit if band_strs is None else np.char.add(band_strs, bit)
+            out_bits.append(band_strs)
+        return pd.Series(
+            [[out_bits[b][r] for b in range(len(planes))] for r in range(len(E))]
+        )
+
+    sigs = emb.select(F.col("vec_id"), _keys(F.col("embedding")).alias("bks"))
+    # materialize once: both sides of the candidate self-join read it
+    return sigs.select(
+        "vec_id", F.posexplode(F.col("bks")).alias("b", "bk")
+    ).localCheckpoint()
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     k: int,
@@ -192,24 +241,7 @@ def ann_lsh_topk(
     there — no hash family beats brute force on data with no structure).
     """
     bands = _band_planes(n_bands, band_bits)
-
-    def band_str(col: str, planes: np.ndarray) -> str:
-        bits = [
-            f"(CASE WHEN ({_plane_dot(col, p, False)}) >= 0 "
-            "THEN '1' ELSE '0' END)"
-            for p in planes
-        ]
-        return "concat(" + ", ".join(bits) + ")"
-
-    band_cols = [
-        F.expr(band_str("embedding", bp)).alias(f"band{b}")
-        for b, bp in enumerate(bands)
-    ]
-    sigs = emb.select(F.col("vec_id"), *band_cols)
-    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
-    slim = sigs.select(
-        "vec_id", F.expr(f"stack({n_bands}, {stack_args}) AS (b, bk)")
-    )
+    slim = _band_rows(emb, bands)
     a = slim.select(
         F.col("vec_id").alias("qid"), F.col("b"), F.col("bk")
     )

@@ -16,6 +16,7 @@ band-key salting upstream if needed.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -215,16 +216,47 @@ def _minhash_col(i: int) -> Column:
     )
 
 
+def _minhash_sig_udf():
+    """pUDF: all MINHASH_N affine minima in one Arrow pass — one
+    numpy broadcast per doc instead of N Catalyst zip_with projections
+    over the same word arrays (identical int64 arithmetic:
+    h_i = min((w1 + w2*i) mod P), mirrored by the SQL oracle)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    n, p = MINHASH_N, MINHASH_P
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sigs(w1: pd.Series, w2: pd.Series) -> pd.Series:
+        import numpy as np
+
+        ks = np.arange(n, dtype=np.int64)[:, None]
+        out = []
+        for a, b in zip(w1, w2):
+            a = np.asarray(a, dtype=np.int64)
+            b = np.asarray(b, dtype=np.int64)
+            out.append(
+                ((a[None, :] + b[None, :] * ks) % p).min(axis=1).tolist()
+            )
+        return pd.Series(out)
+
+    return _sigs
+
+
 def minhash_signature(docs: DataFrame) -> DataFrame:
     """(doc_id, h0..h{N-1}): minhash signature over k-char shingles,
-    h_i = min over shingles of md5('<i>|' || shingle)."""
+    one-hash affine family h_i = min((w1 + w2*i) mod P)."""
     shingled = _shingle_words(
         docs.select("doc_id", _shingles_expr("text").alias("shingles"))
     )
-    sig_exprs = [
-        _minhash_col(i).alias(f"h{i}") for i in range(MINHASH_N)
-    ]
-    return shingled.select("doc_id", *sig_exprs)
+    sig = shingled.select(
+        "doc_id",
+        _minhash_sig_udf()(F.col("w1"), F.col("w2")).alias("sig"),
+    )
+    return sig.select(
+        "doc_id",
+        *[F.col("sig")[i].alias(f"h{i}") for i in range(MINHASH_N)],
+    )
 
 
 def near_dup_pairs(
@@ -263,13 +295,15 @@ def near_dup_pairs(
     shingled = _shingle_words(
         base.select("doc_id", F.expr(sh_expr).alias("shingles"))
     )
-    sig_exprs = [
-        _minhash_col(i).alias(f"h{i}") for i in range(MINHASH_N)
-    ]
-    sigs = shingled.select("doc_id", *sig_exprs)
+    sigs = shingled.select(
+        "doc_id",
+        _minhash_sig_udf()(F.col("w1"), F.col("w2")).alias("sig"),
+    )
     band_cols = []
     for b in range(LSH_BANDS):
-        parts = [F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        parts = [
+            F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)
+        ]
         band_cols.append(
             F.md5(F.concat_ws("|", *parts)).alias(f"band{b}")
         )
