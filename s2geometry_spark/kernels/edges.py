@@ -313,7 +313,28 @@ def crossing_fast_batch(
     )
 
 
-def crossing_parity_robust(verts: np.ndarray, points: np.ndarray) -> np.ndarray:
+class ParityPrep:
+    """Per-loop constants for crossing_parity_robust: edge endpoint
+    arrays, per-edge cross products, and the ORIGIN-side determinant
+    signs.  Build once per loop (Loop caches it) — rebuilding per
+    contains_point call is O(edges) and dominates coverer runs on
+    many-edge loops."""
+
+    __slots__ = ("c", "d", "cd", "s_a")
+
+    def __init__(self, verts: np.ndarray):
+        self.c = np.asarray(verts, dtype=np.float64)
+        self.d = np.roll(self.c, -1, axis=0)
+        self.cd = np.cross(self.c, self.d)
+        det_a = self.cd @ np.asarray(ORIGIN)
+        self.s_a = np.where(
+            np.abs(det_a) > MAX_DET_ERROR, np.sign(det_a), 0.0
+        )
+
+
+def crossing_parity_robust(
+    verts: np.ndarray, points: np.ndarray, prep: ParityPrep | None = None
+) -> np.ndarray:
     """Parity of EdgeOrVertexCrossing of (ORIGIN -> P) vs the loop chain.
 
     Vectorized triage over the edge axis (the four determinant signs of
@@ -326,12 +347,9 @@ def crossing_parity_robust(verts: np.ndarray, points: np.ndarray) -> np.ndarray:
     m = len(points)
     out = np.zeros(m, dtype=np.int64)
     n = len(verts)
-    c = np.asarray(verts, dtype=np.float64)
-    d = np.roll(c, -1, axis=0)
-    # per-edge constants: C x D and (C x D) . A
-    cd = np.cross(c, d)
-    det_a = cd @ np.asarray(a)
-    s_a = np.where(np.abs(det_a) > MAX_DET_ERROR, np.sign(det_a), 0.0)
+    if prep is None:
+        prep = ParityPrep(verts)
+    c, d, cd, s_a = prep.c, prep.d, prep.cd, prep.s_a
     pts = np.asarray(points, dtype=np.float64)
 
     def vt(k):  # scalar-fallback vertices, built on demand (rare)
@@ -386,10 +404,13 @@ def loop_origin_inside(verts: np.ndarray) -> bool:
 
 
 def loop_contains_points(
-    verts: np.ndarray, points: np.ndarray, origin_inside: bool | None = None
+    verts: np.ndarray,
+    points: np.ndarray,
+    origin_inside: bool | None = None,
+    prep: "ParityPrep | None" = None,
 ) -> np.ndarray:
     """Robust point-in-loop for unit-length points ((m,3))."""
     if origin_inside is None:
         origin_inside = loop_origin_inside(verts)
-    par = crossing_parity_robust(verts, points)
+    par = crossing_parity_robust(verts, points, prep)
     return (par ^ int(origin_inside)).astype(bool)

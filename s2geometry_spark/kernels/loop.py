@@ -174,6 +174,8 @@ class Loop(Region):
         self._eb_lat_hi = np.array([b.lat.hi for b in self._edge_bounds])
         self._eb_lng_lo = np.array([b.lng.lo for b in self._edge_bounds])
         self._eb_lng_hi = np.array([b.lng.hi for b in self._edge_bounds])
+        # per-loop parity constants, shared by every containment call
+        self._parity_prep = E.ParityPrep(verts)
 
     @property
     def edges(self) -> list:
@@ -186,7 +188,7 @@ class Loop(Region):
         return bool(
             E.loop_contains_points(
                 self.verts, np.asarray([p], dtype=np.float64),
-                self.origin_inside,
+                self.origin_inside, getattr(self, "_parity_prep", None),
             )[0]
         )
 
@@ -196,12 +198,14 @@ class Loop(Region):
         return bool(
             E.loop_contains_points(
                 self.verts, np.asarray([p], dtype=np.float64),
-                self.origin_inside,
+                self.origin_inside, self._parity_prep,
             )[0]
         )
 
     def contains_points(self, points: np.ndarray) -> np.ndarray:
-        return E.loop_contains_points(self.verts, points, self.origin_inside)
+        return E.loop_contains_points(
+            self.verts, points, self.origin_inside, self._parity_prep
+        )
 
     # -- region contract ------------------------------------------------
 

@@ -55,6 +55,37 @@ def default_index_options(n_edges: int) -> CovererOptions:
     return CovererOptions(max_cells=max(32, n_edges // 6))
 
 
+# MutableS2ShapeIndex.kCellPadding analogue: covers the face-clip and
+# rect-test error bounds so the uv filter stays conservative
+CELL_PADDING = 2 * (
+    9 * (0.5 ** 0.5) * 2.220446049250313e-16
+    + 3 * (2.0 ** 0.5) * 2.220446049250313e-16
+)
+
+
+def _edges_in_cell_uv(loop, idx: np.ndarray, cell: Cell) -> np.ndarray:
+    """Tighten a rect-bound candidate mask with the exact uv clip
+    (S2EdgeClipping): keep edge k iff its clip to the cell's face
+    passes through the cell's padded uv rect."""
+    from ..kernels import edgeclip as EDC
+
+    verts = loop.verts
+    n = len(verts)
+    rect = (
+        (cell.u_lo - CELL_PADDING, cell.u_hi + CELL_PADDING),
+        (cell.v_lo - CELL_PADDING, cell.v_hi + CELL_PADDING),
+    )
+    keep = np.zeros(len(idx), dtype=bool)
+    for t, k in enumerate(idx):
+        c = verts[k]
+        d = verts[(k + 1) % n]
+        seg = EDC.clip_to_padded_face(c, d, cell.face, CELL_PADDING)
+        if seg is None:
+            continue
+        keep[t] = EDC.intersects_rect(seg[0], seg[1], rect)
+    return idx[keep]
+
+
 def build_loop_index_entries(
     loops: list, options: CovererOptions | None = None
 ) -> tuple[dict, pd.DataFrame]:
@@ -82,8 +113,12 @@ def build_loop_index_entries(
             mask = loop.edges_intersecting_rect(cell.get_rect_bound())
             center = tuple(float(c) for c in cell.center())
             cc = bool(loop.contains_point(center))
-            if mask.any():
-                idx = np.flatnonzero(mask)
+            idx = np.flatnonzero(mask)
+            if len(idx):
+                # exact uv clip prunes rect-bound false positives
+                # (typically 2-4x fewer edges per cell)
+                idx = _edges_in_cell_uv(loop, idx, cell)
+            if len(idx):
                 cd = np.stack(
                     [verts[idx], verts[(idx + 1) % n]], axis=1
                 )  # (k, 2, 3)
