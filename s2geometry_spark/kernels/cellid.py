@@ -170,6 +170,62 @@ def prev_id(cell_id: np.ndarray) -> np.ndarray:
     return cid - (lowest_on_bit(cid) << U(1))
 
 
+_WRAP_OFFSET = np.uint64(6) << U(POS_BITS)
+
+
+def begin(lv) -> np.ndarray:
+    """First cell id at `lv` in Hilbert order (S2CellId.Begin)."""
+    return child_begin(from_face(0), lv)
+
+
+def end(lv) -> np.ndarray:
+    """One-past-the-last id at `lv` (S2CellId.End; invalid sentinel)."""
+    return child_end(from_face(5), lv)
+
+
+def advance(cell_id: np.ndarray, steps) -> np.ndarray:
+    """Advance `steps` cells at this level in Hilbert order, clamped to
+    [Begin(level), End(level)] (S2CellId.Advance)."""
+    cid = as_u64(cell_id)
+    steps = np.asarray(steps, dtype=np.int64) + np.zeros(cid.shape, np.int64)
+    shift = (U(2) * (U(MAX_LEVEL) - level(cid).astype(np.uint64)) + U(1)).astype(
+        np.int64
+    )
+    min_steps = -((cid >> shift.astype(np.uint64)).astype(np.int64))
+    max_steps = (
+        (_WRAP_OFFSET + lowest_on_bit(cid) - cid) >> shift.astype(np.uint64)
+    ).astype(np.int64)
+    steps = np.clip(steps, min_steps, max_steps)
+    return cid + (steps.astype(np.uint64) << shift.astype(np.uint64))
+
+
+def advance_wrap(cell_id: np.ndarray, steps) -> np.ndarray:
+    """Advance with wraparound past the cube's first/last cell
+    (S2CellId.AdvanceWrap)."""
+    cid = as_u64(cell_id)
+    steps = np.asarray(steps, dtype=np.int64) + np.zeros(cid.shape, np.int64)
+    shift = (U(2) * (U(MAX_LEVEL) - level(cid).astype(np.uint64)) + U(1)).astype(
+        np.int64
+    )
+    ushift = shift.astype(np.uint64)
+    min_steps = -((cid >> ushift).astype(np.int64))
+    max_steps = ((_WRAP_OFFSET - cid) >> ushift).astype(np.int64)
+    step_wrap = (_WRAP_OFFSET >> ushift).astype(np.int64)
+    s = steps.copy()
+    under = s < min_steps
+    if under.any():
+        sw = np.mod(s, step_wrap)  # python-style mod; fix sign below
+        sw = np.where(sw > 0, sw - step_wrap, sw)  # C-style remainder
+        sw = np.where(sw < min_steps, sw + step_wrap, sw)
+        s = np.where(under, sw, s)
+    over = s > max_steps
+    if over.any():
+        sw = np.mod(s, step_wrap)
+        sw = np.where(sw > max_steps, sw - step_wrap, sw)
+        s = np.where(over, sw, s)
+    return cid + (s.astype(np.uint64) << ushift)
+
+
 def range_min(cell_id: np.ndarray) -> np.ndarray:
     cid = as_u64(cell_id)
     return cid - (lowest_on_bit(cid) - U(1))

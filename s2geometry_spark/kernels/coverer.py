@@ -371,3 +371,46 @@ def _replace_cells_with_ancestor(covering: list[int], cid: int) -> None:
     end = bisect.bisect_right(covering, CU._range_max(cid))
     assert begin != end
     covering[begin:end] = [cid]
+
+
+def flood_fill(region: Region, start: int) -> list[int]:
+    """All edge-connected cells at start's level that intersect the
+    region, BFS from `start` (S2RegionCoverer.FloodFill).  Returns
+    sorted uint64-valued cell ids."""
+    import numpy as np
+
+    from . import cellid as CI
+
+    visited = {int(start)}
+    frontier = [int(start)]
+    out: list[int] = []
+    while frontier:
+        cid = frontier.pop()
+        if not region.may_intersect_cell(Cell(cid)):
+            continue
+        out.append(cid)
+        nbrs = CI.edge_neighbors(np.array([cid], dtype=np.uint64))[0]
+        for nbr in nbrs:
+            nbr = int(nbr)
+            if nbr not in visited:
+                visited.add(nbr)
+                frontier.append(nbr)
+    return sorted(out)
+
+
+def get_simple_covering(region: Region, start_point, level: int) -> list[int]:
+    """Simple fixed-level covering by flood fill from the cell of
+    `start_point` (S2RegionCoverer.GetSimpleCovering).  The start point
+    should be contained by the region (all cells returned intersect
+    the region and are edge-connected to the start cell)."""
+    import numpy as np
+
+    from . import cellid as CI
+
+    leaf = CI.xyz_to_cellid(
+        np.array([start_point[0]]),
+        np.array([start_point[1]]),
+        np.array([start_point[2]]),
+    )
+    start = int(CI.parent(leaf, level)[0])
+    return flood_fill(region, start)
