@@ -410,6 +410,36 @@ def q_furthest_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KNN.furthest_polyline(pts, sorted(by_line.items()))
 
 
+def _cap_cover_entries():
+    import functools
+
+    @functools.lru_cache(maxsize=1)
+    def build():
+        from s2geometry_spark.kernels.coverer import RegionCoverer
+        from s2geometry_spark.sources import regions_src as R
+
+        rc = RegionCoverer()
+        entries = []
+        for rid, cap in R.synthetic_caps(range(25)):
+            for cid in rc.get_covering(cap):
+                entries.append((cid, rid))
+        return tuple(entries)
+
+    return list(build())
+
+
+def q_cell_index_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General S2CellIndex lookup: orders points against a labeled
+    (cell_id, label) index (cap coverings labeled by region) via the
+    disjoint leaf-range sweep + broadcast range join."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.operators import tile as T
+
+    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    return SJ.label_range_join(spark, pts, _cap_cover_entries())
+
+
 def q_knn_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k nearest supplier points per order point — cell-ring-expansion
     kNN join (S2ClosestPointQuery semantics)."""
@@ -560,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_dtw_alignment": q_dtw_alignment,
         "s2_near_loop_join": q_near_loop_join,
         "s2_range_join": q_range_join,
+        "s2_cell_index_labels": q_cell_index_labels,
         "s2_image_tile_counts": q_image_tile_counts,
         "s2_tile_mosaic": q_tile_mosaic,
         "s2_tile_extents": q_tile_extents,
@@ -582,6 +613,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------
 # Oracles (DuckDB side)
 # ---------------------------------------------------------------------
+
+def _cell_index_oracle_sql(base_ctes: str) -> str:
+    """Literal disjoint (lo, hi, label) biased leaf ranges (swept on
+    the driver from the same index entries) joined against leaf cells
+    the DuckDB Hilbert pipeline re-derives independently."""
+    import numpy as np
+
+    from s2geometry_spark.kernels import cellid as CI
+    from s2geometry_spark.kernels.cell_index import CellIndex
+
+    idx = CellIndex(_cap_cover_entries())
+    rows = []
+    for lo, hi, labels in idx.range_rows():
+        lo_b = int(CI.bias(np.array([lo], dtype=np.uint64))[0])
+        hi_b = int(CI.bias(np.array([hi], dtype=np.uint64))[0])
+        for lab in labels:
+            rows.append(f"({lo_b}, {hi_b}, {lab})")
+    ranges = (
+        "ranges(lo, hi, label) AS (VALUES " + ", ".join(rows) + ")"
+    )
+    bias = "xor(cell_id, CAST('-9223372036854775808' AS BIGINT))"
+    return (
+        base_ctes
+        + ", "
+        + ranges
+        + f"\nSELECT c.key AS key, r.label AS label FROM cells c "
+        f"JOIN ranges r ON {bias} BETWEEN r.lo AND r.hi"
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     import os
@@ -717,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
             pts + ", " + upts, R.loop_edges_sql_values(loops), NEAR_RADIUS
         ),
         "s2_range_join": pip_base,
+        "s2_cell_index_labels": _cell_index_oracle_sql(base),
         "s2_pip_polygon_join": O.pip_loop_sql(
             pts,
             R.loop_edges_sql_values(R.synthetic_polygons(range(25))),

@@ -295,3 +295,44 @@ def point_in_cap_semi(
     pairs = point_in_cap_join(spark, points, caps, options, point_key=point_key)
     how = "left_anti" if anti else "left_semi"
     return points.join(pairs.select(point_key).distinct(), on=point_key, how=how)
+
+
+def label_range_join(
+    spark: SparkSession,
+    points: DataFrame,
+    entries: list,
+    point_key: str = "key",
+) -> DataFrame:
+    """General S2CellIndex lookup as a distributed range join: given
+    (cell_id, label) index entries (cells may nest/overlap/repeat),
+    return (point_key, label) for every point whose leaf cell is
+    contained in some indexed cell (Index/S2CellIndex.cs
+    GetIntersectingLabels semantics for point targets).
+
+    The driver sweeps the entries into disjoint leaf ranges
+    (kernels.cell_index), so each point matches exactly one range row
+    per label — no dedup shuffle; the fact side never shuffles (the
+    range table broadcasts)."""
+    import pandas as pd
+
+    from ..kernels import cellid as CI
+    from ..kernels.cell_index import CellIndex
+
+    import numpy as np
+
+    idx = CellIndex(entries)
+    rows = []
+    for lo, hi, labels in idx.range_rows():
+        lo_b = int(CI.bias(np.array([lo], dtype=np.uint64))[0])
+        hi_b = int(CI.bias(np.array([hi], dtype=np.uint64))[0])
+        for lab in labels:
+            rows.append((lo_b, hi_b, lab))
+    ranges = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["lo", "hi", "label"]).astype("int64")
+    )
+    probe = points.withColumn("leaf_biased", S.cell_bias(F.col("cell_id")))
+    cond = (F.col("leaf_biased") >= F.col("lo")) & (
+        F.col("leaf_biased") <= F.col("hi")
+    )
+    joined = probe.join(F.broadcast(ranges), on=cond, how="inner")
+    return joined.select(F.col(point_key), F.col("label"))
