@@ -414,3 +414,118 @@ def loop_contains_points(
         origin_inside = loop_origin_inside(verts)
     par = crossing_parity_robust(verts, points, prep)
     return (par ^ int(origin_inside)).astype(bool)
+
+
+# ---------------------------------------------------------------------
+# Exact distance comparisons (S2Predicates.cs:103-175, 736-900)
+# ---------------------------------------------------------------------
+
+_SQRT1_2 = 0.7071067811865476
+
+
+def _get_cos_distance(x, y):
+    c = dot(x, y)
+    return c, 9.5 * DBL_EPS * abs(c) + 1.5 * DBL_EPS
+
+
+def _get_sin2_distance(x, y):
+    n = cross(
+        (x[0] - y[0], x[1] - y[1], x[2] - y[2]),
+        (x[0] + y[0], x[1] + y[1], x[2] + y[2]),
+    )
+    d2 = 0.25 * dot(n, n)
+    err = (
+        (21 + 4 * math.sqrt(3.0)) * DBL_EPS * d2
+        + 32 * math.sqrt(3.0) * DBL_EPS * DBL_EPS * math.sqrt(d2)
+        + 768 * DBL_EPS ** 4
+    )
+    return d2, err
+
+
+def triage_compare_cos_distances(x, a, b) -> int:
+    cos_ax, ea = _get_cos_distance(a, x)
+    cos_bx, eb = _get_cos_distance(b, x)
+    diff = cos_ax - cos_bx
+    error = ea + eb
+    return -1 if diff > error else (1 if diff < -error else 0)
+
+
+def triage_compare_sin2_distances(x, a, b) -> int:
+    s_ax, ea = _get_sin2_distance(a, x)
+    s_bx, eb = _get_sin2_distance(b, x)
+    diff = s_ax - s_bx
+    error = ea + eb
+    return 1 if diff > error else (-1 if diff < -error else 0)
+
+
+def _exact_compare_distances(x, a, b) -> int:
+    fx = tuple(Fraction(v) for v in x)
+    fa = tuple(Fraction(v) for v in a)
+    fb = tuple(Fraction(v) for v in b)
+    cos_ax = dot(fx, fa)
+    cos_bx = dot(fx, fb)
+    a_sign, b_sign = _sign_int(cos_ax), _sign_int(cos_bx)
+    if a_sign != b_sign:
+        return -1 if a_sign > b_sign else 1
+    cmp = cos_bx * cos_bx * dot(fa, fa) - cos_ax * cos_ax * dot(fb, fb)
+    return a_sign * _sign_int(cmp)
+
+
+def compare_distances(x, a, b) -> int:
+    """-1/0/+1 as distance AX is less/equal/greater than BX, exact as
+    though all points were projected onto the unit sphere, with
+    symbolic perturbation so 0 occurs only for a == b
+    (S2Predicates.CompareDistances)."""
+    s = triage_compare_cos_distances(x, a, b)
+    if s != 0:
+        return s
+    if a == b:
+        return 0
+    cos_ax = dot(a, x)
+    if cos_ax > _SQRT1_2:
+        s = triage_compare_sin2_distances(x, a, b)
+    elif cos_ax < -_SQRT1_2:
+        s = -triage_compare_sin2_distances(x, a, b)
+    if s != 0:
+        return s
+    s = _exact_compare_distances(x, a, b)
+    if s != 0:
+        return s
+    # symbolic: pedestal model — lexicographically smaller point sits
+    # on a higher pedestal, hence is farther
+    return 1 if a < b else (-1 if a > b else 0)
+
+
+def compare_distance(x, y, r2: float) -> int:
+    """-1/0/+1 as distance XY is less/equal/greater than the chord^2
+    limit r2 (S2Predicates.CompareDistance)."""
+    cos_xy, e_xy = _get_cos_distance(x, y)
+    cos_r = 1 - 0.5 * r2
+    diff = cos_xy - cos_r
+    error = e_xy + 2 * DBL_EPS * cos_r
+    if diff > error:
+        return -1
+    if diff < -error:
+        return 1
+    if r2 == 0.0 and x == y:
+        return 0
+    # chord^2 of 45 degrees = 2 - sqrt(2)
+    if r2 < 2 - math.sqrt(2.0):
+        s_xy, es = _get_sin2_distance(x, y)
+        sin2_r = r2 * (1 - 0.25 * r2)
+        diff = s_xy - sin2_r
+        error = es + 3 * DBL_EPS * sin2_r
+        if diff > error:
+            return 1
+        if diff < -error:
+            return -1
+    fx = tuple(Fraction(v) for v in x)
+    fy = tuple(Fraction(v) for v in y)
+    fr2 = Fraction(r2)
+    cos_xy_e = dot(fx, fy)
+    cos_r_e = 1 - Fraction(1, 2) * fr2
+    xy_sign, r_sign = _sign_int(cos_xy_e), _sign_int(cos_r_e)
+    if xy_sign != r_sign:
+        return -1 if xy_sign > r_sign else 1
+    cmp = cos_r_e * cos_r_e * dot(fx, fx) * dot(fy, fy) - cos_xy_e * cos_xy_e
+    return xy_sign * _sign_int(cmp)
