@@ -261,3 +261,107 @@ def build_index_df(vertex_df: DataFrame) -> DataFrame:
     return vertex_df.groupBy("region_id").applyInPandas(
         build, schema=INDEX_SCHEMA
     )
+
+
+def index_edges_df(index_df: DataFrame, vertex_df: DataFrame) -> DataFrame:
+    """Explode an index-cell table into per-(region, cell, edge) rows
+    with edge coordinates and the cell center attached — the fully
+    materialized shape-index layout (SURVEY §1.4) a shuffle-join refine
+    consumes when the region table itself is too big to broadcast.
+
+    index_df:  (region_id, cell_id, level, contains_center, n_edges,
+                edge_idx array)   [build_index_df output]
+    vertex_df: (region_id, vtx_idx, x, y, z) ordered loop vertices.
+    """
+    from ..functions import udfs as U
+
+    n_verts = vertex_df.groupBy("region_id").agg(
+        F.max("vtx_idx").alias("max_idx")
+    )
+    verts = vertex_df.join(n_verts, on="region_id")
+    starts = verts.select(
+        "region_id",
+        F.col("vtx_idx").alias("edge_idx"),
+        F.col("x").alias("cx"), F.col("y").alias("cy"), F.col("z").alias("cz"),
+        F.col("max_idx"),
+    )
+    ends = verts.select(
+        "region_id",
+        F.col("vtx_idx").alias("end_idx"),
+        F.col("x").alias("dx"), F.col("y").alias("dy"), F.col("z").alias("dz"),
+    )
+    edges = starts.join(
+        ends,
+        (starts["region_id"] == ends["region_id"])
+        & (
+            ends["end_idx"]
+            == F.when(
+                starts["edge_idx"] == starts["max_idx"], F.lit(0)
+            ).otherwise(starts["edge_idx"] + 1)
+        ),
+    ).select(
+        starts["region_id"], "edge_idx", "cx", "cy", "cz", "dx", "dy", "dz"
+    )
+    exploded = index_df.select(
+        "region_id", "cell_id", "level", "contains_center",
+        F.explode_outer("edge_idx").alias("edge_idx"),
+    )
+    center = U.cellid_to_center_xyz(F.col("cell_id"))
+    exploded = exploded.withColumns(
+        {
+            "ctr_x": center[0], "ctr_y": center[1], "ctr_z": center[2],
+        }
+    )
+    return exploded.join(edges, on=["region_id", "edge_idx"], how="left")
+
+
+def point_in_polygon_index_df_join(
+    spark: SparkSession,
+    points: DataFrame,
+    index_edges: DataFrame,
+    point_key: str = "key",
+) -> DataFrame:
+    """PIP join against a fully-distributed shape-index edge table —
+    the plan for region tables too large to broadcast (10^6 admin
+    polygons with 10^5-edge boundaries):
+
+    1. points explode ancestors at the index's levels; shuffle
+       equi-join on (cell id) against the index-edge rows;
+    2. the refine is PURE JVM column arithmetic: each candidate row
+       tests whether the geodesic [cell_center -> point] crosses its
+       one edge (the same fixed-order sign expression the crossing
+       oracle mirrors), then a parity aggregate per (point, region)
+       XOR contains_center decides containment — no Python in the
+       refine at all;
+    3. index cells are disjoint per region, so each point contributes
+       to exactly one cell's parity group.
+    """
+    from . import spatial_join as SJ
+    from ..operators.crossing import crossing_condition_sql
+
+    levels = sorted(
+        r["level"]
+        for r in index_edges.select("level").distinct().collect()
+    )
+    probe = SJ.explode_ancestors(points, levels)
+    cand = probe.join(
+        index_edges.withColumnRenamed("cell_id", "idx_cell"),
+        probe["anc_cell"] == F.col("idx_cell"),
+        "inner",
+    )
+    # A = cell center, B = the point (bare x/y/z columns), (C, D) = edge
+    crossed = F.when(
+        F.col("cx").isNull(), F.lit(0)
+    ).otherwise(
+        F.expr(crossing_condition_sql("ctr_", "", "c", "d")).cast("int")
+    )
+    refined = (
+        cand.withColumn("crossed", crossed)
+        .groupBy(point_key, "region_id", "contains_center")
+        .agg(F.sum("crossed").alias("n_cross"))
+        .where(
+            (F.pmod(F.col("n_cross"), F.lit(2)) == 1)
+            != F.col("contains_center")
+        )
+    )
+    return refined.select(F.col(point_key), F.col("region_id"))

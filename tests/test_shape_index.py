@@ -158,3 +158,38 @@ class TestSparkIndexJoin:
             for k, (eidx, _cd, _center, cc) in entries.items()
         }
         assert got == want
+
+
+class TestDistributedIndexDF:
+    def test_df_refine_matches_broadcast_path(self, spark, sf_dir):
+        """The all-JVM shuffle-join refine over the materialized index
+        edge table must equal the broadcast-dict path row for row."""
+        from s2geometry_spark.operators import tile as T
+
+        loops = R.fractal_loops(range(3), n_vertices=192)
+        rows = []
+        for rid, loop in loops:
+            for i, v in enumerate(np.asarray(loop.verts)):
+                rows.append((rid, i, float(v[0]), float(v[1]), float(v[2])))
+        vdf = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["region_id", "vtx_idx", "x", "y", "z"])
+        )
+        idx_df = SI.build_index_df(vdf)
+        index_edges = SI.index_edges_df(idx_df, vdf)
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        pts = T.assign_cellids(
+            P.with_xyz(cust.select(F.col("c_custkey").alias("key")))
+        )
+        got = sorted(
+            (r["key"], r["region_id"])
+            for r in SI.point_in_polygon_index_df_join(
+                spark, pts, index_edges
+            ).collect()
+        )
+        want = sorted(
+            (r["key"], r["region_id"])
+            for r in SI.point_in_loop_index_join(spark, pts, loops).collect()
+        )
+        assert got == want
+        assert len(got) > 0
