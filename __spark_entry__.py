@@ -470,6 +470,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_buffer_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffered geometry per nation loop (offset-curve ring emission,
+    S2BufferOperation for convex regions), distributed per region;
+    oracle = driver-precomputed literal table."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    loops = _nation_loops(spark, sf_dir)
+    return MO.buffer_loops(
+        MO.loops_vertex_df(spark, loops), LO.BUFFER_RADIUS
+    )
+
+
 def q_loop_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-loop area/perimeter/curvature/centroid via grouped Arrow
     kernel (order-dependent sums; no SQL oracle — gated by golden
@@ -599,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_polyline_measures": q_polyline_measures,
         "s2_polyline_relations": q_polyline_relations,
         "s2_loop_measures": q_loop_measures,
+        "s2_buffer_loops": q_buffer_loops,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
@@ -797,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
         # s2geometry_spark/functions/literal_oracle.py for what each
         # one independently recomputes vs takes as literals)
         "s2_loop_measures": LO.loop_measures_sql(),
+        "s2_buffer_loops": LO.buffer_loops_sql(),
         "s2_polyline_measures": LO.polyline_measures_sql(),
         "s2_polyline_relations": LO.polyline_relations_sql(),
         "s2_region_boolean": LO.region_boolean_sql(),

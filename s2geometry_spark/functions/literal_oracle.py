@@ -529,3 +529,37 @@ def polyline_relations_sql() -> str:
             ("n_sub", "INT"),
         ],
     )
+
+
+BUFFER_RADIUS = 0.03
+
+
+@lru_cache(maxsize=1)
+def buffer_loops_sql() -> str:
+    from ..kernels import buffer as BUF
+    from ..kernels import measures as M
+    from ..sources import regions_src as R
+
+    out = []
+    for rid, lp in R.synthetic_loops(range(25)):
+        verts = np.array(
+            [[float(v[0]), float(v[1]), float(v[2])] for v in np.asarray(lp.verts)]
+        )
+        ring = BUF.buffer_loop(verts, BUFFER_RADIUS)
+        out.append(
+            (
+                rid,
+                len(ring),
+                M.loop_area(verts),
+                M.loop_area(ring),
+            )
+        )
+    return values_sql(
+        out,
+        [
+            ("region_id", "BIGINT"),
+            ("n_ring", "INT"),
+            ("area_base", "DOUBLE"),
+            ("area_buffered", "DOUBLE"),
+        ],
+    )

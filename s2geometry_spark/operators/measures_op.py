@@ -276,3 +276,42 @@ def polyline_relations(vertex_df: DataFrame) -> DataFrame:
     return vertex_df.groupBy("line_id").applyInPandas(
         compute, schema=POLY_REL_SCHEMA
     )
+
+
+BUFFER_SCHEMA = T.StructType(
+    [
+        T.StructField("region_id", T.LongType(), False),
+        T.StructField("n_ring", T.IntegerType(), False),
+        T.StructField("area_base", T.DoubleType(), False),
+        T.StructField("area_buffered", T.DoubleType(), False),
+    ]
+)
+
+
+def buffer_loops(vertex_df: DataFrame, radius: float) -> DataFrame:
+    """Per-loop buffered geometry (kernels.buffer offset-curve ring,
+    S2BufferOperation semantics for convex loops): emits the buffered
+    ring size and the base/buffered areas; distributed per region."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import buffer as BUF
+        from ..kernels import measures as M
+
+        (rid,) = key
+        pdf = pdf.sort_values("vtx_idx")
+        verts = pdf[["x", "y", "z"]].to_numpy()
+        ring = BUF.buffer_loop(verts, radius)
+        return pd.DataFrame(
+            [
+                {
+                    "region_id": int(rid),
+                    "n_ring": len(ring),
+                    "area_base": M.loop_area(verts),
+                    "area_buffered": M.loop_area(ring),
+                }
+            ]
+        )
+
+    return vertex_df.groupBy("region_id").applyInPandas(
+        compute, schema=BUFFER_SCHEMA
+    )
