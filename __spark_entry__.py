@@ -470,6 +470,23 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_winding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way winding operation per group (union / majority / odd
+    rules over three overlapping loops), distributed per group; oracle
+    = driver-precomputed literal table."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.winding_group_vertices(),
+        columns=["group_id", "which", "vtx_idx", "x", "y", "z"],
+    )
+    return MO.winding_groups(spark.createDataFrame(pdf))
+
+
 def q_buffer_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Buffered geometry per nation loop (offset-curve ring emission,
     S2BufferOperation for convex regions), distributed per region;
@@ -614,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_polyline_relations": q_polyline_relations,
         "s2_loop_measures": q_loop_measures,
         "s2_buffer_loops": q_buffer_loops,
+        "s2_winding_groups": q_winding_groups,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
@@ -813,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         # one independently recomputes vs takes as literals)
         "s2_loop_measures": LO.loop_measures_sql(),
         "s2_buffer_loops": LO.buffer_loops_sql(),
+        "s2_winding_groups": LO.winding_groups_sql(),
         "s2_polyline_measures": LO.polyline_measures_sql(),
         "s2_polyline_relations": LO.polyline_relations_sql(),
         "s2_region_boolean": LO.region_boolean_sql(),

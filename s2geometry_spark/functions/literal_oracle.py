@@ -563,3 +563,65 @@ def buffer_loops_sql() -> str:
             ("area_buffered", "DOUBLE"),
         ],
     )
+
+
+def winding_group_vertices() -> list[tuple]:
+    """(group_id, which, vtx_idx, x, y, z): each group's loop plus two
+    tangent-shifted copies — three overlapping loops per group."""
+    from ..kernels import edges as KE
+    from ..sources import regions_src as R
+
+    rows = []
+    for key in range(25):
+        base = R.loop_vertices(key)
+        cx, cy, cz, _ = R.cap_params(key)
+        u = np.array(KE.ortho((cx, cy, cz)))
+        v = np.cross(np.array([cx, cy, cz]), u)
+        for which, shift in enumerate(
+            (0.0 * u, 0.035 * u, 0.02 * u + 0.03 * v)
+        ):
+            verts = base + shift[None, :]
+            verts = verts / np.linalg.norm(verts, axis=1)[:, None]
+            for i, p in enumerate(verts):
+                rows.append(
+                    (key, which, i, float(p[0]), float(p[1]), float(p[2]))
+                )
+    return rows
+
+
+@lru_cache(maxsize=1)
+def winding_groups_sql() -> str:
+    from ..kernels import measures as M
+    from ..kernels import winding as W
+
+    pdf = pd.DataFrame(
+        winding_group_vertices(),
+        columns=["group_id", "which", "vtx_idx", "x", "y", "z"],
+    )
+    out = []
+    for gid, grp in pdf.groupby("group_id"):
+        grp = grp.sort_values(["which", "vtx_idx"])
+        loops = [
+            g[["x", "y", "z"]].to_numpy() for _, g in grp.groupby("which")
+        ]
+        for name, rule in (
+            ("union", "positive"), ("majority", 2), ("odd", "odd")
+        ):
+            rings = W.winding_operation(loops, rule)
+            out.append(
+                (
+                    int(gid),
+                    name,
+                    len(rings),
+                    sum(M.loop_signed_area(r) for r in rings),
+                )
+            )
+    return values_sql(
+        out,
+        [
+            ("group_id", "BIGINT"),
+            ("rule", "VARCHAR"),
+            ("n_rings", "INT"),
+            ("area", "DOUBLE"),
+        ],
+    )

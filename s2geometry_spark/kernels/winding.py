@@ -1,0 +1,175 @@
+"""Winding-number operation: partition the sphere by the relative
+winding number of a set of (possibly overlapping, possibly
+self-intersecting) closed loops and emit the boundary of the region
+selected by a winding rule (S2WindingOperation.cs semantics for
+general-position input — the reference additionally snap-rounds via
+S2Builder, which handles degenerate/coincident geometry).
+
+Winding model (S2WindingOperation.cs:28-42): the winding number is
+relative to a reference point R (we use the fixed S2 ORIGIN, whose
+winding is the number of input loops containing it); w(P) - w(R) is
+the signed count of crossings of the geodesic R->P with the directed
+curves (+1 when the curve passes left-to-right across R->P as seen
+from P's side, i.e. P ends on the curve's left).
+
+This implements N-way boolean operations directly:
+    union:                rule = w > 0
+    intersection (of n):  rule = w >= n
+    symmetric difference: rule = w odd
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import edges as E
+from .boolop import (
+    _arc_midpoint,
+    _edge_param,
+    _normalize,
+    _split_arcs,
+    edge_intersection,
+)
+
+RULE_POSITIVE = "positive"
+RULE_NONZERO = "nonzero"
+RULE_ODD = "odd"
+
+
+def _rule_fn(rule, n_loops: int):
+    if callable(rule):
+        return rule
+    if rule == RULE_POSITIVE:
+        return lambda w: w > 0
+    if rule == RULE_NONZERO:
+        return lambda w: w != 0
+    if rule == RULE_ODD:
+        return lambda w: (w % 2) == 1
+    if isinstance(rule, int):
+        return lambda w: w >= rule
+    raise ValueError(f"unknown winding rule {rule!r}")
+
+
+def winding_number(loops: list, p) -> int:
+    """Relative winding number of point p (off every curve), anchored
+    at ORIGIN whose winding is the count of loops containing it."""
+    from .edges import ORIGIN
+
+    w = 0
+    r = ORIGIN
+    for verts in loops:
+        vt = [tuple(map(float, v)) for v in np.asarray(verts)]
+        n = len(vt)
+        w += int(E.loop_origin_inside(np.asarray(verts)))
+        for k in range(n):
+            c, d = vt[k], vt[(k + 1) % n]
+            if E.crossing_sign(r, tuple(p), c, d) > 0:
+                # P ends on the left of (c, d) -> +1, right -> -1
+                w += E.sign(c, d, tuple(p))
+    return w
+
+
+def winding_operation(loops: list, rule="positive") -> list[np.ndarray]:
+    """Boundary rings of the region {P : rule(w(P))} for general-
+    position loops (every crossing interior, no coincident geometry).
+    Rings are oriented with the selected region on their left."""
+    loop_list = [
+        [tuple(map(float, v)) for v in np.asarray(verts)] for verts in loops
+    ]
+    rule_f = _rule_fn(rule, len(loop_list))
+
+    # 1. all crossings: between loops and within each loop
+    xid = 0
+    by_edge: list[dict[int, list]] = [dict() for _ in loop_list]
+    flat_edges = []  # (loop_idx, edge_idx, c, d)
+    for li, vt in enumerate(loop_list):
+        n = len(vt)
+        for k in range(n):
+            flat_edges.append((li, k, vt[k], vt[(k + 1) % n]))
+    for i in range(len(flat_edges)):
+        li, ki, c1, d1 = flat_edges[i]
+        for j in range(i + 1, len(flat_edges)):
+            lj, kj, c2, d2 = flat_edges[j]
+            if li == lj:
+                n = len(loop_list[li])
+                if kj == (ki + 1) % n or ki == (kj + 1) % n:
+                    continue  # adjacent edges share a vertex
+            if E.crossing_sign(c1, d1, c2, d2) > 0:
+                p = edge_intersection(c1, d1, c2, d2)
+                by_edge[li].setdefault(ki, []).append((p, xid))
+                by_edge[lj].setdefault(kj, []).append((p, xid))
+                xid += 1
+
+    # 2. split into arcs; 3. keep boundary arcs by the rule
+    kept = []
+    for li, vt in enumerate(loop_list):
+        for points, s, e in _split_arcs(vt, by_edge[li]):
+            mid = _arc_midpoint(points)
+            # displace slightly off the curve to each side: left of the
+            # local edge direction
+            a, b = _nearest_seg(points, mid)
+            u = _normalize(E.cross(a, b))  # left side of the arc
+            eps = 1e-9
+            m_left = _normalize(
+                (mid[0] + eps * u[0], mid[1] + eps * u[1], mid[2] + eps * u[2])
+            )
+            w_left = winding_number(loop_list, m_left)
+            w_right = w_left - 1
+            in_l, in_r = rule_f(w_left), rule_f(w_right)
+            if in_l and not in_r:
+                kept.append((points, s, e))
+            elif in_r and not in_l:
+                kept.append((list(reversed(points)), e, s))
+
+    if not kept:
+        return []
+    if any(s is None for _, s, _ in kept):
+        # whole uncrossed loops kept intact (their walk has no closure
+        # point, so keep every vertex; drop a duplicated endpoint only)
+        rings = []
+        for pts, s, _ in kept:
+            if s is None:
+                if len(pts) > 1 and pts[0] == pts[-1]:
+                    pts = pts[:-1]
+                rings.append(np.asarray(pts))
+        kept = [a for a in kept if a[1] is not None]
+        return rings + _stitch(kept)
+    return _stitch(kept)
+
+
+def _nearest_seg(points, mid):
+    best, bl = None, -1.0
+    for a, b in zip(points, points[1:]):
+        d = sum((a[i] - b[i]) ** 2 for i in range(3))
+        if d > bl:
+            bl, best = d, (a, b)
+    return best
+
+
+def _stitch(kept) -> list[np.ndarray]:
+    by_start: dict[object, list] = {}
+    for arc in kept:
+        by_start.setdefault(arc[1], []).append(arc)
+    rings = []
+    used: set[int] = set()
+    for arc in kept:
+        if id(arc) in used:
+            continue
+        ring_pts: list = []
+        cur = arc
+        while True:
+            used.add(id(cur))
+            ring_pts.extend(cur[0][:-1])
+            nxt = [c for c in by_start.get(cur[2], []) if id(c) not in used]
+            if not nxt:
+                break
+            cur = nxt[0]
+        dedup = [ring_pts[0]]
+        for p in ring_pts[1:]:
+            if p != dedup[-1]:
+                dedup.append(p)
+        if len(dedup) >= 3:
+            rings.append(np.asarray(dedup))
+    return rings

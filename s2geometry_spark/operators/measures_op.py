@@ -315,3 +315,50 @@ def buffer_loops(vertex_df: DataFrame, radius: float) -> DataFrame:
     return vertex_df.groupBy("region_id").applyInPandas(
         compute, schema=BUFFER_SCHEMA
     )
+
+
+WINDING_SCHEMA = T.StructType(
+    [
+        T.StructField("group_id", T.LongType(), False),
+        T.StructField("rule", T.StringType(), False),
+        T.StructField("n_rings", T.IntegerType(), False),
+        T.StructField("area", T.DoubleType(), False),
+    ]
+)
+
+
+def winding_groups(vertex_df: DataFrame) -> DataFrame:
+    """Per-group N-way winding operation (kernels.winding): input rows
+    (group_id, which, vtx_idx, x, y, z) carry several possibly
+    overlapping loops per group; emits ring count + signed-area sum for
+    the union (w>0), majority (w>=2) and odd (symmetric-difference)
+    winding rules — the N-way booleans pairwise ops cannot express."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import measures as M
+        from ..kernels import winding as W
+
+        (gid,) = key
+        pdf = pdf.sort_values(["which", "vtx_idx"])
+        loops = [
+            grp[["x", "y", "z"]].to_numpy()
+            for _, grp in pdf.groupby("which")
+        ]
+        rows = []
+        for name, rule in (
+            ("union", "positive"), ("majority", 2), ("odd", "odd")
+        ):
+            rings = W.winding_operation(loops, rule)
+            rows.append(
+                {
+                    "group_id": int(gid),
+                    "rule": name,
+                    "n_rings": len(rings),
+                    "area": sum(M.loop_signed_area(r) for r in rings),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return vertex_df.groupBy("group_id").applyInPandas(
+        compute, schema=WINDING_SCHEMA
+    )
