@@ -136,6 +136,13 @@ def knn_join(
         )
     )
 
+    # Materialize both sides once: the rounds below drive several
+    # actions each (join, guarantee agg, isEmpty), and without a
+    # checkpoint every action would re-run the upstream leaf-encode
+    # pUDF over the full fact table.
+    q = q.localCheckpoint()
+    idx = idx.localCheckpoint()
+
     # Per round: rank this round's candidates, emit final top-k for
     # queries whose kth distance is inside the ring guarantee, and loop
     # only the unfinished remainder at a coarser level.  A coarser 3x3
