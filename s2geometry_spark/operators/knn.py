@@ -536,3 +536,84 @@ def furthest_polyline_oracle_sql(upts_anti_cte: str, edges_cte: str) -> str:
     return (
         f"SELECT key, line_id, 4.0 - dist2 AS dist2 FROM ({inner})"
     )
+
+
+def closest_cell_join(
+    points: DataFrame,
+    entries: list,
+    k: int = 1,
+    point_key: str = "key",
+) -> DataFrame:
+    """k closest labeled index cells per point
+    (Query/S2ClosestCellQuery.cs over a (cell_id, label) index):
+    (key, cell_id, label, dist2, rn) ordered (dist2, cell_id, label).
+
+    The index is the broadcast dim side; the refine evaluates each
+    cell's vectorized min-distance against the whole Arrow batch of
+    points (kernels.closest_cell), so the per-point cost is O(index
+    cells) of numpy column math — suitable for dim-scale indexes (for
+    huge indexes, pre-prune candidates with the ring-expansion kNN on
+    cell centers first)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from ..kernels.closest_cell import cell_distance_to_points_batch
+    from ..kernels.geom import Cell
+
+    ents = [(int(c), int(lab)) for c, lab in entries]
+
+    @pandas_udf(
+        ArrayType(
+            StructType(
+                [
+                    StructField("cell_id", LongType(), False),
+                    StructField("label", LongType(), False),
+                    StructField("dist2", DoubleType(), False),
+                ]
+            )
+        )
+    )
+    def _closest(ux: pd.Series, uy: pd.Series, uz: pd.Series) -> pd.Series:
+        px, py, pz = ux.to_numpy(), uy.to_numpy(), uz.to_numpy()
+        n = len(px)
+        dists = np.empty((len(ents), n))
+        for i, (cid, _lab) in enumerate(ents):
+            dists[i] = cell_distance_to_points_batch(
+                Cell(np.uint64(cid).item()), px, py, pz
+            )
+        out = []
+        for j in range(n):
+            # reference result order: (distance, cell_id unsigned, label)
+            scored = sorted(
+                (float(dists[i, j]), ents[i][0], ents[i][1])
+                for i in range(len(ents))
+            )[:k]
+            out.append(
+                [
+                    {
+                        "cell_id": np.int64(np.uint64(c)).item(),
+                        "label": lab,
+                        "dist2": d,
+                    }
+                    for d, c, lab in scored
+                ]
+            )
+        return pd.Series(out)
+
+    upts = normalized_cols(points)
+    res = upts.select(
+        F.col(point_key),
+        F.posexplode(_closest(F.col("ux"), F.col("uy"), F.col("uz"))).alias(
+            "pos", "nb"
+        ),
+    )
+    return res.select(
+        point_key,
+        F.col("nb.cell_id").alias("cell_id"),
+        F.col("nb.label").alias("label"),
+        F.col("nb.dist2").alias("dist2"),
+        (F.col("pos") + 1).cast("long").alias("rn"),
+    )

@@ -110,3 +110,44 @@ class TestLabelRangeJoin:
         )
         assert got == want
         assert len(got) > 0
+
+
+class TestClosestCellJoin:
+    def test_matches_driver_brute(self, spark, sf_dir):
+        from s2geometry_spark.kernels.closest_cell import closest_cells
+        from s2geometry_spark.operators import knn as KNN
+        from s2geometry_spark.operators import tile as T
+        from s2geometry_spark.sources import points as P
+        from s2geometry_spark.sources import regions_src as R
+        from s2geometry_spark.kernels.coverer import RegionCoverer
+
+        rc = RegionCoverer()
+        entries = []
+        for rid, cap in R.synthetic_caps(range(8)):
+            for cid in rc.get_covering(cap):
+                entries.append((cid, rid))
+        sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        pts = T.assign_cellids(
+            P.with_xyz(sup.select(F.col("s_suppkey").alias("key")))
+        )
+        got = sorted(
+            (r["key"], r["rn"], r["cell_id"], r["label"], r["dist2"])
+            for r in KNN.closest_cell_join(pts, entries, k=2).collect()
+        )
+        pdf = pts.selectExpr(
+            "key",
+            "x / sqrt(x*x + y*y + z*z) AS ux",
+            "y / sqrt(x*x + y*y + z*z) AS uy",
+            "z / sqrt(x*x + y*y + z*z) AS uz",
+        ).toPandas()
+        want = []
+        for _, row in pdf.iterrows():
+            res = closest_cells(
+                entries, (row["ux"], row["uy"], row["uz"]), k=2
+            )
+            for rn, (d2, cid, lab) in enumerate(res, start=1):
+                want.append(
+                    (int(row["key"]), rn, int(np.int64(np.uint64(cid))), lab, d2)
+                )
+        assert got == sorted(want)
+        assert len(got) > 0
