@@ -326,3 +326,119 @@ class Polygon(Region):
         if self._boundary_may_intersect(cb):
             return False
         return self.contains_point(cell.center())
+
+
+# ---------------------------------------------------------------------
+# Loop <-> loop relations (S2Loop.cs:463-560 Contains/Intersects,
+# shared-vertex wedge rules via S2WedgeRelations)
+# ---------------------------------------------------------------------
+
+def _loop_edge_crossing(a: "Loop", b: "Loop") -> bool:
+    """Any interior edge crossing between the two boundaries —
+    vectorized determinant triage, scalar exact predicate on the rare
+    uncertain pairs."""
+    av = np.asarray(a.verts)
+    bv = np.asarray(b.verts)
+    na, nb = len(av), len(bv)
+    A0 = np.repeat(av, nb, axis=0)
+    A1 = np.repeat(np.roll(av, -1, axis=0), nb, axis=0)
+    B0 = np.tile(bv, (na, 1))
+    B1 = np.tile(np.roll(bv, -1, axis=0), (na, 1))
+    n = np.cross(A0, A1)
+    det_c = np.einsum("ij,ij->i", n, B0)
+    det_d = np.einsum("ij,ij->i", n, B1)
+    cd = np.cross(B0, B1)
+    det_b = np.einsum("ij,ij->i", cd, A1)
+    det_a = np.einsum("ij,ij->i", cd, A0)
+    err = E.MAX_DET_ERROR
+    ok = (
+        (np.abs(det_c) > err) & (np.abs(det_d) > err)
+        & (np.abs(det_b) > err) & (np.abs(det_a) > err)
+    )
+    s_c, s_d = np.sign(det_c), np.sign(det_d)
+    certain_no = (np.abs(det_c) > err) & (np.abs(det_d) > err) & (s_c == s_d)
+    crossed = (
+        ok & (s_c != s_d)
+        & (np.sign(det_b) == s_c) & (np.sign(det_a) == -s_c)
+    )
+    if crossed.any():
+        return True
+    for i in np.flatnonzero(~(certain_no | ok)):
+        a0 = tuple(float(x) for x in A0[i])
+        a1 = tuple(float(x) for x in A1[i])
+        b0 = tuple(float(x) for x in B0[i])
+        b1 = tuple(float(x) for x in B1[i])
+        if E.crossing_sign(a0, a1, b0, b1) > 0:
+            return True
+    return False
+
+
+def _shared_vertex_pairs(a: "Loop", b: "Loop"):
+    """[(i, j)] with a.verts[i] == b.verts[j]."""
+    bmap = {
+        tuple(float(x) for x in v): j for j, v in enumerate(np.asarray(b.verts))
+    }
+    out = []
+    for i, v in enumerate(np.asarray(a.verts)):
+        j = bmap.get(tuple(float(x) for x in v))
+        if j is not None:
+            out.append((i, j))
+    return out
+
+
+def loop_contains_loop(a: "Loop", b: "Loop") -> bool:
+    """A contains B (S2Loop.Contains(S2Loop)): no interior crossings,
+    wedge containment at every shared vertex, else point containment
+    with the union-is-sphere check."""
+    from . import wedge as W
+
+    if _loop_edge_crossing(a, b):
+        return False
+    shared = _shared_vertex_pairs(a, b)
+    if shared:
+        av = np.asarray(a.verts)
+        bv = np.asarray(b.verts)
+        na, nb = len(av), len(bv)
+        for i, j in shared:
+            a0 = tuple(float(x) for x in av[(i - 1) % na])
+            v = tuple(float(x) for x in av[i])
+            a2 = tuple(float(x) for x in av[(i + 1) % na])
+            b0 = tuple(float(x) for x in bv[(j - 1) % nb])
+            b2 = tuple(float(x) for x in bv[(j + 1) % nb])
+            if not W.wedge_contains(a0, v, a2, b0, b2):
+                return False
+        return True
+    if not a.contains_point(tuple(float(x) for x in b.verts[0])):
+        return False
+    # (A union B) == sphere would make the two boundaries contain each
+    # other without interior containment
+    if b.contains_point(tuple(float(x) for x in a.verts[0])):
+        return False
+    return True
+
+
+def loop_intersects_loop(a: "Loop", b: "Loop") -> bool:
+    """A's interior intersects B's interior (S2Loop.Intersects)."""
+    from . import wedge as W
+
+    if _loop_edge_crossing(a, b):
+        return True
+    shared = _shared_vertex_pairs(a, b)
+    if shared:
+        av = np.asarray(a.verts)
+        bv = np.asarray(b.verts)
+        na, nb = len(av), len(bv)
+        for i, j in shared:
+            a0 = tuple(float(x) for x in av[(i - 1) % na])
+            v = tuple(float(x) for x in av[i])
+            a2 = tuple(float(x) for x in av[(i + 1) % na])
+            b0 = tuple(float(x) for x in bv[(j - 1) % nb])
+            b2 = tuple(float(x) for x in bv[(j + 1) % nb])
+            if W.wedge_intersects(a0, v, a2, b0, b2):
+                return True
+        return False
+    if a.contains_point(tuple(float(x) for x in b.verts[0])):
+        return True
+    if b.contains_point(tuple(float(x) for x in a.verts[0])):
+        return True
+    return False
