@@ -442,3 +442,49 @@ def loop_intersects_loop(a: "Loop", b: "Loop") -> bool:
     if b.contains_point(tuple(float(x) for x in a.verts[0])):
         return True
     return False
+
+
+def find_validation_error(verts) -> str | None:
+    """S2Loop.FindValidationError (S2Loop.cs:222-260 +
+    S2ShapeUtil.EdgePairs.FindSelfIntersection): None if the vertex
+    chain is a valid loop, else a message naming the problem —
+    unit-length vertices, >= 3 vertices, no degenerate or antipodal
+    adjacent pairs, no duplicate vertices, no crossings between
+    non-adjacent edges (shared vertices between non-adjacent edges
+    count as crossings)."""
+    verts = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
+    n = len(verts)
+    norms = np.einsum("ij,ij->i", verts, verts)
+    bad = np.flatnonzero(np.abs(norms - 1.0) > 5e-14)
+    if len(bad):
+        return f"vertex {int(bad[0])} is not unit length"
+    if n < 3:
+        return "loops must have at least 3 vertices"
+    vt = [tuple(float(x) for x in v) for v in verts]
+    for i in range(n):
+        if vt[i] == vt[(i + 1) % n]:
+            return f"edge {i} is degenerate (duplicate vertex)"
+        a, b = verts[i], verts[(i + 1) % n]
+        if np.array_equal(a, -b):
+            return (
+                f"vertices {i} and {(i + 1) % n} are antipodal; "
+                "the edge between them is not well-defined"
+            )
+    seen: dict[tuple, int] = {}
+    for i, v in enumerate(vt):
+        if v in seen:
+            return f"duplicate vertex at positions {seen[v]} and {i}"
+        seen[v] = i
+    for i in range(n):
+        for j in range(i + 1, n):
+            adjacent = (j == i + 1) or (i == 0 and j == n - 1)
+            if adjacent:
+                continue
+            s = E.crossing_sign(vt[i], vt[(i + 1) % n], vt[j], vt[(j + 1) % n])
+            if s >= 0:
+                return f"edges {i} and {j} cross"
+    return None
+
+
+def loop_is_valid(verts) -> bool:
+    return find_validation_error(verts) is None

@@ -178,3 +178,29 @@ class Polyline:
         # on the right iff Sign(point, prev, next) < 0
         i = min(max(next_vertex, 1), len(self.verts) - 1)
         return E.sign(point, self.verts[i - 1], self.verts[i]) < 0
+
+
+def edge_true_centroid(a, b):
+    """True centroid of a geodesic edge, multiplied by its length
+    (S2Centroid.TrueCentroid)."""
+    vdiff = _sub(a, b)
+    vsum = (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+    sin2 = _norm2(vdiff)
+    cos2 = _norm2(vsum)
+    if cos2 == 0:
+        return (0.0, 0.0, 0.0)  # antipodal edge: undefined, ignore
+    k = math.sqrt(sin2 / cos2)
+    return (k * vsum[0], k * vsum[1], k * vsum[2])
+
+
+def polyline_centroid(verts) -> tuple:
+    """Sum of edge true centroids (length-weighted, NOT unit length;
+    S2PolylineMeasures.GetCentroid)."""
+    cx = cy = cz = 0.0
+    vt = [tuple(float(x) for x in v) for v in verts]
+    for a, b in zip(vt, vt[1:]):
+        ex, ey, ez = edge_true_centroid(a, b)
+        cx += ex
+        cy += ey
+        cz += ez
+    return (cx, cy, cz)

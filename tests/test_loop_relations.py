@@ -136,3 +136,39 @@ def test_loop_relation(case):
     assert loop_intersects_loop(a, b) == (not flags & DISJOINT), "intersects"
     # intersects is symmetric
     assert loop_intersects_loop(b, a) == (not flags & DISJOINT)
+
+
+class TestLoopValidation:
+    """S2LoopTests.cs Test_S2Loop_IsValidDetectsInvalidLoops."""
+
+    def _invalid(self, text_or_pts, snippet):
+        from s2geometry_spark.kernels.loop import find_validation_error
+
+        if isinstance(text_or_pts, str):
+            pts = TF.parse_points(text_or_pts)
+        else:
+            pts = text_or_pts
+        err = find_validation_error(pts)
+        assert err is not None and snippet in err, (err, snippet)
+
+    def test_reference_invalid_cases(self):
+        import numpy as np
+
+        self._invalid("", "at least 3 vertices")
+        self._invalid("20:20, 21:21", "at least 3 vertices")
+        self._invalid("20:20, 20:20, 20:21", "degenerate")
+        self._invalid("20:20, 20:21, 20:20", "degenerate")
+        self._invalid("20:20, 21:21, 21:20, 20:20, 20:21", "duplicate vertex")
+        self._invalid("20:20, 21:21, 21:20.5, 21:20, 20:21", "cross")
+        self._invalid(
+            np.array([(1.0, 0, 0), (-1.0, 0, 0), (0, 0, 1.0)]), "antipodal"
+        )
+        self._invalid(
+            np.array([(2.0, 0, 0), (0, 1.0, 0), (0, 0, 1.0)]), "unit length"
+        )
+
+    def test_valid_loops(self):
+        from s2geometry_spark.kernels.loop import loop_is_valid
+
+        for name in ("north_hemi", "candy_cane", "loop_a", "loop_g"):
+            assert loop_is_valid(LOOPS[name].verts), name

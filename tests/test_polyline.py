@@ -103,3 +103,30 @@ class TestPolyline:
         pl = PL.Polyline([(1.0, 0.0, 0.0), (0.0, 1.0, 0.0)])
         assert pl.is_on_right(_unit((1, 1, -0.2)))  # south of equator edge
         assert not pl.is_on_right(_unit((1, 1, 0.2)))
+
+
+class TestPolylineCentroid:
+    def test_straight_arc_centroid(self):
+        import math
+
+        import numpy as np
+
+        from s2geometry_spark.kernels.polyline import polyline_centroid
+
+        verts = [
+            (math.cos(t), math.sin(t), 0.0) for t in np.linspace(0, 0.4, 5)
+        ]
+        c = polyline_centroid(verts)
+        n = math.sqrt(sum(v * v for v in c))
+        mid = (math.cos(0.2), math.sin(0.2), 0.0)
+        assert max(abs(c[i] / n - mid[i]) for i in range(3)) < 1e-9
+        # |sum of edge centroids| == 2*sin(L/2) for a single great-circle arc
+        assert abs(n - 2 * math.sin(0.2)) < 1e-12
+
+    def test_symmetric_chain_cancels(self):
+        from s2geometry_spark.kernels.polyline import polyline_centroid
+
+        verts = [(0.0, -1.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0)]
+        c = polyline_centroid(verts)
+        assert abs(c[1]) < 1e-15  # y components cancel by symmetry
+        assert c[0] > 0
