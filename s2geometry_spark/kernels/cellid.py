@@ -501,3 +501,53 @@ def maximum_tile(cell_id: int, limit: int) -> int:
     while int(range_max(arr)[0]) >= lim:
         arr = child_begin(arr)
     return int(arr[0])
+
+
+def _expand_endpoint(u: float, max_v: float, sin_dist: float) -> float:
+    """Helper for expanded_by_distance_uv (S2CellId.cs:1033-1048):
+    new u' whose line is exactly sin_dist from edge (u,v0)-(u,v1)."""
+    import math
+
+    sin_u_shift = sin_dist * math.sqrt(
+        (1 + u * u + max_v * max_v) / (1 + u * u)
+    )
+    cos_u_shift = math.sqrt(1 - sin_u_shift * sin_u_shift)
+    return (cos_u_shift * u + sin_u_shift) / (cos_u_shift - sin_u_shift * u)
+
+
+def expanded_by_distance_uv(uv, distance_rad: float):
+    """Expand a (u, v) rect on a cube face so it contains all points
+    within `distance_rad` of the original region
+    (S2CellId.ExpandedByDistanceUV).  uv = ((u0, u1), (v0, v1))."""
+    import math
+
+    (u0, u1), (v0, v1) = uv
+    max_u = max(abs(u0), abs(u1))
+    max_v = max(abs(v0), abs(v1))
+    sin_dist = math.sin(distance_rad)
+    return (
+        (
+            _expand_endpoint(u0, max_v, -sin_dist),
+            _expand_endpoint(u1, max_v, sin_dist),
+        ),
+        (
+            _expand_endpoint(v0, max_u, -sin_dist),
+            _expand_endpoint(v1, max_u, sin_dist),
+        ),
+    )
+
+
+def ij_level_to_bound_uv(i: int, j: int, level: int):
+    """(i, j, level) -> the cell's (u, v) rect
+    (S2CellId.IJLevelToBoundUV; the standalone form of Cell's bound)."""
+    from . import coords
+
+    cell_size = 1 << (MAX_LEVEL - level)
+    i_lo = i & -cell_size
+    j_lo = j & -cell_size
+    limit = float(1 << MAX_LEVEL)
+    st = lambda x: float(coords.st_to_uv(np.array([x / limit]))[0])  # noqa: E731
+    return (
+        (st(i_lo), st(i_lo + cell_size)),
+        (st(j_lo), st(j_lo + cell_size)),
+    )

@@ -57,12 +57,30 @@ def cap_refine_predicate(
     return F.least(chord2, F.lit(4.0)) <= r2
 
 
+BROADCAST_COVERING_LIMIT = 100_000  # rows; ~a few MB broadcast
+HOT_CELL_SALT_THRESHOLD = 16        # max regions sharing one cell
+
+
+def _resolve_plan(cov_pdf, broadcast, salt_k):
+    """Size-based brute-vs-indexed switch (the S2ClosestEdgeQueryBase
+    cost-model analogue for the covering join): broadcast while the
+    covering table is dim-sized; on the shuffle path, salt
+    automatically when some covering cell is shared by many regions."""
+    if broadcast == "auto":
+        broadcast = len(cov_pdf) <= BROADCAST_COVERING_LIMIT
+    if not broadcast and salt_k == 0:
+        hot = int(cov_pdf.groupby("cell_id").size().max()) if len(cov_pdf) else 0
+        if hot >= HOT_CELL_SALT_THRESHOLD:
+            salt_k = 8
+    return broadcast, salt_k
+
+
 def point_in_cap_join(
     spark: SparkSession,
     points: DataFrame,
     caps: list[tuple[object, Cap]],
     options: CovererOptions | None = None,
-    broadcast: bool = True,
+    broadcast: bool | str = "auto",
     salt_k: int = 0,
     point_key: str = "key",
 ) -> DataFrame:
@@ -70,6 +88,8 @@ def point_in_cap_join(
 
     Returns (point_key, region_id) pairs, exactly the brute-force
     result set (refine predicate is bit-identical arithmetic).
+    ``broadcast="auto"`` picks the broadcast plan for dim-sized
+    coverings and the salted shuffle plan otherwise.
     """
     import pandas as pd
 
@@ -80,10 +100,10 @@ def point_in_cap_join(
         ],
         columns=["region_id", "cx", "cy", "cz", "r2"],
     )
+    cov_rows = COV.build_covering_rows(caps, options)
+    broadcast, salt_k = _resolve_plan(cov_rows, broadcast, salt_k)
     cov = COV.covering_df(spark, caps, options, extra_cols=extra)
-    levels = COV.covering_levels(
-        COV.build_covering_rows(caps, options)
-    )
+    levels = COV.covering_levels(cov_rows)
     probe = explode_ancestors(normalized_cols(points), levels)
     cov = cov.withColumnRenamed("cell_id", "cov_cell")
     if salt_k and not broadcast:
@@ -117,7 +137,7 @@ def point_in_loop_join(
     points: DataFrame,
     loops: list,
     options: CovererOptions | None = None,
-    broadcast: bool = True,
+    broadcast: bool | str = "auto",
     skip_interior: bool = False,
     salt_k: int = 0,
     point_key: str = "key",
@@ -138,6 +158,7 @@ def point_in_loop_join(
     from ..functions import udfs as U
 
     cov_pdf = COV.build_covering_rows(loops, options)
+    broadcast, salt_k = _resolve_plan(cov_pdf, broadcast, salt_k)
     levels = COV.covering_levels(cov_pdf)
     cov = spark.createDataFrame(
         cov_pdf, schema=COV._schema_of(cov_pdf, loops)
