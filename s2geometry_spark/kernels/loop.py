@@ -488,3 +488,69 @@ def find_validation_error(verts) -> str | None:
 
 def loop_is_valid(verts) -> bool:
     return find_validation_error(verts) is None
+
+
+def _wedge_contains_semiwedge(a0, ab1, a2, b2, reverse_b: bool) -> bool:
+    """Does wedge A contain the semiwedge (ab1, b2)
+    (S2Loop.WedgeContainsSemiwedge)."""
+    from . import edges as EE
+
+    if b2 == a0 or b2 == a2:
+        # shared or reversed edge
+        return (b2 == a0) == reverse_b
+    return EE.ordered_ccw(a0, a2, b2, ab1)
+
+
+def loop_compare_boundary(a: "Loop", b: "Loop", b_is_hole: bool = False) -> int:
+    """+1 if A contains B's boundary, -1 if A excludes it, 0 if the
+    boundaries cross (S2Loop.CompareBoundary).  Shared edges belong to
+    A iff their direction is reversed in B XOR b_is_hole."""
+    if _loop_edge_crossing(a, b):
+        return 0
+    shared = _shared_vertex_pairs(a, b)
+    if shared:
+        av = np.asarray(a.verts)
+        bv = np.asarray(b.verts)
+        na, nb = len(av), len(bv)
+        contains_edge = excludes_edge = False
+        for i, j in shared:
+            a0 = tuple(float(x) for x in av[(i - 1) % na])
+            v = tuple(float(x) for x in av[i])
+            a2 = tuple(float(x) for x in av[(i + 1) % na])
+            b2 = tuple(float(x) for x in bv[(j + 1) % nb])
+            if _wedge_contains_semiwedge(a0, v, a2, b2, b_is_hole):
+                contains_edge = True
+            else:
+                excludes_edge = True
+        if contains_edge and excludes_edge:
+            return 0
+        return 1 if contains_edge else -1
+    return 1 if a.contains_point(tuple(float(x) for x in b.verts[0])) else -1
+
+
+def loop_contains_nested(a: "Loop", b: "Loop") -> bool:
+    """Containment given the loops do not cross (one contains the
+    other or they are disjoint; S2Loop.ContainsNested)."""
+    from . import wedge as W
+
+    av = np.asarray(a.verts)
+    bv = np.asarray(b.verts)
+    na, nb = len(av), len(bv)
+    target = tuple(float(x) for x in bv[1 % nb])
+    m = next(
+        (
+            i
+            for i, v in enumerate(av)
+            if tuple(float(x) for x in v) == target
+        ),
+        -1,
+    )
+    if m < 0:
+        return a.contains_point(target)
+    return W.wedge_contains(
+        tuple(float(x) for x in av[(m - 1) % na]),
+        tuple(float(x) for x in av[m]),
+        tuple(float(x) for x in av[(m + 1) % na]),
+        tuple(float(x) for x in bv[0]),
+        tuple(float(x) for x in bv[2 % nb]),
+    )

@@ -127,15 +127,34 @@ CASES = [
 ]
 
 
+SHARED_EDGE = {('a_intersect_b', 'loop_b'), ('a_minus_b', 'a_union_b'), ('loop_b', 'b_minus_a'), ('loop_a', 'a_minus_b'), ('a_union_b', 'a_minus_b'), ('loop_e', 'loop_f'), ('loop_f', 'loop_h'), ('loop_h', 'loop_g'), ('b_minus_a', 'a_intersect_b'), ('a_intersect_b', 'b_minus_a'), ('north_hemi', 'north_hemi'), ('b_minus_a', 'loop_b'), ('loop_f', 'loop_g'), ('north_hemi', 'south_hemi'), ('a_minus_b', 'loop_a'), ('loop_a', 'a_intersect_b'), ('south_hemi', 'north_hemi'), ('a_intersect_b', 'loop_a'), ('loop_b', 'a_minus_b'), ('b_minus_a', 'a_union_b'), ('north_hemi3', 'north_hemi3'), ('a_union_b', 'loop_b'), ('south_hemi', 'south_hemi'), ('a_minus_b', 'a_minus_b'), ('loop_d', 'loop_a'), ('b_minus_a', 'b_minus_a'), ('loop_a', 'a_union_b'), ('loop_g', 'loop_i'), ('a_union_b', 'a_union_b'), ('a_intersect_b', 'a_minus_b'), ('a_union_b', 'b_minus_a'), ('loop_a', 'loop_c'), ('loop_a', 'b_minus_a'), ('loop_h', 'loop_i'), ('loop_b', 'a_intersect_b'), ('b_minus_a', 'loop_a'), ('loop_b', 'loop_b'), ('loop_c', 'loop_a'), ('a_minus_b', 'a_intersect_b'), ('loop_e', 'loop_h'), ('loop_a', 'loop_a'), ('loop_g', 'loop_h'), ('a_union_b', 'loop_a'), ('a_minus_b', 'loop_b'), ('loop_a', 'loop_d'), ('loop_b', 'a_union_b'), ('a_intersect_b', 'a_intersect_b'), ('candy_cane', 'candy_cane'), ('loop_e', 'loop_g')}
+
+
 @pytest.mark.parametrize("case", CASES, ids=[f"{a}-vs-{b}" for a, b, _ in CASES])
 def test_loop_relation(case):
+    from s2geometry_spark.kernels.loop import (
+        loop_compare_boundary,
+        loop_contains_nested,
+    )
+
     a_name, b_name, flags = case
     a, b = LOOPS[a_name], LOOPS[b_name]
+    shared = (a_name, b_name) in SHARED_EDGE
     assert loop_contains_loop(a, b) == bool(flags & CONTAINS), "contains"
     assert loop_contains_loop(b, a) == bool(flags & CONTAINED), "contained"
     assert loop_intersects_loop(a, b) == (not flags & DISJOINT), "intersects"
     # intersects is symmetric
     assert loop_intersects_loop(b, a) == (not flags & DISJOINT)
+    # CompareBoundary expectations (TestRelationWithDesc:1208-1227)
+    comparison = 0
+    if (flags & CONTAINS) or ((flags & COVERS) and not shared):
+        comparison = 1
+    if (flags & DISJOINT) or ((flags & CONTAINED) and not shared):
+        comparison = -1
+    assert loop_compare_boundary(a, b) == comparison, "compare_boundary"
+    # ContainsNested agrees with Contains when the loops do not cross
+    if not shared and (flags & (CONTAINS | CONTAINED | DISJOINT)):
+        assert loop_contains_nested(a, b) == loop_contains_loop(a, b)
 
 
 class TestLoopValidation:
