@@ -53,16 +53,23 @@ def _rule_fn(rule, n_loops: int):
 
 
 def winding_number(loops: list, p) -> int:
-    """Relative winding number of point p (off every curve), anchored
-    at ORIGIN whose winding is the count of loops containing it."""
+    """Relative winding number of point p (off every curve), with the
+    signed-coverage convention: a CCW ring contributes +1 over its
+    enclosed region, a CW ring -1 over its enclosed region, 0 outside.
+    (The per-ring anchor at ORIGIN is origin_inside for CCW rings and
+    origin_inside - 1 for CW rings — the parity bit tests the LEFT
+    region, which for a CW ring is the unbounded complement.)"""
     from .edges import ORIGIN
+    from .measures import loop_signed_area
 
     w = 0
     r = ORIGIN
     for verts in loops:
         vt = [tuple(map(float, v)) for v in np.asarray(verts)]
         n = len(vt)
-        w += int(E.loop_origin_inside(np.asarray(verts)))
+        oi = int(E.loop_origin_inside(np.asarray(verts)))
+        ccw = loop_signed_area(np.asarray(verts, dtype=np.float64)) > 0
+        w += oi if ccw else oi - 1
         for k in range(n):
             c, d = vt[k], vt[(k + 1) % n]
             if E.crossing_sign(r, tuple(p), c, d) > 0:
@@ -173,3 +180,50 @@ def _stitch(kept) -> list[np.ndarray]:
         if len(dedup) >= 3:
             rings.append(np.asarray(dedup))
     return rings
+
+
+def polygon_contains(a_rings: list, b_rings: list) -> bool:
+    """Polygon containment for general-position multi-ring polygons
+    (each a union of CCW shells and CCW-hole rings with winding 0/1):
+    A contains B iff B \\ A is empty, evaluated as the winding
+    operation over B's rings plus A's rings reversed (w = wB - wA; the
+    positive region is exactly B minus A) producing no boundary."""
+    loops = [np.asarray(r) for r in b_rings] + [
+        np.asarray(r)[::-1] for r in a_rings
+    ]
+    return not winding_operation(loops, RULE_POSITIVE)
+
+
+def polygon_intersects(a_rings: list, b_rings: list) -> bool:
+    """Interior intersection for general-position polygons:
+    w = wA + wB >= 2 is exactly the common interior."""
+    loops = [np.asarray(r) for r in a_rings] + [
+        np.asarray(r) for r in b_rings
+    ]
+    if winding_operation(loops, 2):
+        return True
+    # boundary-free containment of one inside the other still means a
+    # non-empty ring set for rule >= 2 unless they are disjoint; an
+    # empty result with one polygon's probe inside the other covers the
+    # identical-region edge case
+    from .loop import Loop
+
+    probe = _probe_of(b_rings)
+    if probe is not None and _polygon_contains_point(a_rings, probe):
+        return True
+    probe = _probe_of(a_rings)
+    return probe is not None and _polygon_contains_point(b_rings, probe)
+
+
+def _probe_of(rings):
+    from .boolop import _probe_point
+
+    if not rings:
+        return None
+    return _probe_point([tuple(map(float, v)) for v in np.asarray(rings[0])])
+
+
+def _polygon_contains_point(rings, p) -> bool:
+    # signed-coverage winding (CW holes subtract), consistent with the
+    # 0/1-winding polygon model the relations above assume
+    return winding_number(list(rings), p) >= 1

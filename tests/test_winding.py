@@ -112,3 +112,49 @@ class TestWindingOperation:
         assert abs(
             sarea(rings) - (M.loop_area(A) + M.loop_area(far))
         ) < 1e-14
+
+
+def _annulus():
+    big = mkverts((0, 0), (0, 10), (10, 10), (10, 0))
+    hole = mkverts((3, 3), (7, 3), (7, 7), (3, 7))  # clockwise: a hole
+    assert M.loop_signed_area(hole) < 0
+    return big, hole
+
+
+class TestSignedWinding:
+    def test_cw_hole_subtracts(self):
+        big, hole = _annulus()
+        rings = W.winding_operation([big, hole], "positive")
+        want = M.loop_area(big) - M.loop_area(hole[::-1])
+        got = sum(
+            M.loop_signed_area(r) if M.loop_signed_area(r) > 0
+            else -M.loop_signed_area(r[::-1])
+            for r in rings
+        )
+        # winding-positive region of {CCW shell, CW hole} is the annulus
+        assert abs(sum(M.loop_signed_area(r) for r in rings) - want) < 1e-12
+
+
+class TestPolygonRelations:
+    def setup_method(self):
+        self.big, self.hole = _annulus()
+        self.A = [self.big, self.hole]
+        self.small_in = mkverts((1, 1), (1, 2), (2, 2), (2, 1))
+        self.in_hole = mkverts((4, 4), (4, 6), (6, 6), (6, 4))
+        self.outside = mkverts((20, 20), (20, 22), (22, 22), (22, 20))
+        self.crossing = mkverts((-1, -1), (-1, 4), (4, 4), (4, -1))
+
+    def test_contains(self):
+        assert W.polygon_contains(self.A, [self.small_in])
+        assert not W.polygon_contains(self.A, [self.in_hole])
+        assert not W.polygon_contains(self.A, [self.outside])
+        assert not W.polygon_contains(self.A, [self.crossing])
+        assert W.polygon_contains(self.A, self.A)
+        assert W.polygon_contains([self.big], self.A)
+        assert not W.polygon_contains(self.A, [self.big])
+
+    def test_intersects(self):
+        assert W.polygon_intersects(self.A, [self.small_in])
+        assert not W.polygon_intersects(self.A, [self.in_hole])
+        assert not W.polygon_intersects(self.A, [self.outside])
+        assert W.polygon_intersects(self.A, [self.crossing])
