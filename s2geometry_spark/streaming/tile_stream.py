@@ -105,3 +105,91 @@ def run_available_now(query_df: DataFrame, name: str, checkpoint: str):
     )
     q.awaitTermination()
     return name
+
+
+def _region_joined(
+    spark: SparkSession, df: DataFrame, caps: list, tile_level: int
+) -> DataFrame:
+    """Shared plan: event points -> covering-term stream-static
+    broadcast join -> exact chord refine -> (ts, region_id)."""
+    import pandas as pd
+
+    from ..operators import coverings as COV
+    from ..operators import spatial_join as SJ
+
+    pts = event_tiles(df, tile_level)
+    extra = pd.DataFrame(
+        [
+            (rid, c.center[0], c.center[1], c.center[2], c.radius2)
+            for rid, c in caps
+        ],
+        columns=["region_id", "cx", "cy", "cz", "r2"],
+    )
+    cov_rows = COV.build_covering_rows(caps)
+    cov = COV.covering_df(spark, caps, extra_cols=extra).withColumnRenamed(
+        "cell_id", "cov_cell"
+    )
+    levels = COV.covering_levels(cov_rows)
+    probe = SJ.explode_ancestors(SJ.normalized_cols(pts), levels)
+    joined = probe.join(
+        F.broadcast(cov), probe["anc_cell"] == cov["cov_cell"], "inner"
+    )
+    refined = joined.where(
+        SJ.cap_refine_predicate(
+            F.col("ux"), F.col("uy"), F.col("uz"),
+            F.col("cx"), F.col("cy"), F.col("cz"), F.col("r2"),
+        )
+    )
+    return refined.select("ts", "region_id")
+
+
+def streaming_region_counts(
+    spark: SparkSession,
+    events_path: str,
+    caps: list,
+    tile_level: int = 6,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming spatial join: event stream -> covering-term broadcast
+    join against region caps (a stream-static join: the dim side is a
+    plain broadcast table, so the stream never shuffles) -> exact chord
+    refine -> watermarked windowed counts per region.  The streaming
+    twin of operators.spatial_join.point_in_cap_join + count."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    pairs = _region_joined(spark, stream, caps, tile_level)
+    return (
+        pairs.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "region_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            F.col("region_id").alias("tile_id"),  # sink-shape parity
+            "n",
+        )
+    )
+
+
+def batch_region_counts(
+    spark: SparkSession,
+    events_path: str,
+    caps: list,
+    tile_level: int = 6,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Batch twin of streaming_region_counts (replay oracle)."""
+    pairs = _region_joined(
+        spark, spark.read.parquet(events_path), caps, tile_level
+    )
+    return (
+        pairs.groupBy(F.window("ts", window).alias("win"), "region_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            F.col("region_id").alias("tile_id"),
+            "n",
+        )
+    )

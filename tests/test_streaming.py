@@ -55,3 +55,18 @@ class TestStreamingTiles:
         # batches) or identical state replay — never doubled
         want = _rows(TS.batch_tile_counts(spark, path))
         assert first == want
+
+
+class TestStreamingRegionJoin:
+    def test_stream_static_join_equals_batch(self, spark, events_dir, tmp_path):
+        from s2geometry_spark.sources import regions_src as R
+
+        caps = R.synthetic_caps(range(25))
+        stream_df = TS.streaming_region_counts(spark, events_dir, caps)
+        TS.run_available_now(
+            stream_df, "region_stream", str(tmp_path / "ck_rg")
+        )
+        got = _rows("region_stream", spark)
+        want = _rows(TS.batch_region_counts(spark, events_dir, caps))
+        assert got == want
+        assert len(got) > 0
