@@ -779,3 +779,64 @@ def cell_exact_area(cell: Cell) -> float:
 
     v = [cell.vertex(k) for k in range(4)]
     return M.triangle_area(v[0], v[1], v[2]) + M.triangle_area(v[0], v[2], v[3])
+
+
+class RegionUnion(Region):
+    """Union of regions (S2RegionUnion.cs): conservative Region
+    contract — contains_cell may under-claim (any member containing the
+    cell suffices), may_intersect over-claims (any member may)."""
+
+    def __init__(self, regions: list):
+        assert regions
+        self.regions = list(regions)
+
+    def get_cap_bound(self) -> "Cap":
+        cap = self.regions[0].get_cap_bound()
+        for r in self.regions[1:]:
+            other = r.get_cap_bound()
+            # conservative union of caps: expand around the first center
+            d2 = chord2(cap.center, other.center)
+            import math
+
+            ang = (
+                2 * math.asin(min(1.0, 0.5 * math.sqrt(d2)))
+                + 2 * math.asin(min(1.0, 0.5 * math.sqrt(min(other.radius2, 4.0))))
+            )
+            cap = Cap(
+                cap.center,
+                max(cap.radius2, min(4.0, chord_from_radians(min(ang, 3.14159265358979)))),
+            )
+        return cap
+
+    def contains_cell(self, cell: Cell) -> bool:
+        return any(r.contains_cell(cell) for r in self.regions)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return any(r.may_intersect_cell(cell) for r in self.regions)
+
+    def contains_point(self, p) -> bool:
+        return any(r.contains_point(p) for r in self.regions)
+
+
+class RegionIntersection(Region):
+    """Intersection of regions (S2RegionIntersection.cs): conservative
+    Region contract — contains_cell requires every member, may_intersect
+    over-claims (every member may intersect)."""
+
+    def __init__(self, regions: list):
+        assert regions
+        self.regions = list(regions)
+
+    def get_cap_bound(self) -> "Cap":
+        # any member's bound contains the intersection; pick the smallest
+        caps = [r.get_cap_bound() for r in self.regions]
+        return min(caps, key=lambda c: c.radius2)
+
+    def contains_cell(self, cell: Cell) -> bool:
+        return all(r.contains_cell(cell) for r in self.regions)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return all(r.may_intersect_cell(cell) for r in self.regions)
+
+    def contains_point(self, p) -> bool:
+        return all(r.contains_point(p) for r in self.regions)

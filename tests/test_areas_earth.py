@@ -76,3 +76,79 @@ class TestEarth:
         # a 1km feature needs roughly level 13-14 cells
         level = KMIN_WIDTH.get_level_for_min_value(EA.km_to_radians(1.0))
         assert 12 <= level <= 14
+
+
+class TestRegionCombinators:
+    """RegionUnion / RegionIntersection coverer contract
+    (S2RegionUnion.cs / S2RegionIntersection.cs semantics)."""
+
+    def _caps(self):
+        import math
+
+        from s2geometry_spark.kernels.geom import Cap, normalize
+
+        c1 = Cap(normalize((1, 0.02, 0.02)), 0.004)
+        c2 = Cap(normalize((1, -0.02, 0.01)), 0.004)
+        return c1, c2
+
+    def test_union_and_intersection_coverings(self):
+        import numpy as np
+
+        from s2geometry_spark.kernels import cellid as C
+        from s2geometry_spark.kernels.coverer import (
+            CovererOptions,
+            RegionCoverer,
+        )
+        from s2geometry_spark.kernels.geom import (
+            RegionIntersection,
+            RegionUnion,
+            normalize,
+        )
+
+        c1, c2 = self._caps()
+        u = RegionUnion([c1, c2])
+        x = RegionIntersection([c1, c2])
+        rc = RegionCoverer(CovererOptions(max_cells=32))
+        cov_u = rc.get_covering(u)
+        cov_x = rc.get_covering(x)
+        assert cov_u and cov_x
+        rng = np.random.default_rng(0)
+
+        def check(cov, region):
+            cov_set = set(int(c) for c in cov)
+            levels = sorted(
+                {int(C.level(np.array([c], np.uint64))[0]) for c in cov}
+            )
+            for _ in range(1500):
+                p = normalize(
+                    tuple(np.asarray(c1.center) + 0.1 * rng.standard_normal(3))
+                )
+                if not region.contains_point(p):
+                    continue
+                leaf = C.xyz_to_cellid(
+                    np.array([p[0]]), np.array([p[1]]), np.array([p[2]])
+                )
+                assert any(
+                    int(C.parent(leaf, lv)[0]) in cov_set for lv in levels
+                )
+
+        check(cov_u, u)
+        check(cov_x, x)
+
+    def test_membership_semantics(self):
+        from s2geometry_spark.kernels.geom import (
+            RegionIntersection,
+            RegionUnion,
+            normalize,
+        )
+
+        c1, c2 = self._caps()
+        u = RegionUnion([c1, c2])
+        x = RegionIntersection([c1, c2])
+        mid = normalize(
+            tuple((a + b) / 2 for a, b in zip(c1.center, c2.center))
+        )
+        assert u.contains_point(c1.center) and u.contains_point(c2.center)
+        assert x.contains_point(mid) == (
+            c1.contains_point(mid) and c2.contains_point(mid)
+        )
