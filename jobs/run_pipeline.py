@@ -64,10 +64,37 @@ def main() -> None:
         lambda df: df.groupBy("tile_id").count(),
         inputs=(tiled,),
     )
+
+    def region_join(df):
+        from pyspark.sql import functions as F
+
+        from s2geometry_spark.operators import spatial_join as SJ
+        from s2geometry_spark.sources import regions_src as R
+
+        lat = F.radians(F.col("lat"))
+        lon = F.radians(F.col("lon"))
+        pts = df.select(
+            F.col("image_id").alias("key"),
+            "cell_id",
+            (F.cos(lon) * F.cos(lat)).alias("x"),
+            (F.sin(lon) * F.cos(lat)).alias("y"),
+            F.sin(lat).alias("z"),
+        )
+        return SJ.point_in_cap_join(
+            spark, pts, R.synthetic_caps(range(25))
+        )
+
+    joined = pipe.stage(
+        "region_join",
+        region_join,
+        inputs=(tiled,),
+        params={"regions": 25},
+    )
     report = {
         "images": {"rows": imgs.rows, "resumed": imgs.resumed},
         "tiles": {"rows": tiled.rows, "resumed": tiled.resumed},
         "tile_counts": {"rows": counts.rows, "resumed": counts.resumed},
+        "region_join": {"rows": joined.rows, "resumed": joined.resumed},
     }
     if args.mosaic:
         mos = pipe.stage(
