@@ -150,3 +150,96 @@ class TestCapCellMethods:
             assert (cap_face == face) == singleton.may_intersect_cell(root_cell)
             assert not singleton.may_intersect_cell(edge_cell)
             assert not singleton.may_intersect_cell(corner_cell)
+
+
+def rect_deg(lat_lo, lng_lo, lat_hi, lng_hi):
+    from s2geometry_spark.kernels.geom import LatLngRect
+
+    return LatLngRect.from_degrees(lat_lo, lng_lo, lat_hi, lng_hi)
+
+
+def cell_fpl(face, pos, level):
+    return Cell(int(np.atleast_1d(CI.from_face_pos_level(face, pos, level))[0]))
+
+
+def check_cell_ops(r, cell, level):
+    """S2LatLngRectTests.TestCellOps: 0 none, 1 MayIntersect,
+    2 Intersects, 3 vertex containment, 4 Contains."""
+    vertex_contained = False
+    for i in range(4):
+        v = cell.vertex_raw(i)
+        if r.contains_ll(
+            math.atan2(v[2], math.hypot(v[0], v[1])), math.atan2(v[1], v[0])
+        ):
+            vertex_contained = True
+        if not r.is_empty() and cell.contains_point(r.get_vertex(i)):
+            vertex_contained = True
+    assert r.may_intersect_cell(cell) == (level >= 1), "may_intersect"
+    assert r.intersects_cell(cell) == (level >= 2), "intersects"
+    assert vertex_contained == (level >= 3), "vertex"
+    assert r.contains_cell(cell) == (level >= 4), "contains"
+
+
+class TestRectCellOps:
+    """S2LatLngRectTests.cs Test_S2LatLngRect_CellOps (:485-538)."""
+
+    def test_quadrant_rect(self):
+        r4 = rect_deg(-45.1, -45.1, 0.1, 0.1)
+        check_cell_ops(r4, cell_fpl(0, 0, 0), 3)
+        check_cell_ops(r4, cell_fpl(0, 0, 1), 4)
+        check_cell_ops(r4, cell_fpl(1, 0, 1), 0)
+
+    def test_intersecting_rect(self):
+        r5 = rect_deg(-10, -45, 10, 0)
+        check_cell_ops(r5, cell_fpl(0, 0, 0), 3)
+        check_cell_ops(r5, cell_fpl(0, 0, 1), 3)
+        check_cell_ops(r5, cell_fpl(1, 0, 1), 0)
+
+    def test_point_rect(self):
+        check_cell_ops(
+            rect_deg(4, 4, 4, 4), Cell(int(np.atleast_1d(CI.from_face(0))[0])), 3
+        )
+
+    def test_face_bound_but_not_face(self):
+        check_cell_ops(
+            rect_deg(41, -87, 42, -79),
+            Cell(int(np.atleast_1d(CI.from_face(2))[0])),
+            1,
+        )
+        check_cell_ops(
+            rect_deg(-41, 160, -40, -160),
+            Cell(int(np.atleast_1d(CI.from_face(5))[0])),
+            1,
+        )
+
+    def test_corner_leaf_cell(self):
+        cell0tr = leaf_cell(normalize((1 + 1e-12, 1.0, 1.0)))
+        v0 = cell0tr.vertex_raw(0)
+        lat0 = math.degrees(math.atan2(v0[2], math.hypot(v0[0], v0[1])))
+        lng0 = math.degrees(math.atan2(v0[1], v0[0]))
+        check_cell_ops(
+            rect_deg(lat0 - 1e-8, lng0 - 1e-8, lat0 - 2e-10, lng0 + 1e-10),
+            cell0tr,
+            1,
+        )
+
+    def test_corner_crossing_rect(self):
+        check_cell_ops(
+            rect_deg(-37, -70, -36, -20),
+            Cell(int(np.atleast_1d(CI.from_face(5))[0])),
+            2,
+        )
+
+    def test_diamond_and_square(self):
+        cell202 = cell_fpl(2, 0, 2)
+        b = cell202.get_rect_bound()
+        check_cell_ops(
+            rect_deg(
+                math.degrees(b.lat.lo) + 3,
+                math.degrees(b.lng.lo) + 3,
+                math.degrees(b.lat.hi) - 3,
+                math.degrees(b.lng.hi) - 3,
+            ),
+            cell202,
+            2,
+        )
