@@ -230,15 +230,23 @@ def _minhash_sig_udf():
     def _sigs(w1: pd.Series, w2: pd.Series) -> pd.Series:
         import numpy as np
 
-        ks = np.arange(n, dtype=np.int64)[:, None]
-        out = []
-        for a, b in zip(w1, w2):
-            a = np.asarray(a, dtype=np.int64)
-            b = np.asarray(b, dtype=np.int64)
-            out.append(
-                ((a[None, :] + b[None, :] * ks) % p).min(axis=1).tolist()
-            )
-        return pd.Series(out)
+        n_rows = len(w1)
+        if n_rows == 0:
+            return pd.Series([], dtype=object)
+        # flatten the ragged per-doc word arrays once per Arrow batch:
+        # zero Python work per row (shingle arrays are never empty —
+        # _shingles_expr floors the sequence length at 1).
+        lens = np.fromiter((len(x) for x in w1), dtype=np.int64, count=n_rows)
+        a = np.concatenate([np.asarray(x, dtype=np.int64) for x in w1])
+        b = np.concatenate([np.asarray(x, dtype=np.int64) for x in w2])
+        offs = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        # one (total_shingles,) pass per hash keeps peak memory O(total)
+        # instead of O(n_hash * total); b*k < 2^36 so int64 is exact.
+        mins = np.empty((n, n_rows), dtype=np.int64)
+        for k in range(n):
+            mins[k] = np.minimum.reduceat((a + b * k) % p, offs)
+        return pd.Series(mins.T.tolist())
 
     return _sigs
 
@@ -259,8 +267,14 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
     )
 
 
+NEAR_DUP_HOT_BUCKET = 64  # band-bucket size above which salting engages
+
+
 def near_dup_pairs(
-    docs: DataFrame, with_mutants: bool = True, salt_g: int = 8
+    docs: DataFrame,
+    with_mutants: bool = True,
+    salt_g: int = 8,
+    hot_bucket_threshold: int = NEAR_DUP_HOT_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs, verified by exact
     shingle Jaccard >= 0.5.
@@ -268,12 +282,15 @@ def near_dup_pairs(
     Scale shape: candidate generation self-joins only slim
     (doc_id, band, band_key [, salt]) rows — the shingle arrays never
     ride through the shuffle; pairs dedup first and the two shingle
-    sets re-attach once for the verification step.  Hot band buckets
-    (boilerplate corpora where thousands of docs share every band) are
-    spread over ``salt_g`` reducers by partner-group salting: the left
-    side replicates each row once per partner group and the join key
-    includes the right row's group, so a bucket's n^2 candidate pairs
-    land on salt_g partitions instead of one.
+    sets re-attach once for the verification step.  Salting is
+    skew-AWARE: one cheap count pass over the slim band rows finds the
+    hot buckets (> ``hot_bucket_threshold`` members — boilerplate
+    corpora where thousands of docs share every band), and only rows in
+    those buckets pay the partner-group replication: the left side
+    replicates each hot row once per partner group and the join key
+    includes the right row's group, so a hot bucket's n^2 candidate
+    pairs land on ``salt_g`` partitions instead of one.  Cold buckets
+    (the common case) join unsalted — zero replication overhead.
 
     ``with_mutants`` unions a deterministic mutated copy of each doc
     (id + 1_000_000, text + marker suffix) so the pipeline provably
@@ -318,15 +335,39 @@ def near_dup_pairs(
         "doc_id", "b", "bk",
         F.pmod(F.xxhash64("doc_id"), F.lit(salt_g)).alias("g"),
     ).localCheckpoint()
-    # left side replicates once per partner group p; join requires
-    # p == right.g, so the shuffle key (b, bk, p) splits hot buckets
-    a = bands.withColumn(
+    # skew detection: bucket sizes over the slim rows (map-side combine,
+    # tiny result — at most rows/threshold buckets survive the filter)
+    hot = (
+        bands.groupBy("b", "bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > hot_bucket_threshold)
+        .select("b", "bk", F.lit(True).alias("hot"))
+    )
+    marked = bands.join(F.broadcast(hot), ["b", "bk"], "left")
+    cold = marked.where(F.col("hot").isNull()).drop("hot", "g")
+    hotr = marked.where(F.col("hot").isNotNull()).drop("hot")
+    cold_cand = (
+        cold.alias("a")
+        .join(
+            cold.alias("c"),
+            (F.col("a.bk") == F.col("c.bk"))
+            & (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+        )
+    )
+    # hot buckets: left replicates once per partner group p; join
+    # requires p == right.g, so the shuffle key (b, bk, p) splits a hot
+    # bucket's pairs across salt_g reducers
+    a = hotr.withColumn(
         "p", F.explode(F.array(*[F.lit(i) for i in range(salt_g)]))
     ).alias("a")
-    c = bands.alias("c")
-    cand = (
+    hot_cand = (
         a.join(
-            c,
+            hotr.alias("c"),
             (F.col("a.bk") == F.col("c.bk"))
             & (F.col("a.b") == F.col("c.b"))
             & (F.col("a.p") == F.col("c.g"))
@@ -336,8 +377,8 @@ def near_dup_pairs(
             F.col("a.doc_id").alias("id_a"),
             F.col("c.doc_id").alias("id_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    cand = cold_cand.unionByName(hot_cand).dropDuplicates(["id_a", "id_b"])
     # verification: re-attach the two shingle sets once, post-dedup
     sh = base.select(
         "doc_id", F.expr(sh_expr).alias("shingles")
