@@ -93,6 +93,61 @@ def boolean_pair_vertices() -> list[tuple]:
         for which, verts in ((0, base), (1, shifted)):
             for i, v in enumerate(verts):
                 rows.append((key, which, i, float(v[0]), float(v[1]), float(v[2])))
+    rows.extend(coincident_pair_vertices())
+    return rows
+
+
+SNAP_PAIR_BASE = 100  # pair_id >= this: snap-rounded boolean path
+
+
+def _ll_square(lat0, lng0, lat1, lng1, jitter: float = 0.0):
+    """CCW lat/lng-aligned square, optionally jittered per-vertex by
+    ~jitter radians (deterministic pattern) — coincident-boundary
+    inputs for the snap-rounding path."""
+    from ..kernels import measures as M
+    from ..kernels.textformat import ll_to_point
+
+    corners = [(lat0, lng0), (lat0, lng1), (lat1, lng1), (lat1, lng0)]
+    out = np.asarray([ll_to_point(la, ln) for la, ln in corners])
+    if jitter:
+        pat = np.asarray(
+            [[1, -1, 1], [-1, 1, 1], [1, 1, -1], [-1, -1, -1]], float
+        )
+        out = out + jitter * pat
+        out = out / np.linalg.norm(out, axis=1)[:, None]
+    if M.loop_signed_area(out) < 0:
+        out = out[::-1]
+    return out
+
+
+def coincident_pair_vertices() -> list[tuple]:
+    """(pair_id, which, vtx_idx, x, y, z) rows for the coincident-
+    boundary boolean family (pair_id >= SNAP_PAIR_BASE): loop pairs
+    whose boundaries coincide only after snap rounding —
+    identical-after-snap copies, rectangles sharing a jittered border,
+    and partial-overlap T-vertex borders (the
+    S2BooleanOperationTests.cs degeneracy families that require
+    S2Builder)."""
+    pairs = []
+    for k in range(5):  # nearly identical loops
+        base = _ll_square(3 * k, 10, 3 * k + 2, 12)
+        jit = _ll_square(3 * k, 10, 3 * k + 2, 12, jitter=2e-10)
+        pairs.append((SNAP_PAIR_BASE + k, base, jit))
+    for k in range(5):  # adjacent squares sharing a full border
+        a = _ll_square(3 * k, 20, 3 * k + 2, 22)
+        b = _ll_square(3 * k, 22, 3 * k + 2, 24, jitter=3e-10)
+        pairs.append((SNAP_PAIR_BASE + 5 + k, a, b))
+    for k in range(2):  # partial shared border (T-vertices after snap)
+        a = _ll_square(0, 30 + 8 * k, 4, 34 + 8 * k)
+        b = _ll_square(1, 34 + 8 * k, 3, 36 + 8 * k, jitter=2e-10)
+        pairs.append((SNAP_PAIR_BASE + 10 + k, a, b))
+    rows = []
+    for pid, a, b in pairs:
+        for which, verts in ((0, a), (1, b)):
+            for i, v in enumerate(verts):
+                rows.append(
+                    (pid, which, i, float(v[0]), float(v[1]), float(v[2]))
+                )
     return rows
 
 
@@ -206,6 +261,8 @@ def region_boolean_sql() -> str:
     from ..kernels import measures as M
     from ..kernels.loop import Loop
 
+    from ..kernels import snap as SN
+
     pdf = pd.DataFrame(
         boolean_pair_vertices(),
         columns=["pair_id", "which", "vtx_idx", "x", "y", "z"],
@@ -213,12 +270,18 @@ def region_boolean_sql() -> str:
     out = []
     for pid, grp in pdf.groupby("pair_id"):
         grp = grp.sort_values(["which", "vtx_idx"])
-        a = Loop(grp[grp["which"] == 0][["x", "y", "z"]].to_numpy())
-        b = Loop(grp[grp["which"] == 1][["x", "y", "z"]].to_numpy())
+        av = grp[grp["which"] == 0][["x", "y", "z"]].to_numpy()
+        bv = grp[grp["which"] == 1][["x", "y", "z"]].to_numpy()
+        a, b = Loop(av), Loop(bv)
         for op in (
             "intersection", "union", "difference", "symmetric_difference"
         ):
-            rings = B.loop_boolean(a, b, op)
+            if pid >= SNAP_PAIR_BASE:
+                rings = SN.snapped_loop_boolean(
+                    av, bv, op, SN.IntLatLngSnapFunction(7)
+                )
+            else:
+                rings = B.loop_boolean(a, b, op)
             if op == "difference" and len(rings) == 2:
                 area = M.loop_area(rings[0]) - M.loop_area(rings[1])
             else:

@@ -130,19 +130,29 @@ def boolean_pairs(vertex_df: DataFrame) -> DataFrame:
     (general-position arc-walk kernel, kernels.boolop)."""
 
     def compute(key, pdf: pd.DataFrame):
+        from ..functions.literal_oracle import SNAP_PAIR_BASE
         from ..kernels import boolop as B
         from ..kernels import measures as M
+        from ..kernels import snap as SN
         from ..kernels.loop import Loop
 
         (pid,) = key
         pdf = pdf.sort_values(["which", "vtx_idx"])
-        a = Loop(pdf[pdf["which"] == 0][["x", "y", "z"]].to_numpy())
-        b = Loop(pdf[pdf["which"] == 1][["x", "y", "z"]].to_numpy())
+        av = pdf[pdf["which"] == 0][["x", "y", "z"]].to_numpy()
+        bv = pdf[pdf["which"] == 1][["x", "y", "z"]].to_numpy()
+        a, b = Loop(av), Loop(bv)
         rows = []
         for op in (
             "intersection", "union", "difference", "symmetric_difference"
         ):
-            rings = B.loop_boolean(a, b, op)
+            if pid >= SNAP_PAIR_BASE:
+                # coincident-boundary family: snap-rounded boolean
+                # (kernels.snap, S2Builder semantics) at E7
+                rings = SN.snapped_loop_boolean(
+                    av, bv, op, SN.IntLatLngSnapFunction(7)
+                )
+            else:
+                rings = B.loop_boolean(a, b, op)
             if op == "difference" and len(rings) == 2:
                 # shell + hole: area = shell - hole
                 area = M.loop_area(rings[0]) - M.loop_area(rings[1])

@@ -1,0 +1,498 @@
+"""S2Builder snap-rounding golden tests, ported from
+S2GeometryTests/S2BuilderTests.cs (file:line cited per case)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from s2geometry_spark import constants as C
+from s2geometry_spark.kernels import measures as M
+from s2geometry_spark.kernels import snap as S
+from s2geometry_spark.kernels import textformat as TF
+from s2geometry_spark.kernels.cellid import (
+    as_u64,
+    cellid_to_xyz,
+    parent,
+    xyz_to_cellid,
+)
+
+
+def pts(text: str) -> list[tuple]:
+    return [tuple(p) for p in TF.parse_points(text)]
+
+
+def fmt(points) -> str:
+    return TF.points_to_string(np.asarray(points))
+
+
+def angle(a, b) -> float:
+    d2 = sum((a[i] - b[i]) ** 2 for i in range(3))
+    return 2 * math.asin(0.5 * math.sqrt(min(d2, 4.0)))
+
+
+def ring_approx_equal(expected, actual, tol_rad: float) -> bool:
+    """Cyclic vertex-wise match within tol (BoundaryApproxEquals)."""
+    exp = [tuple(p) for p in expected]
+    act = [tuple(p) for p in actual]
+    if len(exp) != len(act):
+        return False
+    n = len(exp)
+    for off in range(n):
+        if all(
+            angle(exp[i], act[(i + off) % n]) <= tol_rad for i in range(n)
+        ):
+            return True
+    return False
+
+
+def regular_loop(center, radius_rad: float, n: int) -> np.ndarray:
+    """Regular n-gon of angular radius r about center
+    (S2Loop.MakeRegularLoop semantics)."""
+    z = np.asarray(center, dtype=float)
+    z /= np.linalg.norm(z)
+    x = np.cross([0.0, 0.0, 1.0], z)
+    if np.linalg.norm(x) < 1e-12:
+        x = np.cross([0.0, 1.0, 0.0], z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    thetas = 2 * np.pi * np.arange(n) / n
+    sr, cr = math.sin(radius_rad), math.cos(radius_rad)
+    return (
+        cr * z[None, :]
+        + sr * np.cos(thetas)[:, None] * x[None, :]
+        + sr * np.sin(thetas)[:, None] * y[None, :]
+    )
+
+
+class TestSnapFunctions:
+    def test_max_snap_radius_can_snap_at_level0(self):
+        # S2BuilderTests.cs:531-536
+        assert (
+            S.S2CellIdSnapFunction.min_snap_radius_for_level(0)
+            <= S.MAX_SNAP_RADIUS
+        )
+
+    def test_cellid_level_roundtrip(self):
+        for level in range(0, 31, 5):
+            r = S.S2CellIdSnapFunction.min_snap_radius_for_level(level)
+            assert (
+                S.S2CellIdSnapFunction.level_for_max_snap_radius(r) == level
+            )
+
+    def test_intlatlng_exponent_roundtrip(self):
+        for exp in range(0, 11):
+            r = S.IntLatLngSnapFunction.min_snap_radius_for_exponent(exp)
+            assert (
+                S.IntLatLngSnapFunction.exponent_for_max_snap_radius(r)
+                == exp
+            )
+
+    def test_separation_bounds_positive(self):
+        for fn in (
+            S.IdentitySnapFunction(math.radians(1)),
+            S.S2CellIdSnapFunction(10),
+            S.IntLatLngSnapFunction(7),
+        ):
+            assert 0 < fn.min_vertex_separation() <= fn.snap_radius
+            assert (
+                0
+                < fn.min_edge_vertex_separation()
+                <= fn.min_vertex_separation()
+            )
+
+
+class TestBuilderGolden:
+    def test_simple_vertex_merging(self):
+        # S2BuilderTests.cs:28-44
+        snap_radius = math.radians(0.5)
+        b = S.Builder(S.IdentitySnapFunction(snap_radius))
+        b.add_loop(
+            pts(
+                "0:0, 0.2:0.2, 0.1:0.2, 0.1:0.9, 0:1, 0.1:1.1, "
+                "0.9:1, 1:1, 1:0.9"
+            )
+        )
+        b.build()
+        rings = b.layer_loops(0)
+        assert len(rings) == 1
+        assert ring_approx_equal(
+            pts("0:0, 0:1, 1:0.9"), rings[0], snap_radius
+        )
+
+    def test_simple_s2cellid_snapping(self):
+        # S2BuilderTests.cs:47-69
+        level = S.S2CellIdSnapFunction.level_for_max_snap_radius(
+            math.radians(1)
+        )
+        fn = S.S2CellIdSnapFunction(level)
+        b = S.Builder(fn)
+        loop = pts("2:2, 3:4, 2:6, 4:5, 6:6, 5:4, 6:2, 4:3")
+        b.add_loop(loop)
+        b.build()
+        rings = b.layer_loops(0)
+        assert len(rings) == 1
+        for v in rings[0]:
+            cid = parent(
+                xyz_to_cellid(
+                    np.asarray([v[0]]), np.asarray([v[1]]), np.asarray([v[2]])
+                ),
+                level,
+            )
+            x, y, z = cellid_to_xyz(cid)
+            assert (float(x[0]), float(y[0]), float(z[0])) == tuple(v)
+        assert ring_approx_equal(loop, rings[0], fn.snap_radius)
+
+    def test_simple_intlatlng_snapping(self):
+        # S2BuilderTests.cs:72-86 (exact expected output)
+        b = S.Builder(S.IntLatLngSnapFunction(0))
+        b.add_loop(
+            pts(
+                "2.01:2.09, 3.24:4.49, 1.78:6.25, 3.51:5.49, "
+                "6.11:6.11, 5.22:3.88, 5.55:2.49, 4.49:2.51"
+            )
+        )
+        b.build()
+        rings = b.layer_loops(0)
+        assert len(rings) == 1
+        expected = pts("2:2, 3:4, 2:6, 4:5, 6:6, 5:4, 6:2, 4:3")
+        assert ring_approx_equal(expected, rings[0], 1e-15)
+
+    def test_vertices_move_less_than_snap_radius(self):
+        # S2BuilderTests.cs:89-109
+        snap_radius = math.radians(1)
+        b = S.Builder(S.IdentitySnapFunction(snap_radius))
+        loop = regular_loop((1, 0, 0), math.radians(20), 1000)
+        b.add_loop(loop)
+        b.build()
+        rings = b.layer_loops(0)
+        assert len(rings) == 1
+        assert 90 <= len(rings[0]) <= 100
+        # every input vertex within snap_radius of some output vertex
+        out = rings[0]
+        for v in loop[::25]:
+            assert min(angle(tuple(v), tuple(o)) for o in out) <= (
+                snap_radius * 1.0000001
+            )
+
+    def test_idempotency_snaps_inadequately_separated_vertices(self):
+        # S2BuilderTests.cs:206-219
+        b = S.Builder(S.IdentitySnapFunction(math.radians(1)))
+        b.add_polyline(pts("0:0, 0:0.9, 0:2"))
+        b.build()
+        lines = b.layer_polylines(0)
+        assert len(lines) == 1
+        assert fmt(lines[0]) == "0:0, 0:2"
+
+    def test_idempotency_snaps_identical_vertices_zero_radius(self):
+        # S2BuilderTests.cs:222-236
+        b = S.Builder(S.IdentitySnapFunction(0.0))
+        b.add_polyline(pts("0:1, 1:0"))
+        b.add_polyline(pts("0:0, 0:1"))
+        p = TF.make_point("0:1")
+        b.add_edge(p, p)
+        b.add_polyline(pts("1:0, 0:0"))
+        b.build()
+        rings = b.layer_loops(0)
+        assert len(rings) == 1
+        assert ring_approx_equal(pts("0:0, 0:1, 1:0"), rings[0], 1e-15)
+
+    def test_idempotency_snaps_identical_vertices_edge_splitting(self):
+        # S2BuilderTests.cs:239-257
+        b = S.Builder(
+            S.IdentitySnapFunction(0.0), split_crossing_edges=True
+        )
+        b.add_polyline(pts("0:1, 1:0"))
+        b.add_polyline(pts("0:0, 0:1"))
+        p = TF.make_point("0:1")
+        b.add_edge(p, p)
+        b.add_polyline(pts("1:0, 0:0"))
+        b.build()
+        rings = b.layer_loops(0)
+        assert len(rings) == 1
+        assert ring_approx_equal(pts("0:0, 0:1, 1:0"), rings[0], 1e-15)
+
+    def test_idempotency_snaps_unsnapped_vertices(self):
+        # S2BuilderTests.cs:260-304
+        fn = S.IntLatLngSnapFunction(0)
+        assert fn.snap_radius >= math.radians(0.7)
+        assert fn.min_vertex_separation() <= math.radians(0.35)
+
+        # snapped vertex processed first: second vertex merges into it
+        a = TF.make_point("0:0")
+        bb = TF.make_point("0.01:0.6")
+        assert as_u64(
+            xyz_to_cellid(*[np.asarray([v]) for v in zip(a)])
+        )[0] < as_u64(
+            xyz_to_cellid(*[np.asarray([v]) for v in zip(bb)])
+        )[0]
+        b1 = S.Builder(fn)
+        b1.add_polyline([a, bb])
+        b1.build()
+        lines = b1.layer_polylines(0)
+        assert len(lines) == 1
+        assert fmt(lines[0]) == "0:0, 0:1"
+
+        # unsnapped vertex processed first: snaps to 0:0, partner stays
+        c = TF.make_point("0.01:0.4")
+        d = TF.make_point("0:1")
+        b2 = S.Builder(fn)
+        b2.add_polyline([c, d])
+        b2.build()
+        lines = b2.layer_polylines(0)
+        assert len(lines) == 1
+        assert fmt(lines[0]) == "0:0, 0:1"
+
+    def test_idempotency_snaps_edges_with_tiny_snap_radius(self):
+        # S2BuilderTests.cs:307-338
+        b = S.Builder(S.IdentitySnapFunction(S.INTERSECTION_ERROR))
+        b.add_polyline(pts("0:0, 0:10"))
+        b.add_polyline(pts("0:5, 0:7"))
+        b.build()
+        lines = b.layer_polylines(0)
+        assert len(lines) == 1
+        assert fmt(lines[0]) == "0:0, 0:5, 0:7, 0:10"
+
+    def test_idempotency_does_not_snap_adequately_separated_edges(self):
+        # S2BuilderTests.cs:341-363: with idempotency on, geometry
+        # that already meets the output criteria is left untouched.
+        fn = S.IntLatLngSnapFunction(0)
+        b1 = S.Builder(fn, idempotent=True)
+        b1.add_polyline(pts("1.49:0, 0:2"))
+        b1.build()
+        out1 = b1.layer_polylines(0)[0]
+        assert fmt(out1) == "1:0, 0:2"
+        b2 = S.Builder(fn, idempotent=True)
+        b2.add_polyline(out1)
+        b2.add_polyline(pts("0.49:0, 0:-2"))
+        b2.build()
+        lines = b2.layer_polylines(0)
+        assert fmt(lines[0]) == "1:0, 0:2"
+        assert fmt(lines[1]) == "0:0, 0:-2"
+
+    def test_self_intersecting_polyline(self):
+        # S2BuilderTests.cs:599-616
+        b = S.Builder(
+            S.IntLatLngSnapFunction(1), split_crossing_edges=True
+        )
+        b.add_polyline(pts("3:1, 1:3, 1:1, 3:3"))
+        b.build()
+        lines = b.layer_polylines(0)
+        assert len(lines) == 1
+        expected = pts("3:1, 2:2, 1:3, 1:1, 2:2, 3:3")
+        assert len(lines[0]) == len(expected)
+        for e, a in zip(expected, lines[0]):
+            assert angle(e, a) < 1e-12
+
+    def test_self_intersecting_polygon(self):
+        # S2BuilderTests.cs:619-640: a figure-8 splits into two loops
+        # at the crossing vertex.
+        b = S.Builder(
+            S.IntLatLngSnapFunction(1), split_crossing_edges=True
+        )
+        b.add_polyline(pts("3:1, 1:3, 1:1, 3:3, 3:1"))
+        b.build()
+        rings = b.layer_loops(0, undirected=True)
+        assert len(rings) == 2
+        exp1 = pts("1:1, 1:3, 2:2")
+        exp2 = pts("3:3, 3:1, 2:2")
+        got = sorted(rings, key=lambda r: float(np.min(r[:, 2])))
+        matched = [
+            ring_approx_equal(exp1, r, 1e-12)
+            or ring_approx_equal(exp2, r, 1e-12)
+            for r in got
+        ]
+        assert all(matched)
+
+    def test_tie_breaking_is_consistent(self):
+        # S2BuilderTests.cs:643-667: snapping must not depend on the
+        # edge direction when two sites are equally distant.
+        def run(line):
+            b = S.Builder(
+                S.IdentitySnapFunction(math.radians(2)), idempotent=False
+            )
+            b.force_vertex(TF.make_point("1:0"))
+            b.force_vertex(TF.make_point("-1:0"))
+            b.add_polyline(pts(line))
+            b.build()
+            lines = b.layer_polylines(0)
+            assert len(lines) == 1
+            return lines[0]
+
+        out1 = run("0:-5, 0:5")
+        out2 = run("0:5, 0:-5")
+        assert len(out1) == 3
+        assert len(out2) == 3
+        for i in range(3):
+            assert tuple(out1[i]) == tuple(out2[2 - i])
+
+    def test_snapping_does_not_rotate_vertices(self):
+        # S2BuilderTests.cs:571-596: snapping twice is a no-op.
+        loop = pts(
+            "49.9305505:-124.8345463, 49.9307448:-124.8299657, "
+            "49.9332101:-124.8301996, 49.9331224:-124.8341368"
+        )
+        fn = S.S2CellIdSnapFunction(C.MAX_LEVEL)
+        b1 = S.Builder(fn)
+        b1.add_loop(loop)
+        b1.build()
+        out1 = b1.layer_loops(0)
+        assert len(out1) == 1
+        assert ring_approx_equal(loop, out1[0], fn.snap_radius)
+        b2 = S.Builder(fn)
+        b2.add_loop(out1[0])
+        b2.build()
+        out2 = b2.layer_loops(0)
+        assert len(out2) == 1
+        assert ring_approx_equal(out1[0], out2[0], 0.0)
+
+    def test_s2cellid_snapping_at_levels(self):
+        # S2BuilderTests.cs:539-568 (spot levels; full sweep is slow)
+        loop = pts("0:0, 0:2, 2:0")
+        for level in (8, 14, 20, 30):
+            fn = S.S2CellIdSnapFunction(level)
+            b = S.Builder(fn)
+            b.add_loop(loop)
+            b.build()
+            for ring in b.layer_loops(0):
+                for v in ring:
+                    cid = parent(
+                        xyz_to_cellid(
+                            np.asarray([v[0]]),
+                            np.asarray([v[1]]),
+                            np.asarray([v[2]]),
+                        ),
+                        level,
+                    )
+                    x, y, z = cellid_to_xyz(cid)
+                    assert (
+                        float(x[0]),
+                        float(y[0]),
+                        float(z[0]),
+                    ) == tuple(v)
+
+
+class TestMinEdgeVertexSeparation:
+    def test_min_edge_vertex_separation(self):
+        # S2BuilderTests.cs:112-138: a separation site must be created
+        # along the long leg of the skinny triangle.
+        inp = pts(
+            "0:0, 0:1, 1:.9, 2:.8, 3:.7, 4:.6, 5:.5, 6:.4, 7:.3, "
+            "8:.2, 9:.1, 10:0"
+        )
+        expected = pts(
+            "0:0, 0:1, 1:.9, 2:.8, 3:.7, 4:.6, 5:.5, "
+            "4.00021862252687:0"
+        )
+        b = S.Builder(S.IdentitySnapFunction(math.radians(0.5)))
+        b.add_loop(inp)
+        b.build()
+        rings = b.layer_loops(0)
+        assert len(rings) == 1
+        assert ring_approx_equal(expected, rings[0], 1e-14)
+
+
+class TestSnappedBoolean:
+    def sq(self, lat0, lng0, lat1, lng1, jitter=0.0):
+        corners = [
+            (lat0, lng0),
+            (lat0, lng1),
+            (lat1, lng1),
+            (lat1, lng0),
+        ]
+        out = []
+        for k, (la, ln) in enumerate(corners):
+            out.append(
+                TF.ll_to_point(
+                    la + jitter * ((k % 3) - 1), ln + jitter * ((k % 2))
+                )
+            )
+        arr = np.asarray(out)
+        if M.loop_signed_area(arr) < 0:
+            arr = arr[::-1]
+        return arr
+
+    def test_coincident_boundary_union(self):
+        """Two squares sharing a border, one jittered by ~1e-9 deg:
+        unsnapped geometry has no shared edges, snapping at E7 makes
+        the border exactly coincident and the union merges
+        (S2BooleanOperationTests.cs coincident-edge families)."""
+        a = self.sq(0, 0, 2, 2)
+        bq = self.sq(0, 2, 2, 4, jitter=1e-9)
+        # jitter the shared border lng=2 side too
+        bq = bq + 1e-12
+        bq = bq / np.linalg.norm(bq, axis=1)[:, None]
+        fn = S.IntLatLngSnapFunction(7)
+        u = S.snapped_loop_boolean(a, bq, "union", fn)
+        assert len(u) == 1
+        want = M.loop_area(a) + M.loop_area(bq)
+        assert abs(M.loop_signed_area(u[0]) - want) < 1e-6
+        i = S.snapped_loop_boolean(a, bq, "intersection", fn)
+        assert sum(abs(M.loop_signed_area(r)) for r in i) < 1e-12
+
+    def test_coincident_identical_loops(self):
+        """Identical-after-snap loops: union == intersection == the
+        snapped loop; difference and symdiff are empty."""
+        a = self.sq(10, 10, 12, 12)
+        b2 = a + 2e-10
+        b2 = b2 / np.linalg.norm(b2, axis=1)[:, None]
+        fn = S.IntLatLngSnapFunction(7)
+        area = M.loop_area(a)
+        u = S.snapped_loop_boolean(a, b2, "union", fn)
+        assert len(u) == 1
+        assert abs(M.loop_signed_area(u[0]) - area) < 1e-6
+        i = S.snapped_loop_boolean(a, b2, "intersection", fn)
+        assert len(i) == 1
+        assert abs(M.loop_signed_area(i[0]) - area) < 1e-6
+        d = S.snapped_loop_boolean(a, b2, "difference", fn)
+        assert sum(abs(M.loop_signed_area(r)) for r in d) < 1e-12
+        s = S.snapped_loop_boolean(a, b2, "symmetric_difference", fn)
+        assert sum(abs(M.loop_signed_area(r)) for r in s) < 1e-12
+
+    def test_partial_shared_edge_difference(self):
+        """B shares a partial stretch of A's border (T-vertex case):
+        snapping splits A's edge at B's endpoints so the shared
+        stretch is edge-exact."""
+        a = self.sq(0, 0, 4, 4)
+        b2 = self.sq(1, 4, 3, 6)
+        # move b's left border onto a's right border with jitter
+        b2 = np.asarray(
+            [
+                TF.ll_to_point(1, 4 + 3e-10),
+                TF.ll_to_point(1, 6),
+                TF.ll_to_point(3, 6),
+                TF.ll_to_point(3, 4 - 3e-10),
+            ]
+        )
+        if M.loop_signed_area(b2) < 0:
+            b2 = b2[::-1]
+        fn = S.IntLatLngSnapFunction(7)
+        u = S.snapped_loop_boolean(a, b2, "union", fn)
+        want = M.loop_area(a) + M.loop_area(b2)
+        assert abs(sum(M.loop_signed_area(r) for r in u) - want) < 1e-6
+        i = S.snapped_loop_boolean(a, b2, "intersection", fn)
+        assert sum(abs(M.loop_signed_area(r)) for r in i) < 1e-12
+
+    def test_general_position_matches_unsnapped(self):
+        """Snap rounding on general-position input must agree with the
+        unsnapped arc-walk (idempotency of the boolean surface)."""
+        from s2geometry_spark.kernels.boolop import loop_boolean
+        from s2geometry_spark.kernels.loop import Loop
+
+        a = self.sq(0, 0, 2, 2)
+        b2 = self.sq(1, 1, 3, 3)
+        for op in (
+            "intersection",
+            "union",
+            "difference",
+            "symmetric_difference",
+        ):
+            got = S.snapped_loop_boolean(
+                a, b2, op, S.IntLatLngSnapFunction(7)
+            )
+            want = loop_boolean(Loop(a), Loop(b2), op)
+            got_area = sum(M.loop_signed_area(r) for r in got)
+            want_area = sum(M.loop_signed_area(r) for r in want)
+            assert abs(got_area - want_area) < 1e-9
