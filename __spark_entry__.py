@@ -488,14 +488,21 @@ def q_winding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_buffer_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Buffered geometry per nation loop (offset-curve ring emission,
-    S2BufferOperation for convex regions), distributed per region;
-    oracle = driver-precomputed literal table."""
+    """Buffered geometry per nation loop (convex offset-curve ring)
+    plus the concave family (region_id >= 100: fractal stars, a
+    hole-pinching courtyard, a merging dumbbell) through the
+    winding-arrangement walk (S2BufferOperation semantics),
+    distributed per region; oracle = driver-precomputed literal
+    table."""
     _ensure_pkg(spark)
     from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.kernels.loop import Loop
     from s2geometry_spark.operators import measures_op as MO
+    from s2geometry_spark.sources import regions_src as R
 
-    loops = _nation_loops(spark, sf_dir)
+    loops = list(_nation_loops(spark, sf_dir)) + [
+        (rid, Loop(verts)) for rid, verts in R.concave_loop_fixtures()
+    ]
     return MO.buffer_loops(
         MO.loops_vertex_df(spark, loops), LO.BUFFER_RADIUS
     )

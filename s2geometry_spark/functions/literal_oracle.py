@@ -603,18 +603,20 @@ def buffer_loops_sql() -> str:
     from ..kernels import measures as M
     from ..sources import regions_src as R
 
+    loops = [
+        (rid, np.asarray(lp.verts))
+        for rid, lp in R.synthetic_loops(range(25))
+    ] + R.concave_loop_fixtures()
     out = []
-    for rid, lp in R.synthetic_loops(range(25)):
-        verts = np.array(
-            [[float(v[0]), float(v[1]), float(v[2])] for v in np.asarray(lp.verts)]
-        )
-        ring = BUF.buffer_loop(verts, BUFFER_RADIUS)
+    for rid, vs in loops:
+        verts = np.array([[float(v[0]), float(v[1]), float(v[2])] for v in vs])
+        rings = BUF.buffer_loop_rings(verts, BUFFER_RADIUS)
         out.append(
             (
                 rid,
-                len(ring),
+                sum(len(r) for r in rings),
                 M.loop_area(verts),
-                M.loop_area(ring),
+                sum(M.loop_signed_area(r) for r in rings),
             )
         )
     return values_sql(

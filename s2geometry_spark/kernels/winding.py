@@ -52,24 +52,37 @@ def _rule_fn(rule, n_loops: int):
     raise ValueError(f"unknown winding rule {rule!r}")
 
 
-def winding_number(loops: list, p) -> int:
-    """Relative winding number of point p (off every curve), with the
-    signed-coverage convention: a CCW ring contributes +1 over its
-    enclosed region, a CW ring -1 over its enclosed region, 0 outside.
-    (The per-ring anchor at ORIGIN is origin_inside for CCW rings and
-    origin_inside - 1 for CW rings — the parity bit tests the LEFT
-    region, which for a CW ring is the unbounded complement.)"""
+def winding_number(
+    loops: list, p, ref_point=None, ref_winding: int | None = None
+) -> int:
+    """Winding number of point p (off every curve).
+
+    Winding on the sphere is relative (S2WindingOperation.cs:28-42):
+    pass (ref_point, ref_winding) for a point whose winding is KNOWN —
+    required for self-intersecting curves, where the default anchor
+    below is undefined.  Without them, each loop anchors at the S2
+    ORIGIN via the simple-loop convention: a CCW ring contributes +1
+    over its enclosed region, a CW ring -1 over its enclosed region, 0
+    outside (origin_inside for CCW rings, origin_inside - 1 for CW —
+    the parity bit tests the LEFT region, which for a CW ring is the
+    unbounded complement).  Only valid for SIMPLE loops."""
     from .edges import ORIGIN
     from .measures import loop_signed_area
 
     w = 0
-    r = ORIGIN
+    if ref_point is not None:
+        assert ref_winding is not None
+        r = tuple(map(float, ref_point))
+        w = ref_winding
+    else:
+        r = ORIGIN
+        for verts in loops:
+            oi = int(E.loop_origin_inside(np.asarray(verts)))
+            ccw = loop_signed_area(np.asarray(verts, dtype=np.float64)) > 0
+            w += oi if ccw else oi - 1
     for verts in loops:
         vt = [tuple(map(float, v)) for v in np.asarray(verts)]
         n = len(vt)
-        oi = int(E.loop_origin_inside(np.asarray(verts)))
-        ccw = loop_signed_area(np.asarray(verts, dtype=np.float64)) > 0
-        w += oi if ccw else oi - 1
         for k in range(n):
             c, d = vt[k], vt[(k + 1) % n]
             if E.crossing_sign(r, tuple(p), c, d) > 0:
@@ -78,10 +91,14 @@ def winding_number(loops: list, p) -> int:
     return w
 
 
-def winding_operation(loops: list, rule="positive") -> list[np.ndarray]:
+def winding_operation(
+    loops: list, rule="positive", ref_point=None, ref_winding=None
+) -> list[np.ndarray]:
     """Boundary rings of the region {P : rule(w(P))} for general-
     position loops (every crossing interior, no coincident geometry).
-    Rings are oriented with the selected region on their left."""
+    Rings are oriented with the selected region on their left.
+    Self-intersecting input curves REQUIRE (ref_point, ref_winding) —
+    see winding_number."""
     loop_list = [
         [tuple(map(float, v)) for v in np.asarray(verts)] for verts in loops
     ]
@@ -122,7 +139,9 @@ def winding_operation(loops: list, rule="positive") -> list[np.ndarray]:
             m_left = _normalize(
                 (mid[0] + eps * u[0], mid[1] + eps * u[1], mid[2] + eps * u[2])
             )
-            w_left = winding_number(loop_list, m_left)
+            w_left = winding_number(
+                loop_list, m_left, ref_point, ref_winding
+            )
             w_right = w_left - 1
             in_l, in_r = rule_f(w_left), rule_f(w_right)
             if in_l and not in_r:

@@ -299,9 +299,13 @@ BUFFER_SCHEMA = T.StructType(
 
 
 def buffer_loops(vertex_df: DataFrame, radius: float) -> DataFrame:
-    """Per-loop buffered geometry (kernels.buffer offset-curve ring,
-    S2BufferOperation semantics for convex loops): emits the buffered
-    ring size and the base/buffered areas; distributed per region."""
+    """Per-loop buffered geometry (kernels.buffer, S2BufferOperation
+    semantics): emits the buffered ring size and the base/buffered
+    areas; distributed per region.  Convex loops take the
+    parameter-ordered single-ring path; concave loops (region_id >=
+    CONCAVE_REGION_BASE) run the spliced offset curve through the
+    winding-arrangement walk and may emit multiple rings (n_ring sums
+    vertices, area sums signed ring areas so holes subtract)."""
 
     def compute(key, pdf: pd.DataFrame):
         from ..kernels import buffer as BUF
@@ -310,14 +314,16 @@ def buffer_loops(vertex_df: DataFrame, radius: float) -> DataFrame:
         (rid,) = key
         pdf = pdf.sort_values("vtx_idx")
         verts = pdf[["x", "y", "z"]].to_numpy()
-        ring = BUF.buffer_loop(verts, radius)
+        rings = BUF.buffer_loop_rings(verts, radius)
         return pd.DataFrame(
             [
                 {
                     "region_id": int(rid),
-                    "n_ring": len(ring),
+                    "n_ring": sum(len(r) for r in rings),
                     "area_base": M.loop_area(verts),
-                    "area_buffered": M.loop_area(ring),
+                    "area_buffered": sum(
+                        M.loop_signed_area(r) for r in rings
+                    ),
                 }
             ]
         )

@@ -144,6 +144,52 @@ def fractal_loop_vertices(key: int, n_vertices: int = 512):
     return pts.astype(np.float64)
 
 
+CONCAVE_REGION_BASE = 100  # region_id >= this: concave buffer family
+
+
+def concave_loop_fixtures() -> list[tuple[int, "np.ndarray"]]:
+    """(region_id >= CONCAVE_REGION_BASE, CCW verts) concave loops for
+    the winding-walk buffer path: five fractal stars, a courtyard
+    whose mouth seals at BUFFER_RADIUS (pinching a hole ring), and a
+    dumbbell whose bulb buffers merge across the neck."""
+    import numpy as np
+
+    from ..kernels import measures as M
+    from ..kernels.textformat import ll_to_point
+
+    def poly(lls):
+        v = np.asarray([ll_to_point(a, b) for a, b in lls])
+        if M.loop_signed_area(v) < 0:
+            v = v[::-1]
+        return v
+
+    out = [
+        (CONCAVE_REGION_BASE + k, fractal_loop_vertices(k, 48))
+        for k in range(5)
+    ]
+    out.append(
+        (
+            CONCAVE_REGION_BASE + 5,
+            poly(
+                [(0, 0), (0, 40), (19.5, 40), (19.5, 30), (10, 30),
+                 (10, 10), (30, 10), (30, 30), (20.5, 30), (20.5, 40),
+                 (40, 40), (40, 0)]
+            ),
+        )
+    )
+    out.append(
+        (
+            CONCAVE_REGION_BASE + 6,
+            poly(
+                [(0, 0), (0, 10), (4.5, 10), (4.5, 30), (0, 30),
+                 (0, 40), (10, 40), (10, 30), (5.5, 30), (5.5, 10),
+                 (10, 10), (10, 0)]
+            ),
+        )
+    )
+    return out
+
+
 def fractal_loops(keys, n_vertices: int = 512) -> list[tuple[int, "object"]]:
     """(key, Loop) pairs with `n_vertices` vertices each (CCW,
     center-containing)."""

@@ -1,6 +1,6 @@
-"""Buffered geometry emission (offset-curve ring, convex scope):
-agreement with the within-distance predicate and the growth
-inequalities of the spherical buffer."""
+"""Buffered geometry emission: the convex parameter-ordered path and
+the concave winding-arrangement path (S2BufferOperation semantics),
+validated against the within-distance predicate."""
 
 from __future__ import annotations
 
@@ -54,9 +54,53 @@ def test_buffer_grows_area_and_contains_base(key=2):
     assert bl.contains_points(np.asarray(lp.verts)).all()
 
 
-def test_out_of_scope_concave_raises():
+@pytest.mark.parametrize("key", range(5))
+def test_concave_fractal_buffer(key):
+    """Concave star loops route through the winding walk; check=True
+    Monte-Carlo-validates against the within-distance predicate."""
+    rings = BUF.buffer_loop_rings(
+        R.fractal_loop_vertices(key, 48), 0.03, 1e-3
+    )
+    assert len(rings) >= 1
+    base = M.loop_area(R.fractal_loop_vertices(key, 48))
+    assert sum(M.loop_signed_area(r) for r in rings) > base
+
+
+def _ll_poly(lls):
+    from s2geometry_spark.kernels.textformat import ll_to_point
+
+    v = np.asarray([ll_to_point(a, b) for a, b in lls])
+    if M.loop_signed_area(v) < 0:
+        v = v[::-1]
+    return v
+
+
+def test_concave_courtyard_pinches_hole():
+    """A courtyard reachable only through a narrow mouth: buffering
+    beyond the mouth half-width seals it, leaving a CW hole ring."""
+    cy = _ll_poly(
+        [(0, 0), (0, 4), (1.95, 4), (1.95, 3), (1, 3), (1, 1),
+         (3, 1), (3, 3), (2.05, 3), (2.05, 4), (4, 4), (4, 0)]
+    )
+    rings = BUF.buffer_loop_rings(cy, 0.002, 2e-4)
+    areas = sorted(M.loop_signed_area(r) for r in rings)
+    assert len(rings) == 2
+    assert areas[0] < 0 < areas[1]  # CW hole + CCW shell
+    # buffer_loop (single-ring API) refuses the multi-ring result
     with pytest.raises(ValueError):
-        BUF.buffer_loop(R.fractal_loop_vertices(3, 48), 0.02, 5e-4)
+        BUF.buffer_loop(cy, 0.002, 2e-4)
+
+
+def test_concave_dumbbell_merges():
+    """Dumbbell whose neck is thinner than the radius: the two bulb
+    buffers merge across the neck into one ring."""
+    db = _ll_poly(
+        [(0, 0), (0, 1), (0.45, 1), (0.45, 3), (0, 3), (0, 4),
+         (1, 4), (1, 3), (0.55, 3), (0.55, 1), (1, 1), (1, 0)]
+    )
+    rings = BUF.buffer_loop_rings(db, 0.003, 2e-4)
+    assert len(rings) == 1
+    assert M.loop_signed_area(rings[0]) > M.loop_area(db)
 
 
 def test_bitwise_deterministic_across_layouts():
