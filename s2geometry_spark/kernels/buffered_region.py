@@ -1,0 +1,113 @@
+"""Distance-callback buffered region: the geometry-free Region view of
+"loop expanded by radius r" (S2Region/S2ShapeIndexBufferedRegion.cs).
+
+No buffer polygon is built; the coverer's Contains / MayIntersect
+callbacks compute distances from candidate cells to the original loop
+(cell<->edge and cell<->point kernels, kernels.cell_dist), so
+coverings of geometry-plus-radius are as tight as the coverer allows —
+unlike S2CellUnion.Expand (kernels.cellunion.expand_radius), which can
+only over-cover by whole parent cells at max_level_diff granularity.
+
+Distances compare in squared chord length.  The reference's
+radius.Successor() margin (so radius == 0 behaves as <=) maps to a
+one-ulp relative bump of the chord-squared bound.
+"""
+
+from __future__ import annotations
+
+import math
+
+from .cell_dist import cell_distance_to_edge
+from .geom import Cap, Cell, Region
+from .polyline import edge_distance2
+
+
+def _chord2(radians: float) -> float:
+    s = math.sin(0.5 * min(max(radians, 0.0), math.pi))
+    return min(4.0, 4.0 * s * s)
+
+
+def _angle(chord2: float) -> float:
+    return 2.0 * math.asin(0.5 * math.sqrt(min(max(chord2, 0.0), 4.0)))
+
+
+class BufferedLoopRegion(Region):
+    """All points within `radius_rad` of a loop (boundary or interior)
+    as a coverable Region (S2ShapeIndexBufferedRegion.cs:96-178 with a
+    single-loop "index")."""
+
+    def __init__(self, loop, radius_rad: float):
+        self.loop = loop
+        self.radius_rad = float(radius_rad)
+        # radius.Successor() semantics: accept distance == radius
+        self._radius2 = _chord2(self.radius_rad) * (1 + 4e-16) + 5e-324
+        self._edges = [
+            (tuple(map(float, a)), tuple(map(float, b)))
+            for a, b in loop.edges
+        ]
+
+    # -- distances ------------------------------------------------------
+
+    def _dist2_to_point(self, p) -> float:
+        if self.loop.contains_point(p):
+            return 0.0
+        return min(edge_distance2(p, a, b) for a, b in self._edges)
+
+    def _dist2_to_cell(self, cell: Cell) -> float:
+        """Min squared-chord distance from the loop (with interior) to
+        the cell (S2ClosestEdgeQuery cell target with
+        IncludeInteriors)."""
+        if self.loop.may_intersect_cell(cell):
+            return 0.0  # boundary passes through the cell
+        if self.loop.contains_point(cell.center_raw()):
+            return 0.0  # cell entirely in the loop interior
+        return min(
+            cell_distance_to_edge(cell, a, b) for a, b in self._edges
+        )
+
+    # -- Region interface ----------------------------------------------
+
+    def get_cap_bound(self) -> Cap:
+        base = self.loop.get_cap_bound()
+        return Cap(
+            base.center,
+            _chord2(_angle(base.radius2) + self.radius_rad),
+        )
+
+    def contains_point(self, p) -> bool:
+        return self._dist2_to_point(tuple(map(float, p))) <= self._radius2
+
+    def contains_cell(self, cell: Cell) -> bool:
+        # conservative, as in the reference
+        # (S2ShapeIndexBufferedRegion.Contains): the unbuffered loop
+        # contains the cell, or the distance to the cell center is
+        # within radius minus the cell's bounding-cap radius
+        if self.loop.contains_cell(cell):
+            return True
+        cap = cell.get_cap_bound()
+        cap_ang = _angle(cap.radius2)
+        if self.radius_rad < cap_ang:
+            return False
+        center = cell.center_raw()
+        if self.loop.contains_point(center):
+            d2 = 0.0
+        else:
+            d2 = min(
+                edge_distance2(tuple(map(float, center)), a, b)
+                for a, b in self._edges
+            )
+        return d2 <= _chord2(self.radius_rad - cap_ang) * (1 + 4e-16)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return self._dist2_to_cell(cell) <= self._radius2
+
+
+def buffered_loop_covering(
+    loop, radius_rad: float, options=None
+) -> list[int]:
+    """Tight covering of loop-plus-radius via the distance-callback
+    region (the S2ShapeIndexBufferedRegion usage pattern)."""
+    from .coverer import RegionCoverer
+
+    rc = RegionCoverer(options)
+    return rc.get_covering(BufferedLoopRegion(loop, radius_rad))

@@ -260,11 +260,13 @@ def point_near_loop_join(
     point_key: str = "key",
 ) -> DataFrame:
     """Within-distance ("buffered") join: points within `radius_rad` of
-    each loop region (inside counts).  Candidates come from the loop
-    covering expanded by the radius (S2CellUnion.Expand /
-    S2ShapeIndexBufferedRegion pattern — no buffer polygon is ever
-    built); the refine predicate is crossing parity OR min boundary
-    edge distance (vectorized)."""
+    each loop region (inside counts).  Candidates come from the
+    distance-callback buffered-region covering
+    (kernels.buffered_region, the S2ShapeIndexBufferedRegion pattern —
+    cell-to-edge distances drive the coverer, no buffer polygon is
+    ever built and no whole-parent-cell over-covering as with
+    S2CellUnion.Expand); the refine predicate is crossing parity OR
+    min boundary edge distance (vectorized)."""
     import math
 
     import pandas as pd
@@ -272,15 +274,15 @@ def point_near_loop_join(
     from ..functions import udfs as U
     from ..kernels import cellid as CI
     from ..kernels import cellunion as CU
-    from ..kernels.coverer import RegionCoverer
+    from ..kernels.buffered_region import buffered_loop_covering
 
     import numpy as np
 
-    rc = RegionCoverer(options)
     rows = []
     for rid, lp in loops:
-        cov = CU.normalize(rc.get_covering(lp))
-        cov = CU.expand_radius(cov, radius_rad, max_level_diff=3)
+        cov = CU.normalize(
+            buffered_loop_covering(lp, radius_rad, options)
+        )
         for cid in cov:
             rows.append(
                 (rid, int(CI.as_i64(np.array([cid], np.uint64))[0]), CU._level(cid))
