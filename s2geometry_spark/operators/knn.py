@@ -90,6 +90,16 @@ def default_seed_level(n_index: int, k: int = 1) -> int:
     return max(MIN_LEVEL_FLOOR, min(level, 30))
 
 
+def approx_index_count(index: DataFrame, fraction: float = 0.01) -> int:
+    """Order-of-magnitude row count from a sampled scan (the seed
+    level only needs log-scale accuracy, so a full count() action on
+    the fact table is wasted work at cluster scale)."""
+    n_sampled = index.sample(fraction=fraction, seed=7).count()
+    if n_sampled >= 100:
+        return int(n_sampled / fraction)
+    return index.count()  # tiny table: exact count is cheap
+
+
 def knn_join(
     spark: SparkSession,
     queries: DataFrame,
@@ -100,6 +110,9 @@ def knn_join(
     index_key: str = "key",
     max_rounds: int = 8,
     group_col: str | None = None,
+    index_count: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_version: str = "v1",
 ) -> DataFrame:
     """k nearest index points per query point.
 
@@ -112,9 +125,23 @@ def knn_join(
     searched within the same group only (the per-group closest-point
     composition the kNN-based Hausdorff path uses); the group key joins
     alongside the cell key, so hot groups still spread over cells.
+
+    ``index_count``: pass a known/estimated index size to skip the
+    seed-level sampling scan entirely.
+
+    ``checkpoint_dir``: when set, per-round materialization goes
+    through durable CheckpointedPipeline stages (plans.checkpoint)
+    instead of localCheckpoint — localCheckpoint blocks are lost on
+    executor failure mid-query, while checkpointed stages survive
+    driver AND executor restarts: a re-run with the same dir and
+    ``checkpoint_version`` resumes, skipping completed rounds.  Bump
+    ``checkpoint_version`` whenever the input tables change (stage
+    fingerprints cannot see data content).
     """
     if seed_level is None:
-        seed_level = default_seed_level(index.count(), k)
+        if index_count is None:
+            index_count = approx_index_count(index)
+        seed_level = default_seed_level(index_count, k)
 
     grp = [F.col(group_col).alias("gg")] if group_col else []
     q = (
@@ -140,61 +167,115 @@ def knn_join(
     # actions each (join, guarantee agg, isEmpty), and without a
     # checkpoint every action would re-run the upstream leaf-encode
     # pUDF over the full fact table.
-    q = q.localCheckpoint()
-    idx = idx.localCheckpoint()
+    from ..plans.checkpoint import CheckpointedPipeline, StageResult
+
+    cp = (
+        CheckpointedPipeline(spark, checkpoint_dir)
+        if checkpoint_dir
+        else None
+    )
+    base_params = {
+        "version": checkpoint_version,
+        "k": k,
+        "seed_level": seed_level,
+        "group_col": group_col or "",
+    }
+
+    def mat(name: str, fn, inputs=(), params=None) -> StageResult:
+        if cp is not None:
+            return cp.stage(
+                name, fn, inputs=inputs,
+                params={**base_params, **(params or {})},
+            )
+        df = fn(*[r.df for r in inputs])
+        return StageResult(name, df.localCheckpoint(), "", False, 0.0, -1)
+
+    def is_empty(st: StageResult) -> bool:
+        # resumed checkpoint stages know their row count from _meta
+        return st.rows == 0 if st.rows >= 0 else st.df.isEmpty()
+
+    q_st = mat("knn_q", lambda: q)
+    idx_st = mat("knn_idx", lambda: idx)
+    q, idx = q_st.df, idx_st.df
 
     # Per round: rank this round's candidates, emit final top-k for
     # queries whose kth distance is inside the ring guarantee, and loop
     # only the unfinished remainder at a coarser level.  A coarser 3x3
     # ring is a superset of a finer one, so superseded candidates are
     # simply discarded — no cross-round dedup or accumulation.
-    unfinished = q
+    unfinished_st = q_st
     finished_parts: list[DataFrame] = []
     level = seed_level
     gcols = ["gg"] if group_col else []
     w = Window.partitionBy("qk", *gcols).orderBy("dist2", "ik")
 
-    for _ in range(max_rounds):
-        if level < MIN_LEVEL_FLOOR or unfinished.isEmpty():
-            break
-        ring = _ring_udf(level)
-        probe = unfinished.withColumn(
-            "jcell", F.explode(ring(F.col("qcell")))
-        )
-        iside = idx.withColumn("jcell", S.cell_parent(F.col("icell_leaf"), level))
-        ranked = (
-            probe.join(iside, on=["jcell", *gcols], how="inner")
-            .select(
-                "qk", *gcols, "ik",
-                _dist2(
-                    F.col("qux"), F.col("quy"), F.col("quz"),
-                    F.col("iux"), F.col("iuy"), F.col("iuz"),
-                ).alias("dist2"),
+    def build_ranked(level: int):
+        def fn(unfinished: DataFrame, idx: DataFrame) -> DataFrame:
+            ring = _ring_udf(level)
+            probe = unfinished.withColumn(
+                "jcell", F.explode(ring(F.col("qcell")))
             )
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= k)
-            .localCheckpoint()  # <= k rows per query; reused twice below
-        )
-        guarantee = _chord2_from_radians(KMIN_WIDTH.get_value(level))
-        done_q = (
+            iside = idx.withColumn(
+                "jcell", S.cell_parent(F.col("icell_leaf"), level)
+            )
+            return (
+                probe.join(iside, on=["jcell", *gcols], how="inner")
+                .select(
+                    "qk", *gcols, "ik",
+                    _dist2(
+                        F.col("qux"), F.col("quy"), F.col("quz"),
+                        F.col("iux"), F.col("iuy"), F.col("iuz"),
+                    ).alias("dist2"),
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k)
+            )
+
+        return fn
+
+    def done_queries(ranked: DataFrame, guarantee: float) -> DataFrame:
+        return (
             ranked.groupBy("qk", *gcols)
             .agg(F.max("dist2").alias("kth"), F.count(F.lit(1)).alias("nk"))
             .where((F.col("nk") >= k) & (F.col("kth") < F.lit(guarantee)))
             .select("qk", *gcols)
         )
-        finished_parts.append(
-            ranked.join(done_q, on=["qk", *gcols], how="left_semi")
+
+    for rnd in range(max_rounds):
+        if level < MIN_LEVEL_FLOOR or is_empty(unfinished_st):
+            break
+        # <= k rows per query; reused twice below
+        ranked_st = mat(
+            f"knn_r{rnd}_ranked",
+            build_ranked(level),
+            inputs=(unfinished_st, idx_st),
+            params={"level": level},
         )
-        unfinished = unfinished.join(
-            done_q, on=["qk", *gcols], how="left_anti"
-        ).localCheckpoint()
+        guarantee = _chord2_from_radians(KMIN_WIDTH.get_value(level))
+        done_q = done_queries(ranked_st.df, guarantee)
+        finished_parts.append(
+            ranked_st.df.join(done_q, on=["qk", *gcols], how="left_semi")
+        )
+        unfinished_st = mat(
+            f"knn_r{rnd}_unfinished",
+            lambda unfinished, ranked: unfinished.join(
+                done_queries(
+                    ranked, _chord2_from_radians(KMIN_WIDTH.get_value(level))
+                ),
+                on=["qk", *gcols],
+                how="left_anti",
+            ),
+            inputs=(unfinished_st, ranked_st),
+            params={"level": level},
+        )
         # coarsen by one level: ring area x4 per round, and a query
         # whose kth distance just missed guarantee(L) almost always
         # satisfies guarantee(L-1) = 2x the width bound.
         level -= 1
 
-    if not unfinished.isEmpty():
+    if not is_empty(unfinished_st):
         # residual cross join (exact; tiny fraction by construction)
+        unfinished = unfinished_st.df
         residual = (
             unfinished.join(idx, on=gcols, how="inner")
             if group_col

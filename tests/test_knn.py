@@ -140,3 +140,66 @@ class TestHausdorffKnnPath:
             for r in KNN.hausdorff_directed(a, b).collect()
         }
         assert got == want
+
+
+class TestCheckpointedRounds:
+    """Cluster-safe mode: per-round durable stages
+    (plans.checkpoint) replace localCheckpoint, so a kNN query killed
+    between rounds resumes from the last completed round."""
+
+    def test_checkpointed_matches_and_resumes(
+        self, spark, q_df, idx_df, tmp_path
+    ):
+        import os
+
+        k = 2
+        cpdir = str(tmp_path / "knn_cp")
+        plain = sorted(
+            (r["key"], r["neighbor_key"], r["rn"])
+            for r in KNN.knn_join(spark, q_df, idx_df, k).collect()
+        )
+        first = sorted(
+            (r["key"], r["neighbor_key"], r["rn"])
+            for r in KNN.knn_join(
+                spark, q_df, idx_df, k, checkpoint_dir=cpdir
+            ).collect()
+        )
+        assert first == plain
+
+        stage_dirs = sorted(
+            d for d in os.listdir(cpdir) if d.startswith("knn_")
+        )
+        assert "knn_q" in stage_dirs and "knn_r0_ranked" in stage_dirs
+        meta0 = os.path.join(cpdir, "knn_r0_ranked", "_meta.json")
+        mtime0 = os.path.getmtime(meta0)
+
+        # simulate a kill between rounds: later-round outputs lost,
+        # round 0 survives
+        import shutil
+
+        for d in stage_dirs:
+            if d.startswith("knn_r") and not d.startswith("knn_r0"):
+                shutil.rmtree(os.path.join(cpdir, d))
+        second = sorted(
+            (r["key"], r["neighbor_key"], r["rn"])
+            for r in KNN.knn_join(
+                spark, q_df, idx_df, k, checkpoint_dir=cpdir
+            ).collect()
+        )
+        assert second == plain
+        # round 0 was resumed, not recomputed
+        assert os.path.getmtime(meta0) == mtime0
+
+    def test_passed_in_count_skips_sampling(self, spark, q_df, idx_df):
+        k = 2
+        got = sorted(
+            (r["key"], r["neighbor_key"], r["rn"])
+            for r in KNN.knn_join(
+                spark, q_df, idx_df, k, index_count=idx_df.count()
+            ).collect()
+        )
+        want = sorted(
+            (r["key"], r["neighbor_key"], r["rn"])
+            for r in KNN.knn_join(spark, q_df, idx_df, k).collect()
+        )
+        assert got == want
