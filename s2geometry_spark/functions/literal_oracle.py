@@ -312,10 +312,17 @@ def dtw_alignment_sql() -> str:
         a = grp[grp["which"] == 0][["x", "y", "z"]].to_numpy()
         b = grp[grp["which"] == 1][["x", "y", "z"]].to_numpy()
         cost, path = AL.alignment(a, b)
-        out.append((int(lid), cost, len(path)))
+        acost, apath = AL.approx_alignment(a, b)
+        out.append((int(lid), cost, len(path), acost, len(apath)))
     return values_sql(
         out,
-        [("line_id", "BIGINT"), ("cost", "DOUBLE"), ("path_len", "INT")],
+        [
+            ("line_id", "BIGINT"),
+            ("cost", "DOUBLE"),
+            ("path_len", "INT"),
+            ("approx_cost", "DOUBLE"),
+            ("approx_path_len", "INT"),
+        ],
     )
 
 

@@ -174,6 +174,8 @@ DTW_SCHEMA = T.StructType(
         T.StructField("line_id", T.LongType(), False),
         T.StructField("cost", T.DoubleType(), False),
         T.StructField("path_len", T.IntegerType(), False),
+        T.StructField("approx_cost", T.DoubleType(), False),
+        T.StructField("approx_path_len", T.IntegerType(), False),
     ]
 )
 
@@ -181,8 +183,9 @@ DTW_SCHEMA = T.StructType(
 def dtw_align_pairs(vertex_df: DataFrame) -> DataFrame:
     """Per-line DTW alignment between the two tagged vertex chains of
     each line_id (columns: line_id, which in {0,1}, vtx_idx, x, y, z) —
-    S2PolylineAlignment exact vertex alignment in a grouped Arrow
-    kernel (the distributed axis is the number of pairs)."""
+    S2PolylineAlignment exact vertex alignment plus the FastDTW
+    windowed approximation (GetApproxVertexAlignment) in a grouped
+    Arrow kernel (the distributed axis is the number of pairs)."""
 
     def compute(key, pdf: pd.DataFrame):
         from ..kernels import alignment as AL
@@ -192,8 +195,13 @@ def dtw_align_pairs(vertex_df: DataFrame) -> DataFrame:
         a = pdf[pdf["which"] == 0][["x", "y", "z"]].to_numpy()
         b = pdf[pdf["which"] == 1][["x", "y", "z"]].to_numpy()
         cost, path = AL.alignment(a, b)
+        acost, apath = AL.approx_alignment(a, b)
         return pd.DataFrame(
-            [{"line_id": int(lid), "cost": cost, "path_len": len(path)}]
+            [{
+                "line_id": int(lid), "cost": cost,
+                "path_len": len(path), "approx_cost": acost,
+                "approx_path_len": len(apath),
+            }]
         )
 
     return vertex_df.groupBy("line_id").applyInPandas(
