@@ -368,6 +368,13 @@ class Builder:
                     )
                 )
             )
+        # when the edge snap radius exceeds the vertex snap radius
+        # (intersection tolerance) we must check topology explicitly
+        # around every site, not just forced ones (S2Builder.cs:252-254)
+        self.check_all_site_crossings = self.max_edge_deviation > (
+            edge_snap_radius
+            + self.snap_function.min_edge_vertex_separation()
+        )
         self.min_site_separation = self.snap_function.min_vertex_separation()
         self.min_site_separation_ca = chord2(self.min_site_separation)
         self.min_edge_site_separation_ca = chord2(
@@ -771,12 +778,37 @@ class Builder:
                 site_to_avoid = self.sites[sid]
                 v0 = self.sites[chain[i - 1]]
                 v1 = self.sites[chain[i]]
-                if (
+                add_separation = (
                     sid >= self.num_forced_sites
                     and self.min_edge_site_separation_ca > 0
                     and edge_distance2(site_to_avoid, v0, v1)
                     < self.min_edge_site_separation_ca
+                )
+                if not add_separation and (
+                    sid < self.num_forced_sites
+                    or self.check_all_site_crossings
                 ):
+                    # a snapped edge passing on the WRONG SIDE of a
+                    # site to avoid changes the input topology even
+                    # when it is not too close; projected onto the
+                    # great circle of (a0, a1) this only matters when
+                    # the site lies between a0 and a1 and between v0
+                    # and v1 (S2Builder.cs:1205-1230)
+                    ta0, ta1 = tuple(a0), tuple(a1)
+                    ts = tuple(site_to_avoid)
+                    add_separation = (
+                        E.sign(ta0, ta1, ts)
+                        != E.sign(tuple(v0), tuple(v1), ts)
+                        and _compare_edge_directions(ta0, ta1, ta0, ts) > 0
+                        and _compare_edge_directions(ta0, ta1, ts, ta1) > 0
+                        and _compare_edge_directions(
+                            ta0, ta1, tuple(v0), ts
+                        ) > 0
+                        and _compare_edge_directions(
+                            ta0, ta1, ts, tuple(v1)
+                        ) > 0
+                    )
+                if add_separation:
                     new_site = self._get_separation_site(
                         site_to_avoid, v0, v1, edge_id
                     )
@@ -946,6 +978,16 @@ class Builder:
                         arr = arr[::-1]
                 rings.append(arr)
         return rings
+
+
+def _compare_edge_directions(a, b, c, d) -> int:
+    """+1 / -1 / 0 as edges AB and CD point in similar / opposite /
+    perpendicular directions (S2Pred.CompareEdgeDirections, double
+    precision: sign of the dot product of the edge normals)."""
+    na = robust_cross_prod(a, b)
+    nb = robust_cross_prod(c, d)
+    dp = E.dot(na, nb)
+    return (dp > 0) - (dp < 0)
 
 
 def _turn_angle(a, b, c) -> float:

@@ -496,3 +496,87 @@ class TestSnappedBoolean:
             got_area = sum(M.loop_signed_area(r) for r in got)
             want_area = sum(M.loop_signed_area(r) for r in want)
             assert abs(got_area - want_area) < 1e-9
+
+
+class TestTopologyPreservation:
+    """Snapped edges must not cross input vertices
+    (S2BuilderTests.cs:417-528): vertex C sits between the snapped
+    chain and the input edge, so a separation site Z appears near its
+    projection and the chain routes on the correct side."""
+
+    def _run(self, *, split_crossing: bool, snap_radius: float,
+             force_c: bool):
+        kdeg = math.degrees(S.INTERSECTION_ERROR)
+        a = TF.ll_to_point(0, -1)
+        bb = TF.ll_to_point(0, 46)
+        x = TF.ll_to_point(0.99 * kdeg, 0)
+        y = TF.ll_to_point(0.99 * kdeg, 45)
+        c = TF.ll_to_point(1.03 * kdeg, 22.5)
+        d = TF.ll_to_point(10, 22.5)
+        b = S.Builder(
+            S.IdentitySnapFunction(snap_radius),
+            split_crossing_edges=split_crossing,
+            idempotent=False,
+        )
+        b.add_edge(a, bb)
+        b.force_vertex(x)
+        b.force_vertex(y)
+        if force_c:
+            b.force_vertex(c)
+        b.add_edge(c, d)
+        b.build()
+        lines = b.layer_polylines(0)
+        assert len(lines) == 2
+        return lines
+
+    # NOTE on expected values: the reference test file hard-codes
+    # vertex strings derived from the C++ constant DBL_ERR = eps/2
+    # (5.038e-14 = 0.99 * degrees(8 * eps/2)); the C# source this port
+    # follows defines S2Pred.DBL_ERR = full eps (S2Predicates.cs:499),
+    # which doubles kIntersectionError and hence the forced-vertex
+    # latitudes.  The structural expectations (the snapped chain
+    # A-X-Z-Y-B with Z at the projection of C, and no crossing) are
+    # constant-independent, so the vertices are checked against the
+    # actual forced points.
+
+    def test_zero_snap_radius_edge_splitting(self):
+        # S2BuilderTests.cs:417-481
+        kdeg = math.degrees(S.INTERSECTION_ERROR)
+        lines = self._run(
+            split_crossing=True, snap_radius=0.0, force_c=False
+        )
+        x = TF.ll_to_point(0.99 * kdeg, 0)
+        y = TF.ll_to_point(0.99 * kdeg, 45)
+        c = TF.ll_to_point(1.03 * kdeg, 22.5)
+        expect0 = [TF.ll_to_point(0, -1), x, None, y,
+                   TF.ll_to_point(0, 46)]
+        assert len(lines[0]) == 5
+        for got, want in zip(lines[0], expect0):
+            if want is not None:
+                assert tuple(got) == want
+        # Z = separation site at the projection of C onto AB: 0:22.5
+        assert fmt([lines[0][2]]) == "0:22.5"
+        assert tuple(lines[1][0]) == c
+        assert tuple(lines[1][1]) == TF.ll_to_point(10, 22.5)
+        from s2geometry_spark.kernels import edges as KE
+
+        assert (
+            KE.crossing_sign(
+                tuple(lines[0][1]), tuple(lines[0][2]),
+                tuple(lines[1][0]), tuple(lines[1][1]),
+            )
+            < 0
+        )
+
+    def test_forced_vertices(self):
+        # S2BuilderTests.cs:484-528
+        kdeg = math.degrees(S.INTERSECTION_ERROR)
+        lines = self._run(
+            split_crossing=False,
+            snap_radius=S.INTERSECTION_ERROR,
+            force_c=True,
+        )
+        assert len(lines[0]) == 5
+        assert fmt([lines[0][2]]) == "0:22.5"
+        assert tuple(lines[0][1]) == TF.ll_to_point(0.99 * kdeg, 0)
+        assert tuple(lines[0][3]) == TF.ll_to_point(0.99 * kdeg, 45)
