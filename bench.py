@@ -80,6 +80,8 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, int]:
     timings["cellid_leaf"] = time.perf_counter() - t0
 
     # the driver-contract suite at this SF
+    import gc
+
     for name, fn in E.queries().items():
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
@@ -88,6 +90,11 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, int]:
             oracle_timings[name] = elapsed
         else:
             timings[name] = elapsed
+        # drop references to per-query localCheckpoint blocks so the
+        # ContextCleaner reclaims executor memory between queries;
+        # without this the suite accumulates dead cached blocks and
+        # later queries degrade under memory pressure
+        gc.collect()
 
     return timings, oracle_timings, n_rows
 

@@ -269,28 +269,6 @@ def _edge_frame(x, y):
     return x, e2, n, theta_xy
 
 
-def _coverage_interval(s, e1, e2, n, theta_xy, snap_r: float):
-    """Intersection of edge XY (in its frame) with the disc of radius
-    snap_r around site s, as an angle interval clipped to [0,
-    theta_xy]; None when empty (the coverage-disc geometry of
-    S2Builder.cs:1284-1301)."""
-    sin_perp = E.dot(s, n)
-    cos_perp2 = max(0.0, 1.0 - sin_perp * sin_perp)
-    if cos_perp2 <= 0.0:
-        return None
-    cos_perp = math.sqrt(cos_perp2)
-    cos_w = math.cos(snap_r) / cos_perp
-    if cos_w > 1.0:
-        return None  # site's disc never reaches the great circle
-    w = math.acos(max(-1.0, cos_w))
-    theta_c = math.atan2(E.dot(s, e2), E.dot(s, e1))
-    lo, hi = theta_c - w, theta_c + w
-    lo, hi = max(lo, 0.0), min(hi, theta_xy)
-    if lo > hi:
-        return None
-    return (lo, hi)
-
-
 def _circumcenter(a, b, c):
     """Circumcenter of spherical triangle ABC, oriented so it lies on
     the positive side when Sign(a,b,c) > 0 (the double-precision core
