@@ -386,11 +386,14 @@ def loop_boolean(a: Loop, b: Loop, op: str) -> list[np.ndarray]:
             if not nxt_candidates:
                 break
             cur = nxt_candidates[0]
-        # dedup consecutive duplicates (arc endpoints repeat)
+        # dedup consecutive duplicates (arc endpoints repeat), and the
+        # closure vertex when the walk ends where it started
         dedup = [ring_pts[0]]
         for p in ring_pts[1:]:
             if p != dedup[-1]:
                 dedup.append(p)
+        if len(dedup) > 1 and dedup[-1] == dedup[0]:
+            dedup.pop()
         if len(dedup) >= 3:
             rings.append(np.asarray(dedup))
     return rings

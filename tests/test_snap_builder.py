@@ -580,3 +580,53 @@ class TestTopologyPreservation:
         assert fmt([lines[0][2]]) == "0:22.5"
         assert tuple(lines[0][1]) == TF.ll_to_point(0.99 * kdeg, 0)
         assert tuple(lines[0][3]) == TF.ll_to_point(0.99 * kdeg, 45)
+
+
+class TestBooleanOperationGoldens:
+    """Snap-rounded boolean golden cases from
+    S2BooleanOperationTests.cs (PolygonEdgePolygonEdgeCrossing,
+    :932-947): edges crossing at points interior to both, rounded to
+    E2 coordinates."""
+
+    A = "0:0, 0:2, 2:2, 2:0"
+    B = "1:1, 1:3, 3:3, 3:1"
+
+    def _rings(self, op):
+        a = np.asarray(pts(self.A))
+        b = np.asarray(pts(self.B))
+        return S.snapped_loop_boolean(
+            a, b, op, S.IntLatLngSnapFunction(2)
+        )
+
+    def test_union(self):
+        rings = self._rings("union")
+        assert len(rings) == 1
+        assert ring_approx_equal(
+            pts("0:0, 0:2, 1:2, 1:3, 3:3, 3:1, 2:1, 2:0"),
+            rings[0], 1e-12,
+        )
+
+    def test_intersection(self):
+        rings = self._rings("intersection")
+        assert len(rings) == 1
+        assert ring_approx_equal(
+            pts("1:1, 1:2, 2:2, 2:1"), rings[0], 1e-12
+        )
+
+    def test_difference(self):
+        rings = self._rings("difference")
+        assert len(rings) == 1
+        assert ring_approx_equal(
+            pts("0:0, 0:2, 1:2, 1:1, 2:1, 2:0"), rings[0], 1e-12
+        )
+
+    def test_symmetric_difference(self):
+        rings = self._rings("symmetric_difference")
+        assert len(rings) == 2
+        exp1 = pts("0:0, 0:2, 1:2, 1:1, 2:1, 2:0")
+        exp2 = pts("1:2, 1:3, 3:3, 3:1, 2:1, 2:2")
+        hits = [
+            any(ring_approx_equal(e, r, 1e-12) for r in rings)
+            for e in (exp1, exp2)
+        ]
+        assert all(hits)
