@@ -1,0 +1,160 @@
+"""Shape nesting: classify a shape's rings into shells and holes
+(S2ShapeNestingQuery.cs).
+
+Polygon hierarchy on a sphere is ambiguous (either of two concentric
+rings can be "the shell"), so classification is relative to a datum
+chain chosen by strategy (default: chain 0).  For every other chain,
+the parity of crossings along a geodesic from the datum to the chain —
+seeded by whether the segment leaves through the datum's interior
+wedge and arrives from the target's interior wedge (OrderedCCW tests)
+— determines candidate parents; a transitive-reduction pass leaves
+each chain its immediate parent, and even-depth chains detach to
+become shells (the even/odd rule).
+
+Driver-side kernel: ring sets are dim-sized geometry.  The reference
+finds crossing edges through MutableS2ShapeIndex; here the crossing
+scan is brute force over the shape's edges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import edges as E
+
+
+@dataclass
+class ChainRelation:
+    """Nesting relation of one chain (S2ShapeNestingQuery.ChainRelation):
+    shells have parent < 0 and may own holes; holes point at their
+    parent shell."""
+
+    parent: int = -1
+    holes: list[int] = field(default_factory=list)
+
+    def is_shell(self) -> bool:
+        return self.parent < 0
+
+    def is_hole(self) -> bool:
+        return self.parent >= 0
+
+
+def _closest_of_n_points(target, verts: np.ndarray, n: int = 4) -> int:
+    """Index of the closest of n equally spaced chain vertices
+    (S2ShapeNestingQuery.ClosestOfNPoints)."""
+    chain_len = len(verts)
+    step = max(1, chain_len // n)
+    best_idx, best_d2 = 0, float("inf")
+    for i in range(n):
+        idx = (i * step) % chain_len
+        d2 = float(((verts[idx] - target) ** 2).sum())
+        if d2 < best_d2:
+            best_d2, best_idx = d2, idx
+    return best_idx
+
+
+def shape_nesting(
+    chains: list[np.ndarray], datum: int = 0
+) -> list[ChainRelation]:
+    """Relations for each ring of a 2D shape, 1:1 with `chains`
+    (S2ShapeNestingQuery.ComputeShapeNesting; `datum` is the
+    datum-shell strategy, default FIRST_CHAIN)."""
+    num_chains = len(chains)
+    if num_chains == 0:
+        return []
+    if num_chains == 1:
+        return [ChainRelation()]
+    vt = [
+        [tuple(map(float, v)) for v in np.asarray(c)] for c in chains
+    ]
+    arrs = [np.asarray(c, dtype=np.float64) for c in chains]
+
+    parents: list[set[int]] = [set() for _ in range(num_chains)]
+    children: list[set[int]] = [set() for _ in range(num_chains)]
+
+    d0, d1, d2 = vt[datum][0], vt[datum][1], vt[datum][2]
+    start_point = d1
+
+    for chain in range(num_chains):
+        if chain == datum:
+            continue
+        end_idx = _closest_of_n_points(
+            np.asarray(start_point), arrs[chain]
+        )
+        n = len(vt[chain])
+        end_point = vt[chain][end_idx]
+
+        # does the segment leave through the datum shell's interior?
+        if E.ordered_ccw(d2, end_point, d0, start_point):
+            parents[chain].add(datum)
+            children[datum].add(chain)
+        # ... and arrive from the target chain's interior?
+        nxt = vt[chain][(end_idx + 1) % n]
+        prv = vt[chain][(end_idx - 1) % n]
+        if E.ordered_ccw(nxt, start_point, prv, end_point):
+            parents[chain].add(chain)
+
+        # toggle per interior crossing of (start, end) with any edge
+        # of the shape (CrossingType.INTERIOR skips the two
+        # endpoint-incident edges via crossing_sign == 0 there)
+        for other in range(num_chains):
+            overts = vt[other]
+            m = len(overts)
+            for k in range(m):
+                if (
+                    E.crossing_sign(
+                        start_point, end_point, overts[k],
+                        overts[(k + 1) % m],
+                    )
+                    > 0
+                ):
+                    parents[chain].symmetric_difference_update({other})
+                    if other != chain:
+                        children[other].symmetric_difference_update(
+                            {chain}
+                        )
+
+        # final state: the datum is a candidate parent only when both
+        # the datum and self bits survived; drop self
+        if not (datum in parents[chain] and chain in parents[chain]):
+            parents[chain].discard(datum)
+        parents[chain].discard(chain)
+
+    # transitive reduction: a chain with exactly one parent P removes
+    # P from all its children (S2ShapeNestingQuery.cs:181-226)
+    current = 0
+    while current < num_chains:
+        if len(parents[current]) != 1:
+            current += 1
+            continue
+        (parent_chain,) = parents[current]
+        next_chain = current
+        for child in sorted(children[current]):
+            if parent_chain in parents[child]:
+                parents[child].discard(parent_chain)
+                if len(parents[child]) == 1 and child < next_chain:
+                    next_chain = child
+        current = next_chain if next_chain != current else current + 1
+
+    relations = [ChainRelation() for _ in range(num_chains)]
+    for chain in range(num_chains):
+        assert len(parents[chain]) <= 1
+        if parents[chain]:
+            (parent,) = parents[chain]
+            relations[chain].parent = parent
+            relations[parent].holes.append(chain)
+
+    # even/odd rule: even-depth chains detach and become shells
+    for chain in range(num_chains):
+        depth, cur = -1, chain
+        while cur >= 0 and depth < num_chains:
+            depth += 1
+            cur = relations[cur].parent
+        if depth != 0 and depth % 2 == 0:
+            old_parent = relations[chain].parent
+            relations[chain].parent = -1
+            if old_parent >= 0:
+                relations[old_parent].holes.remove(chain)
+    return relations
