@@ -487,6 +487,23 @@ def q_winding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MO.winding_groups(spark.createDataFrame(pdf))
 
 
+def q_shape_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring nesting per multi-ring shape (S2ShapeNestingQuery: shells
+    vs holes via crossing parity from a datum shell), distributed per
+    shape; oracle = driver-precomputed literal table."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.nesting_shape_vertices(),
+        columns=["shape_id", "which", "vtx_idx", "x", "y", "z"],
+    )
+    return MO.shape_nesting_groups(spark.createDataFrame(pdf))
+
+
 def q_buffer_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Buffered geometry per nation loop (convex offset-curve ring)
     plus the concave family (region_id >= 100: fractal stars, a
@@ -639,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_loop_measures": q_loop_measures,
         "s2_buffer_loops": q_buffer_loops,
         "s2_winding_groups": q_winding_groups,
+        "s2_shape_nesting": q_shape_nesting,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
@@ -839,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_loop_measures": LO.loop_measures_sql(),
         "s2_buffer_loops": LO.buffer_loops_sql(),
         "s2_winding_groups": LO.winding_groups_sql(),
+        "s2_shape_nesting": LO.shape_nesting_sql(),
         "s2_polyline_measures": LO.polyline_measures_sql(),
         "s2_polyline_relations": LO.polyline_relations_sql(),
         "s2_region_boolean": LO.region_boolean_sql(),

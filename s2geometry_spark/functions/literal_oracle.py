@@ -697,3 +697,90 @@ def winding_groups_sql() -> str:
             ("area", "DOUBLE"),
         ],
     )
+
+
+def _nest_ring(clat, clng, radius, n, reverse=False):
+    import math
+
+    from ..kernels.textformat import ll_to_point
+
+    step = 2 * math.pi / n
+    verts = [
+        ll_to_point(
+            clat + radius * math.sin(i * step),
+            clng + radius * math.cos(i * step),
+        )
+        for i in range(n)
+    ]
+    if reverse:
+        verts.reverse()
+    return verts
+
+
+def nesting_shape_vertices() -> list[tuple]:
+    """(shape_id, which, vtx_idx, x, y, z) rows: 25 deterministic
+    multi-ring shapes cycling through donut / button / deep-nest /
+    twin-shell families for the shape-nesting query."""
+    rows = []
+    for sid in range(25):
+        clat = 3.0 * (sid % 5) - 6.0
+        clng = 7.0 * (sid // 5) - 14.0
+        kind = sid % 4
+        if kind == 0:  # donut
+            rings = [
+                _nest_ring(clat, clng, 1.0, 16),
+                _nest_ring(clat, clng, 0.5, 16, reverse=True),
+            ]
+        elif kind == 1:  # button: shell + 3 holes
+            rings = [_nest_ring(clat, clng, 2.0, 16)] + [
+                _nest_ring(clat + dla, clng + dln, 0.3, 12, reverse=True)
+                for dla, dln in ((0.8, 0), (-0.8, 0.4), (0, -0.9))
+            ]
+        elif kind == 2:  # nested, alternating orientation
+            depth = 3 + (sid // 4) % 3
+            rings = [
+                _nest_ring(clat, clng, 2.0 / (i + 1), 16, reverse=i % 2 == 1)
+                for i in range(depth)
+            ]
+        else:  # two independent shells facing away
+            rings = [
+                _nest_ring(clat, clng, 1.0, 16, reverse=True),
+                _nest_ring(clat, clng, 0.5, 16),
+            ]
+        for which, verts in enumerate(rings):
+            for i, v in enumerate(verts):
+                rows.append(
+                    (sid, which, i, float(v[0]), float(v[1]), float(v[2]))
+                )
+    return rows
+
+
+@lru_cache(maxsize=1)
+def shape_nesting_sql() -> str:
+    from ..kernels.nesting import shape_nesting
+
+    pdf = pd.DataFrame(
+        nesting_shape_vertices(),
+        columns=["shape_id", "which", "vtx_idx", "x", "y", "z"],
+    )
+    out = []
+    for sid, grp in pdf.groupby("shape_id"):
+        grp = grp.sort_values(["which", "vtx_idx"])
+        chains = [
+            g[["x", "y", "z"]].to_numpy() for _, g in grp.groupby("which")
+        ]
+        rel = shape_nesting(chains)
+        for i, r in enumerate(rel):
+            out.append(
+                (int(sid), i, r.parent, len(r.holes), r.is_shell())
+            )
+    return values_sql(
+        out,
+        [
+            ("shape_id", "BIGINT"),
+            ("chain_id", "INT"),
+            ("parent", "INT"),
+            ("n_holes", "INT"),
+            ("is_shell", "BOOLEAN"),
+        ],
+    )

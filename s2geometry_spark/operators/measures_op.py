@@ -386,3 +386,49 @@ def winding_groups(vertex_df: DataFrame) -> DataFrame:
     return vertex_df.groupBy("group_id").applyInPandas(
         compute, schema=WINDING_SCHEMA
     )
+
+
+NESTING_SCHEMA = T.StructType(
+    [
+        T.StructField("shape_id", T.LongType(), False),
+        T.StructField("chain_id", T.IntegerType(), False),
+        T.StructField("parent", T.IntegerType(), False),
+        T.StructField("n_holes", T.IntegerType(), False),
+        T.StructField("is_shell", T.BooleanType(), False),
+    ]
+)
+
+
+def shape_nesting_groups(vertex_df: DataFrame) -> DataFrame:
+    """Per-shape ring nesting (kernels.nesting, S2ShapeNestingQuery):
+    input rows (shape_id, which = chain id, vtx_idx, x, y, z) carry a
+    multi-ring shape per group; emits each chain's parent (-1 for
+    shells) and hole count.  The distributed axis is the number of
+    shapes."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels.nesting import shape_nesting
+
+        (sid,) = key
+        pdf = pdf.sort_values(["which", "vtx_idx"])
+        chains = [
+            grp[["x", "y", "z"]].to_numpy()
+            for _, grp in pdf.groupby("which")
+        ]
+        rel = shape_nesting(chains)
+        return pd.DataFrame(
+            [
+                {
+                    "shape_id": int(sid),
+                    "chain_id": i,
+                    "parent": r.parent,
+                    "n_holes": len(r.holes),
+                    "is_shell": r.is_shell(),
+                }
+                for i, r in enumerate(rel)
+            ]
+        )
+
+    return vertex_df.groupBy("shape_id").applyInPandas(
+        compute, schema=NESTING_SCHEMA
+    )
