@@ -487,6 +487,36 @@ def q_winding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MO.winding_groups(spark.createDataFrame(pdf))
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio: distributed RIFF/WAVE PCM16 decode + exact-
+    integer feature extraction (one Arrow-batched mapInPandas pass);
+    oracle = driver-side re-generation of the same deterministic
+    payloads."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import media_ops as MED
+    from s2geometry_spark.sources import media as M
+
+    return MED.extract_audio_features(
+        M.audio_table(spark, LO.N_AUDIO)
+    )
+
+
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video: frame sampling by container byte-range index
+    (every 2nd frame decoded, the rest never parsed) + exact per-frame
+    channel sums and payload fingerprints; oracle = driver-side
+    re-generation."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import media_ops as MED
+    from s2geometry_spark.sources import media as M
+
+    return MED.sample_video_frames(
+        M.video_table(spark, LO.N_VIDEO), LO.FRAME_SAMPLE_EVERY
+    )
+
+
 def q_shape_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ring nesting per multi-ring shape (S2ShapeNestingQuery: shells
     vs holes via crossing parity from a datum shell), distributed per
@@ -657,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_buffer_loops": q_buffer_loops,
         "s2_winding_groups": q_winding_groups,
         "s2_shape_nesting": q_shape_nesting,
+        "audio_features": q_audio_features,
+        "video_frame_stats": q_video_frame_stats,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
@@ -858,6 +890,8 @@ def oracle_sql() -> dict[str, str]:
         "s2_buffer_loops": LO.buffer_loops_sql(),
         "s2_winding_groups": LO.winding_groups_sql(),
         "s2_shape_nesting": LO.shape_nesting_sql(),
+        "audio_features": LO.audio_features_sql(),
+        "video_frame_stats": LO.video_frame_stats_sql(),
         "s2_polyline_measures": LO.polyline_measures_sql(),
         "s2_polyline_relations": LO.polyline_relations_sql(),
         "s2_region_boolean": LO.region_boolean_sql(),

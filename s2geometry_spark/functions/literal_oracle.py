@@ -784,3 +784,83 @@ def shape_nesting_sql() -> str:
             ("is_shell", "BOOLEAN"),
         ],
     )
+
+
+N_AUDIO = 400
+N_VIDEO = 200
+
+
+@lru_cache(maxsize=1)
+def audio_features_sql() -> str:
+    from ..kernels import wav as WAV
+    from ..sources.media import audio_row_record
+
+    out = []
+    for i in range(N_AUDIO):
+        rec = audio_row_record(i)
+        samples, sr = WAV.decode_wav(rec["bytes"])
+        f = WAV.audio_features(samples, sr)
+        out.append(
+            (
+                rec["audio_id"], sr, f["n_samples"], f["duration_ms"],
+                f["sum_sq"], f["sum_abs"], f["peak"],
+                f["zero_crossings"], f["dom_freq_bin"],
+                f["dom_freq_bin"] * sr / f["n_samples"],
+            )
+        )
+    return values_sql(
+        out,
+        [
+            ("audio_id", "VARCHAR"),
+            ("sample_rate", "INT"),
+            ("n_samples", "INT"),
+            ("duration_ms", "BIGINT"),
+            ("sum_sq", "BIGINT"),
+            ("sum_abs", "BIGINT"),
+            ("peak", "INT"),
+            ("zero_crossings", "INT"),
+            ("dom_freq_bin", "INT"),
+            ("dom_freq_hz", "DOUBLE"),
+        ],
+    )
+
+
+FRAME_SAMPLE_EVERY = 2
+
+
+@lru_cache(maxsize=1)
+def video_frame_stats_sql() -> str:
+    from ..kernels import png as PNG
+    from ..kernels import video as VID
+    from ..sources.media import video_row_record
+
+    out = []
+    for i in range(N_VIDEO):
+        rec = video_row_record(i)
+        data = rec["bytes"]
+        fps, n_frames, offsets, start = VID.video_header(data)
+        for k in range(0, n_frames, FRAME_SAMPLE_EVERY):
+            payload = data[start + offsets[k] : start + offsets[k + 1]]
+            rgb = PNG.decode_png(payload)
+            out.append(
+                (
+                    rec["video_id"], k, (k * 1000) // fps,
+                    rgb.shape[1], rgb.shape[0],
+                    int(rgb[:, :, 0].sum()), int(rgb[:, :, 1].sum()),
+                    int(rgb[:, :, 2].sum()), PNG.fnv1a64(payload),
+                )
+            )
+    return values_sql(
+        out,
+        [
+            ("video_id", "VARCHAR"),
+            ("frame_idx", "INT"),
+            ("ts_ms", "BIGINT"),
+            ("w", "INT"),
+            ("h", "INT"),
+            ("sum_r", "BIGINT"),
+            ("sum_g", "BIGINT"),
+            ("sum_b", "BIGINT"),
+            ("frame_fnv", "BIGINT"),
+        ],
+    )
