@@ -59,3 +59,35 @@ def scan_cell_range(
     df = spark.read.parquet(path)
     key = S.cell_bias(F.col(cell_col))
     return df.where((key >= F.lit(lo_biased)) & (key <= F.lit(hi_biased)))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (Spark bucketBy + sortBy on the join
+    key): two tables bucketed the same way join WITHOUT a shuffle —
+    each task zips bucket i with bucket i.  This is the co-located
+    join layout for repeated big-big joins at the 100 TB tier, where
+    re-shuffling the fact table per query is the dominant cost."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def cobucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two identically-bucketed tables on their bucket key.  The
+    plan must contain no Exchange on either side (asserted in
+    tests/test_sink_features.py) — bucket-pruned SortMergeJoin."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.join(rt, on=key, how=how)

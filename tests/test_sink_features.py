@@ -73,3 +73,64 @@ class TestImageFeatures:
                 assert not r["phash_check"]  # fake-jpeg is lossy
             thumb = PNG.decode_png(bytes(r["thumb"]))
             assert thumb.shape == (8, 8, 3)
+
+
+class TestBucketedJoin:
+    """bucketBy co-location: identically-bucketed tables join with no
+    Exchange in the plan (the repeated-big-join layout at scale)."""
+
+    def test_cobucketed_join_has_no_exchange(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from s2geometry_spark.operators import tile as T
+        from s2geometry_spark.sources import points as P
+        from s2geometry_spark.sources import sink as SK
+
+        import shutil
+
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
+        # a fresh per-session metastore orphans managed-table dirs from
+        # previous runs; clear the locations so saveAsTable can create
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir"
+        ).removeprefix("file:")
+        for t in ("t_bleft", "t_bright"):
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        pts = T.assign_cellids(
+            P.with_xyz(orders.select(F.col("o_orderkey").alias("key")))
+        ).select("key", "cell_id")
+        SK.write_bucketed(pts, "t_bleft", "key", n_buckets=8)
+        SK.write_bucketed(
+            pts.withColumn("extra", F.col("key") % 7),
+            "t_bright", "key", n_buckets=8,
+        )
+        # small sf inputs fit under the broadcast threshold, which would
+        # hide the co-location; disable broadcast so the plan shows the
+        # bucket-aligned SortMergeJoin a big-big join would use
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = SK.cobucketed_join(spark, "t_bleft", "t_bright", "key")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: no shuffle
+            n = joined.count()
+            assert n == pts.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    def test_unbucketed_join_needs_exchange(self, spark, sf_dir):
+        """Control: the same join on raw parquet shuffles both sides."""
+        from pyspark.sql import functions as F
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("key")
+        )
+        with_extra = orders.withColumn("extra", F.col("key") % 7)
+        joined = orders.join(with_extra.hint("merge"), on="key")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan
