@@ -461,6 +461,12 @@ IMAGE_TILE_LEVEL = 4
 
 EMBED_K = 5
 
+# near-dup cosine threshold, calibrated to the synthetic embeddings
+# table (near-uniform vectors, max pairwise cosine ~0.51 at sf0.01 —
+# a production corpus would use ~0.9+); semantics are identical, and
+# this value makes the driver query exercise non-empty dup groups
+EMBED_DUP_TAU = 0.40
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -606,6 +612,13 @@ def q_embed_ann_lsh(spark, sf_dir):
     return SIM.ann_lsh_topk(_emb(spark, sf_dir), EMBED_K)
 
 
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup grouping (LSH candidates -> exact
+    cosine threshold -> min-root fold)."""
+    from s2geometry_spark.operators import similarity as SIM
+    return SIM.embed_near_dup(_emb(spark, sf_dir), EMBED_DUP_TAU)
+
+
 def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic image+caption table (BASELINE input_hint schema) ->
     geotag -> leaf cell -> tile histogram.  Payload decode is binary
@@ -697,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_near_dup": q_doc_near_dup,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
+        "embed_near_dup": q_embed_near_dup,
     }
 
 
@@ -911,4 +925,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_near_dup": TX.near_dup_pairs_sql(),
         "embed_cosine_topk": SIM.cosine_topk_sql(EMBED_K),
         "embed_ann_lsh": SIM.ann_lsh_topk_sql(EMBED_K),
+        "embed_near_dup": SIM.embed_near_dup_sql(EMBED_DUP_TAU),
     }

@@ -317,3 +317,119 @@ SELECT vec_id, neighbor_id, cosine, rn FROM (
                             ORDER BY cosine DESC, neighbor_id) AS rn
   FROM pairs
 ) WHERE rn <= {k}"""
+
+
+def embed_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.92,
+    n_bands: int = N_BANDS,
+    band_bits: int = BAND_BITS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate grouping (the embedding-space
+    twin of ``textops.near_dup_pairs``): candidates from the banded
+    sign-LSH self-join, scored with the exact shared-literal dot
+    product, thresholded at ``threshold``, then each vector folded to
+    its canonical representative ``dup_root`` = min(vec_id) over
+    itself and its above-threshold neighbors.
+
+    Output (vec_id, dup_root, n_nbrs, is_dup): ``is_dup`` rows are the
+    ones a dedup pass would drop (root survives).
+
+    Scale shape: identical to ``ann_lsh_topk`` — the self-join touches
+    only slim (vec_id, band, bucket) rows, pairs dedup before the
+    64-float components attach, and the final fold is a single
+    map-side-combinable min/count agg on vec_id.  No cross join at any
+    width; candidate volume is governed by the LSH family, not n^2.
+    """
+    bands = _band_planes(n_bands, band_bits)
+    slim = _band_rows(emb, bands)
+    a = slim.select(F.col("vec_id").alias("qid"), "b", "bk")
+    c = slim.select(
+        F.col("vec_id").alias("nid"),
+        F.col("b").alias("b2"),
+        F.col("bk").alias("bk2"),
+    )
+    cand = (
+        a.join(
+            c,
+            (F.col("b") == F.col("b2"))
+            & (F.col("bk") == F.col("bk2"))
+            & (F.col("qid") != F.col("nid")),
+        )
+        .select("qid", "nid")
+        .dropDuplicates(["qid", "nid"])
+    )
+    qc = _components(emb, "qid", "q")
+    ec = _components(emb, "nid", "e")
+    cos = F.expr(f"({_scalar_dot('q', 'e')})") / (F.col("qn") * F.col("en"))
+    nbrs = (
+        cand.join(qc, on="qid")
+        .join(ec, on="nid")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("qid", "nid")
+    )
+    ids = emb.select(F.col("vec_id").alias("qid"))
+    folded = (
+        ids.join(nbrs, on="qid", how="left")
+        .groupBy("qid")
+        .agg(
+            F.least(
+                F.col("qid"), F.coalesce(F.min("nid"), F.col("qid"))
+            ).alias("dup_root"),
+            F.count("nid").alias("n_nbrs"),
+        )
+    )
+    return folded.select(
+        F.col("qid").alias("vec_id"),
+        "dup_root",
+        "n_nbrs",
+        (F.col("dup_root") < F.col("qid")).alias("is_dup"),
+    )
+
+
+def embed_near_dup_sql(
+    threshold: float = 0.92,
+    table: str = "embeddings",
+    n_bands: int = N_BANDS,
+    band_bits: int = BAND_BITS,
+) -> str:
+    """DuckDB oracle mirroring embed_near_dup: the identical literal
+    plane family, band bucketing, shared-association dot product, and
+    min-root fold."""
+    bands = _band_planes(n_bands, band_bits)
+    dot = _dot_terms_duck("a.embedding", "b.embedding")
+    norm = _dot_terms_duck("embedding", "embedding")
+    band_exprs = ", ".join(
+        _bucket_expr_duck("embedding", bp) + f" AS band{b}"
+        for b, bp in enumerate(bands)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS b, band{b} AS bk FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sig AS (SELECT vec_id, {band_exprs} FROM {table}),
+slim AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS qid, c.vec_id AS nid
+  FROM slim a JOIN slim c
+    ON a.b = c.b AND a.bk = c.bk AND a.vec_id != c.vec_id
+),
+nrm AS (SELECT vec_id, embedding, sqrt({norm}) AS nrm FROM {table}),
+nbrs AS (
+  SELECT cand.qid, cand.nid
+  FROM cand JOIN nrm a ON a.vec_id = cand.qid
+            JOIN nrm b ON b.vec_id = cand.nid
+  WHERE ({dot}) / (a.nrm * b.nrm) >= {float(threshold)!r}
+),
+folded AS (
+  SELECT t.vec_id AS qid,
+         least(t.vec_id, coalesce(min(n.nid), t.vec_id)) AS dup_root,
+         count(n.nid) AS n_nbrs
+  FROM {table} t LEFT JOIN nbrs n ON n.qid = t.vec_id
+  GROUP BY t.vec_id
+)
+SELECT qid AS vec_id, dup_root, n_nbrs,
+       (dup_root < qid) AS is_dup
+FROM folded"""

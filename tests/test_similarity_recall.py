@@ -78,3 +78,51 @@ def test_uniform_recall_matches_analytic(spark):
     rec = _recall(spark, V)
     print(f"uniform recall@{K}: {rec:.3f} (analytic {expect:.3f})")
     assert abs(rec - expect) < 0.15
+
+
+class TestEmbedNearDup:
+    """Embedding-cosine near-dup grouping: planted near-duplicates
+    (vector + tiny noise) must fold to their originals' roots, and
+    far-apart vectors must survive untouched."""
+
+    def test_planted_duplicates_fold_to_root(self, spark):
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((60, SIM.DIM))
+        # vectors 60..89 are near-copies of 0..29 (cosine ~0.999)
+        dups = base[:30] + 0.01 * rng.standard_normal((30, SIM.DIM))
+        V = np.vstack([base, dups])
+        df = _emb_df(spark, V)
+        out = {
+            r["vec_id"]: (r["dup_root"], r["is_dup"], r["n_nbrs"])
+            for r in SIM.embed_near_dup(df, threshold=0.95).collect()
+        }
+        assert len(out) == 90
+        for i in range(30):
+            # the copy folds onto its original
+            root, is_dup, n = out[60 + i]
+            assert root == i and is_dup and n >= 1
+            # the original keeps itself as root (copy id is larger)
+            root0, is_dup0, n0 = out[i]
+            assert root0 == i and not is_dup0 and n0 >= 1
+        for i in range(30, 60):
+            root, is_dup, n = out[i]
+            assert root == i and not is_dup
+
+    def test_matches_mirrored_duckdb_oracle(self, spark):
+        import duckdb
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((40, SIM.DIM))
+        V = np.vstack([base, base[:10] + 0.02 * rng.standard_normal((10, SIM.DIM))])
+        df = _emb_df(spark, V)
+        got = sorted(
+            tuple(r) for r in SIM.embed_near_dup(df, threshold=0.9).collect()
+        )
+        con = duckdb.connect()
+        pdf = df.toPandas()
+        con.register("embeddings", pdf)
+        want = sorted(
+            tuple(r)
+            for r in con.sql(SIM.embed_near_dup_sql(threshold=0.9)).fetchall()
+        )
+        assert got == want
