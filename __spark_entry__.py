@@ -612,6 +612,13 @@ def q_embed_ann_lsh(spark, sf_dir):
     return SIM.ann_lsh_topk(_emb(spark, sf_dir), EMBED_K)
 
 
+def q_embed_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN: deterministic spherical k-means lists
+    trained on a bounded sample, probe + exact rerank."""
+    from s2geometry_spark.operators import similarity as SIM
+    return SIM.ann_ivf_topk(_emb(spark, sf_dir), EMBED_K, sf_dir)
+
+
 def q_embed_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup grouping (LSH candidates -> exact
     cosine threshold -> min-root fold)."""
@@ -711,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_near_dup": q_embed_near_dup,
+        "embed_ann_ivf": q_embed_ann_ivf,
     }
 
 
@@ -926,4 +934,5 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_topk": SIM.cosine_topk_sql(EMBED_K),
         "embed_ann_lsh": SIM.ann_lsh_topk_sql(EMBED_K),
         "embed_near_dup": SIM.embed_near_dup_sql(EMBED_DUP_TAU),
+        "embed_ann_ivf": SIM.ann_ivf_topk_sql(EMBED_K, LO.oracle_sf_dir()),
     }

@@ -433,3 +433,194 @@ folded AS (
 SELECT qid AS vec_id, dup_root, n_nbrs,
        (dup_root < qid) AS is_dup
 FROM folded"""
+
+
+# ---------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------
+
+IVF_C = 8           # coarse centroids (lists)
+IVF_PROBE = 2       # lists probed per query
+IVF_TRAIN_N = 512   # training-sample size (first rows by vec_id)
+IVF_ITERS = 10      # fixed Lloyd iterations (determinism)
+
+
+def ivf_centroids(sf_dir: str, n_centroids: int = IVF_C) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded head sample of the
+    embeddings table (first ``IVF_TRAIN_N`` rows by vec_id) — the
+    offline train-on-sample step every IVF index uses at scale; the
+    resulting (C, DIM) float64 centroids are broadcast literals shared
+    verbatim by the Spark plan and the DuckDB oracle.
+
+    Determinism: fixed init (first C sample vectors), fixed iteration
+    count, argmax assignment with lowest-index ties, empty lists keep
+    their previous centroid.
+    """
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    rows = []
+    for batch in pf.iter_batches(columns=["vec_id", "embedding"]):
+        rows.append(batch.to_pandas())
+        if sum(len(r) for r in rows) >= IVF_TRAIN_N:
+            break
+    pdf = pd.concat(rows).sort_values("vec_id").head(IVF_TRAIN_N)
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cents = Xn[:n_centroids].copy()
+    for _ in range(IVF_ITERS):
+        dots = Xn @ cents.T                       # (N, C)
+        assign = np.argmax(dots, axis=1)          # lowest index on ties
+        for c in range(n_centroids):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def _centroid_dot_rows(emb: DataFrame, cents: np.ndarray) -> DataFrame:
+    """(vec_id, c, cdot) — dot of each vector with each centroid, with
+    the chunked left-associative accumulation of _plane_dot so the
+    doubles match the oracle's SQL expression tree bit for bit."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    C = [c.copy() for c in cents]
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _dots(embedding: pd.Series) -> pd.Series:
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in embedding])
+        outs = []
+        for cv in C:
+            partials = []
+            for lo in range(0, DIM, CHUNK):
+                acc = E[:, lo] * cv[lo]
+                for i in range(lo + 1, lo + CHUNK):
+                    acc = acc + E[:, i] * cv[i]
+                partials.append(acc)
+            tot = partials[0]
+            for q in partials[1:]:
+                tot = tot + q
+            outs.append(tot)
+        M = np.stack(outs, axis=1)  # (N, C)
+        return pd.Series([M[r].tolist() for r in range(len(E))])
+
+    return emb.select(
+        "vec_id", F.posexplode(_dots(F.col("embedding"))).alias("c", "cdot")
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    k: int,
+    sf_dir: str = None,
+    n_centroids: int = IVF_C,
+    n_probe: int = IVF_PROBE,
+    centroids: np.ndarray = None,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: every vector is assigned to its
+    nearest coarse centroid (its inverted list); a query probes its
+    ``n_probe`` nearest lists and reranks candidates with the exact
+    shared-literal cosine.  Output (vec_id, neighbor_id, cosine, rn).
+
+    Scale shape: training is an offline driver-side pass over a bounded
+    sample (the universal IVF recipe); assignment is one Arrow-batched
+    matmul against broadcast centroids — no shuffle; the candidate join
+    is a slim (vec_id, list) equi-join whose fan-out is bounded by
+    n_probe x list size, replacing the n^2 cross join; rerank attaches
+    the 64-float components once per surviving pair.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(
+        sf_dir, n_centroids
+    )
+    dots = _centroid_dot_rows(emb, cents).localCheckpoint()
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.col("c"))
+    ranked = dots.withColumn("rk", F.row_number().over(w))
+    assign = ranked.where(F.col("rk") == 1).select(
+        F.col("vec_id").alias("nid"), F.col("c").alias("list_id")
+    )
+    probes = ranked.where(F.col("rk") <= n_probe).select(
+        F.col("vec_id").alias("qid"), F.col("c").alias("list_id")
+    )
+    cand = probes.join(assign, on="list_id").where(
+        F.col("qid") != F.col("nid")
+    ).select("qid", "nid")
+    qc = _components(emb, "qid", "q")
+    ec = _components(emb, "nid", "e")
+    cos = F.expr(f"({_scalar_dot('q', 'e')})") / (F.col("qn") * F.col("en"))
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
+    return (
+        cand.join(qc, on="qid")
+        .join(ec, on="nid")
+        .withColumn("cosine", cos)
+        .select("qid", "nid", "cosine")
+        .withColumn("rn", F.row_number().over(wk).cast("long"))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rn",
+        )
+    )
+
+
+def _centroid_dot_duck(col: str, cv: np.ndarray) -> str:
+    partials = []
+    for lo in range(0, DIM, CHUNK):
+        terms = " + ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * CAST('{cv[i]!r}' AS DOUBLE)"
+            for i in range(lo, lo + CHUNK)
+        )
+        partials.append(f"({terms})")
+    return " + ".join(partials)
+
+
+def ann_ivf_topk_sql(
+    k: int,
+    sf_dir: str,
+    table: str = "embeddings",
+    n_centroids: int = IVF_C,
+    n_probe: int = IVF_PROBE,
+) -> str:
+    """DuckDB oracle: identical centroid literals, dot expression tree,
+    rank/probe rules and rerank ordering as ann_ivf_topk."""
+    cents = ivf_centroids(sf_dir, n_centroids)
+    dot = _dot_terms_duck("a.embedding", "b.embedding")
+    norm = _dot_terms_duck("embedding", "embedding")
+    cdot_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {c} AS c, "
+        f"({_centroid_dot_duck('embedding', cents[c])}) AS cdot FROM {table}"
+        for c in range(n_centroids)
+    )
+    return f"""
+WITH dots AS ({cdot_union}),
+ranked AS (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cdot DESC, c) AS rk
+  FROM dots
+),
+assign AS (SELECT vec_id AS nid, c AS list_id FROM ranked WHERE rk = 1),
+probes AS (SELECT vec_id AS qid, c AS list_id FROM ranked
+           WHERE rk <= {n_probe}),
+cand AS (
+  SELECT p.qid, a.nid FROM probes p JOIN assign a USING (list_id)
+  WHERE p.qid != a.nid
+),
+nrm AS (SELECT vec_id, embedding, sqrt({norm}) AS nrm FROM {table}),
+pairs AS (
+  SELECT cand.qid AS vec_id, cand.nid AS neighbor_id,
+         ({dot}) / (a.nrm * b.nrm) AS cosine
+  FROM cand JOIN nrm a ON a.vec_id = cand.qid
+            JOIN nrm b ON b.vec_id = cand.nid
+)
+SELECT vec_id, neighbor_id, cosine, rn FROM (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM pairs
+) WHERE rn <= {k}"""

@@ -126,3 +126,48 @@ class TestEmbedNearDup:
             for r in con.sql(SIM.embed_near_dup_sql(threshold=0.9)).fetchall()
         )
         assert got == want
+
+
+class TestIvfAnn:
+    """IVF coarse-quantizer path: high recall on clustered corpora
+    when lists align with the cluster structure; deterministic
+    training."""
+
+    def _train(self, V):
+        Xn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cents = Xn[: SIM.IVF_C].copy()
+        for _ in range(SIM.IVF_ITERS):
+            assign = np.argmax(Xn @ cents.T, axis=1)
+            for c in range(SIM.IVF_C):
+                m = Xn[assign == c]
+                if len(m):
+                    s = m.sum(axis=0)
+                    n = np.linalg.norm(s)
+                    if n > 0:
+                        cents[c] = s / n
+        return cents
+
+    def test_clustered_recall(self, spark):
+        rng = np.random.default_rng(3)
+        centroids = rng.standard_normal((SIM.IVF_C, SIM.DIM))
+        V = np.repeat(centroids, 40, axis=0) + 0.12 * rng.standard_normal(
+            (SIM.IVF_C * 40, SIM.DIM)
+        )
+        df = _emb_df(spark, V)
+        cents = self._train(V)
+        exact = {}
+        for r in SIM.cosine_topk(df, K).collect():
+            exact.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        got = {}
+        for r in SIM.ann_ivf_topk(df, K, centroids=cents).collect():
+            got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        rec = hits / (len(exact) * K)
+        print(f"ivf clustered recall@{K}: {rec:.3f}")
+        assert rec >= 0.9
+
+    def test_training_is_deterministic(self):
+        c1 = SIM.ivf_centroids("/root/testdata/sf0.001")
+        c2 = SIM.ivf_centroids("/root/testdata/sf0.001")
+        assert np.array_equal(c1, c2)
+        assert c1.shape == (SIM.IVF_C, SIM.DIM)
