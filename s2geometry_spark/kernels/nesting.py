@@ -158,3 +158,108 @@ def shape_nesting(
             if old_parent >= 0:
                 relations[old_parent].holes.remove(chain)
     return relations
+
+
+# ---------------------------------------------------------------------
+# BuildPolygonBoundaries (S2ShapeUtil/BuildPolygonBoundaries.cs:37-140)
+# ---------------------------------------------------------------------
+
+def _clean_chain(verts: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicate vertices (incl. the wrap pair)."""
+    V = np.asarray(verts, dtype=np.float64)
+    keep = [0]
+    for i in range(1, len(V)):
+        if not np.array_equal(V[i], V[keep[-1]]):
+            keep.append(i)
+    while len(keep) > 1 and np.array_equal(V[keep[-1]], V[keep[0]]):
+        keep.pop()
+    return V[keep]
+
+
+def _lax_degenerate(verts: np.ndarray) -> bool:
+    """True iff the closed chain has an empty interior: every directed
+    edge is cancelled by its reverse (the lax-loop degenerate case,
+    e.g. a 2-vertex loop or a back-and-forth spike)."""
+    V = _clean_chain(verts)
+    n = len(V)
+    if n < 3:
+        return True
+    edges: dict[tuple, int] = {}
+    for i in range(n):
+        a = tuple(V[i])
+        b = tuple(V[(i + 1) % n])
+        edges[(a, b)] = edges.get((a, b), 0) + 1
+    return all(
+        edges.get((b, a), 0) == c for (a, b), c in edges.items()
+    )
+
+
+def _lax_contains(verts: np.ndarray, point) -> bool:
+    """Point containment for a lax loop (interior on the left of the
+    vertex order; degenerate loops contain nothing) — the brute-force
+    twin of S2Shape.ContainsBruteForce for S2LaxLoopShape."""
+    if _lax_degenerate(verts):
+        return False
+    V = _clean_chain(verts)
+    p = np.asarray(point, dtype=np.float64)[None, :]
+    return bool(E.loop_contains_points(V, p)[0])
+
+
+def build_polygon_boundaries(components):
+    """Group non-crossing loops into polygons whose interiors do not
+    intersect (S2ShapeUtil.BuildPolygonBoundaries).
+
+    ``components``: list of connected components, each a list of loop
+    vertex arrays; each component must subdivide the sphere (or be a
+    single degenerate loop).  Returns faces as lists of (component,
+    loop) index pairs: one face per indexed (origin-free) loop
+    carrying its child outer loops, plus one face of all depth-0
+    outer loops.
+
+    Driver-side: component sets are dim-scale geometry; the
+    containment scans are the brute-force S2ContainsPointQuery
+    equivalent over the indexed loops.
+    """
+    if not components:
+        return []
+    indexed: list[tuple[int, int]] = []   # (component, loop)
+    component_of_indexed: list[int] = []
+    outer: list[tuple[int, int]] = []     # one per component
+    from .edges import ORIGIN
+
+    for ci, comp in enumerate(components):
+        before = len(outer)
+        for li, verts in enumerate(comp):
+            if len(comp) > 1 and not _lax_contains(verts, ORIGIN):
+                indexed.append((ci, li))
+                component_of_indexed.append(ci)
+            else:
+                outer.append((ci, li))
+        if len(outer) != before + 1:
+            raise ValueError(f"component {ci} is not a subdivision")
+    # ancestors[i]: indexed loops containing the outer loop of comp i
+    ancestors: list[list[int]] = []
+    for ci, li in outer:
+        v0 = _clean_chain(components[ci][li])[0]
+        anc = [
+            k
+            for k, (cj, lj) in enumerate(indexed)
+            if _lax_contains(components[cj][lj], v0)
+        ]
+        ancestors.append(anc)
+    # each outer loop attaches to the ancestor whose component depth is
+    # one less; depth-0 outers form the final face
+    children: dict[int | None, list[tuple[int, int]]] = {}
+    for i, (ci, li) in enumerate(outer):
+        ancestor: int | None = None
+        depth = len(ancestors[i])
+        if depth > 0:
+            for k in ancestors[i]:
+                if len(ancestors[component_of_indexed[k]]) == depth - 1:
+                    ancestor = k
+        children.setdefault(ancestor, []).append((ci, li))
+    faces = []
+    for k, (ci, li) in enumerate(indexed):
+        faces.append(children.get(k, []) + [(ci, li)])
+    faces.append(children.get(None, []))
+    return faces
