@@ -481,17 +481,22 @@ def ivf_centroids(sf_dir: str, n_centroids: int = IVF_C) -> np.ndarray:
     return cents
 
 
-def _centroid_dot_rows(emb: DataFrame, cents: np.ndarray) -> DataFrame:
-    """(vec_id, c, cdot) — dot of each vector with each centroid, with
-    the chunked left-associative accumulation of _plane_dot so the
-    doubles match the oracle's SQL expression tree bit for bit."""
+def _ivf_probe_rows(
+    emb: DataFrame, cents: np.ndarray, n_probe: int
+) -> DataFrame:
+    """(vec_id, rk, c): each vector's centroids ranked 1..n_probe by
+    (dot DESC, index ASC).  The dots use the chunked left-associative
+    accumulation of _plane_dot so they match the oracle's SQL
+    expression tree bit for bit — which makes the numpy argsort emit
+    the exact ranks the oracle's row_number() window computes, without
+    a Spark window exchange."""
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, DoubleType
+    from pyspark.sql.types import ArrayType, IntegerType
 
     C = [c.copy() for c in cents]
 
-    @pandas_udf(ArrayType(DoubleType()))
-    def _dots(embedding: pd.Series) -> pd.Series:
+    @pandas_udf(ArrayType(IntegerType()))
+    def _probes(embedding: pd.Series) -> pd.Series:
         E = np.stack([np.asarray(v, dtype=np.float64) for v in embedding])
         outs = []
         for cv in C:
@@ -506,11 +511,14 @@ def _centroid_dot_rows(emb: DataFrame, cents: np.ndarray) -> DataFrame:
                 tot = tot + q
             outs.append(tot)
         M = np.stack(outs, axis=1)  # (N, C)
-        return pd.Series([M[r].tolist() for r in range(len(E))])
+        # stable argsort on -dot: ties resolve to the lower index,
+        # identical to ORDER BY cdot DESC, c
+        order = np.argsort(-M, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.tolist() for row in order])
 
     return emb.select(
-        "vec_id", F.posexplode(_dots(F.col("embedding"))).alias("c", "cdot")
-    )
+        "vec_id", F.posexplode(_probes(F.col("embedding"))).alias("rk0", "c")
+    ).select("vec_id", (F.col("rk0") + 1).alias("rk"), "c")
 
 
 def ann_ivf_topk(
@@ -536,13 +544,11 @@ def ann_ivf_topk(
     cents = centroids if centroids is not None else ivf_centroids(
         sf_dir, n_centroids
     )
-    dots = _centroid_dot_rows(emb, cents).localCheckpoint()
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.col("c"))
-    ranked = dots.withColumn("rk", F.row_number().over(w))
+    ranked = _ivf_probe_rows(emb, cents, n_probe).localCheckpoint()
     assign = ranked.where(F.col("rk") == 1).select(
         F.col("vec_id").alias("nid"), F.col("c").alias("list_id")
     )
-    probes = ranked.where(F.col("rk") <= n_probe).select(
+    probes = ranked.select(
         F.col("vec_id").alias("qid"), F.col("c").alias("list_id")
     )
     cand = probes.join(assign, on="list_id").where(
