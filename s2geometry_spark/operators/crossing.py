@@ -12,6 +12,12 @@ refine) keeps true crossings.
 The refine expression text is shared verbatim with the DuckDB oracle
 (crossing_pairs_sql), so both engines evaluate the identical IEEE
 expression tree.
+
+This join is also the distributed equivalent of
+S2ShapeUtil/VisitCrossingEdgePairs.cs (VisitCrossings over one or two
+shape indexes): where the reference walks index cells and tests the
+edge pairs sharing a cell, the covering-cell equi-join materializes
+exactly those same co-located pairs as candidates.
 """
 
 from __future__ import annotations
