@@ -16,6 +16,8 @@ cosine scores and orderings are bit-identical.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -439,13 +441,26 @@ FROM folded"""
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------
 
-IVF_C = 8           # coarse centroids (lists)
+IVF_C_MIN = 8       # floor on coarse centroids (lists)
+IVF_C_MAX = 256     # cap (list metadata stays broadcast-sized)
 IVF_PROBE = 2       # lists probed per query
-IVF_TRAIN_N = 512   # training-sample size (first rows by vec_id)
 IVF_ITERS = 10      # fixed Lloyd iterations (determinism)
 
 
-def ivf_centroids(sf_dir: str, n_centroids: int = IVF_C) -> np.ndarray:
+def ivf_num_centroids(sf_dir: str) -> int:
+    """List count ~ sqrt(N) (rounded to a power of two), clamped to
+    [IVF_C_MIN, IVF_C_MAX]: candidate work is O(n_probe * N^2 / C), so
+    a fixed C is quadratic at scale while C ~ sqrt(N) keeps the
+    probe-join linear-ish.  Derived from parquet metadata (row count
+    only — no data read), identically on the Spark and oracle sides."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    c = 2 ** int(round(math.log2(max(1.0, math.sqrt(n)))))
+    return min(IVF_C_MAX, max(IVF_C_MIN, c))
+
+
+def ivf_centroids(sf_dir: str, n_centroids: int = None) -> np.ndarray:
     """Deterministic spherical k-means on a bounded head sample of the
     embeddings table (first ``IVF_TRAIN_N`` rows by vec_id) — the
     offline train-on-sample step every IVF index uses at scale; the
@@ -458,13 +473,16 @@ def ivf_centroids(sf_dir: str, n_centroids: int = IVF_C) -> np.ndarray:
     """
     import pyarrow.parquet as pq
 
+    if n_centroids is None:
+        n_centroids = ivf_num_centroids(sf_dir)
+    train_n = max(512, 8 * n_centroids)
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     rows = []
     for batch in pf.iter_batches(columns=["vec_id", "embedding"]):
         rows.append(batch.to_pandas())
-        if sum(len(r) for r in rows) >= IVF_TRAIN_N:
+        if sum(len(r) for r in rows) >= train_n:
             break
-    pdf = pd.concat(rows).sort_values("vec_id").head(IVF_TRAIN_N)
+    pdf = pd.concat(rows).sort_values("vec_id").head(train_n)
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     cents = Xn[:n_centroids].copy()
@@ -525,7 +543,7 @@ def ann_ivf_topk(
     emb: DataFrame,
     k: int,
     sf_dir: str = None,
-    n_centroids: int = IVF_C,
+    n_centroids: int = None,
     n_probe: int = IVF_PROBE,
     centroids: np.ndarray = None,
 ) -> DataFrame:
@@ -589,11 +607,13 @@ def ann_ivf_topk_sql(
     k: int,
     sf_dir: str,
     table: str = "embeddings",
-    n_centroids: int = IVF_C,
+    n_centroids: int = None,
     n_probe: int = IVF_PROBE,
 ) -> str:
     """DuckDB oracle: identical centroid literals, dot expression tree,
     rank/probe rules and rerank ordering as ann_ivf_topk."""
+    if n_centroids is None:
+        n_centroids = ivf_num_centroids(sf_dir)
     cents = ivf_centroids(sf_dir, n_centroids)
     dot = _dot_terms_duck("a.embedding", "b.embedding")
     norm = _dot_terms_duck("embedding", "embedding")

@@ -133,12 +133,14 @@ class TestIvfAnn:
     when lists align with the cluster structure; deterministic
     training."""
 
+    N_LISTS = 8
+
     def _train(self, V):
         Xn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        cents = Xn[: SIM.IVF_C].copy()
+        cents = Xn[: self.N_LISTS].copy()
         for _ in range(SIM.IVF_ITERS):
             assign = np.argmax(Xn @ cents.T, axis=1)
-            for c in range(SIM.IVF_C):
+            for c in range(self.N_LISTS):
                 m = Xn[assign == c]
                 if len(m):
                     s = m.sum(axis=0)
@@ -149,9 +151,9 @@ class TestIvfAnn:
 
     def test_clustered_recall(self, spark):
         rng = np.random.default_rng(3)
-        centroids = rng.standard_normal((SIM.IVF_C, SIM.DIM))
+        centroids = rng.standard_normal((self.N_LISTS, SIM.DIM))
         V = np.repeat(centroids, 40, axis=0) + 0.12 * rng.standard_normal(
-            (SIM.IVF_C * 40, SIM.DIM)
+            (self.N_LISTS * 40, SIM.DIM)
         )
         df = _emb_df(spark, V)
         cents = self._train(V)
@@ -170,4 +172,10 @@ class TestIvfAnn:
         c1 = SIM.ivf_centroids("/root/testdata/sf0.001")
         c2 = SIM.ivf_centroids("/root/testdata/sf0.001")
         assert np.array_equal(c1, c2)
-        assert c1.shape == (SIM.IVF_C, SIM.DIM)
+        n = SIM.ivf_num_centroids("/root/testdata/sf0.001")
+        assert c1.shape == (n, SIM.DIM)
+
+    def test_list_count_scales_with_table(self):
+        small = SIM.ivf_num_centroids("/root/testdata/sf0.001")
+        large = SIM.ivf_num_centroids("/root/testdata/sf0.1")
+        assert SIM.IVF_C_MIN <= small <= large <= SIM.IVF_C_MAX
