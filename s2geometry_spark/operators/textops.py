@@ -270,6 +270,44 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
 NEAR_DUP_HOT_BUCKET = 64  # band-bucket size above which salting engages
 
 
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles): distinct k-char shingles per document."""
+    k = SHINGLE_K
+    sh_expr = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length(text) - {k - 1}, 1)), "
+        f"i -> substring(text, i, {k})))"
+    )
+    return docs.select("doc_id", F.expr(sh_expr).alias("shingles"))
+
+
+def doc_band_rows(docs: DataFrame) -> DataFrame:
+    """Slim (doc_id, b, bk) LSH band rows: shingles -> minhash
+    signature -> banded md5 keys, stacked one row per band.  Works on
+    batch AND streaming DataFrames (pure projections + the Arrow
+    signature pUDF), so the stream-static dedup join shares this exact
+    plan fragment with near_dup_pairs."""
+    shingled = _shingle_words(doc_shingles(docs))
+    sigs = shingled.select(
+        "doc_id",
+        _minhash_sig_udf()(F.col("w1"), F.col("w2")).alias("sig"),
+    )
+    band_cols = []
+    for b in range(LSH_BANDS):
+        parts = [
+            F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)
+        ]
+        band_cols.append(
+            F.md5(F.concat_ws("|", *parts)).alias(f"band{b}")
+        )
+    banded = sigs.select("doc_id", *band_cols)
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(LSH_BANDS))
+    return banded.select(
+        "doc_id",
+        F.expr(f"stack({LSH_BANDS}, {stack_args}) AS (b, bk)"),
+    )
+
+
 def near_dup_pairs(
     docs: DataFrame,
     with_mutants: bool = True,
