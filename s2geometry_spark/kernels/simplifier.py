@@ -193,3 +193,71 @@ def simplify_polyline(verts, tolerance_rad: float) -> list[int]:
     if out[-1] != len(V) - 1:
         out.append(len(V) - 1)
     return out
+
+
+def simplify_polyline_avoiding(
+    verts, tolerance_rad: float, avoid_points
+) -> list[int]:
+    """Topology-preserving simplification: like simplify_polyline, but
+    every output edge must also pass each nearby avoid-point on the
+    SAME side the original polyline does — the S2Builder
+    simplify_edge_chains discipline, using the disc_on_left recipe
+    documented at S2PolylineSimplifier.cs AvoidDisc:163-175: a point X
+    relevant to extending the chain A..C by D (i.e. with
+    |AC| < |AX| < |AD|) is to the left of the polyline iff
+    OrderedCCW(A, D, X, C).
+
+    REQUIRES every avoid point to be farther than ``tolerance_rad``
+    from the original polyline (as in the builder, where sites are
+    separated from non-incident edges by min_edge_vertex_separation).
+    """
+    import numpy as np
+
+    from .edges import compare_distances, ordered_ccw
+
+    V = [tuple(float(x) for x in v) for v in np.asarray(verts, float)]
+    X = [tuple(float(x) for x in p) for p in np.asarray(
+        avoid_points, float
+    ).reshape(-1, 3)]
+    if len(V) <= 1:
+        return list(range(len(V)))
+    r2 = chord2_from_radians(tolerance_rad)
+
+    def add_avoids(s, src, c_vert, d_vert):
+        """Constrain the next Extend(d_vert) by the avoid points that
+        become relevant along edge (c_vert, d_vert)."""
+        ok = True
+        for x in X:
+            if compare_distances(x, src, c_vert) <= 0:
+                continue  # |AX| <= |AC|: already considered
+            if compare_distances(x, src, d_vert) >= 0:
+                continue  # |AX| >= |AD|: not relevant yet
+            on_left = ordered_ccw(src, d_vert, x, c_vert)
+            ok = s.avoid_disc(x, r2, on_left) and ok
+        return ok
+
+    out = [0]
+    s = PolylineSimplifier(V[0])
+    src = V[0]
+    i = 1
+    while i < len(V):
+        add_avoids(s, src, V[i - 1], V[i])
+        if not s.extend(V[i]):
+            out.append(i - 1)
+            src = V[i - 1]
+            s = PolylineSimplifier(src)
+            add_avoids(s, src, src, V[i])
+            if not s.extend(V[i]):
+                # the single original edge violates a constraint only
+                # when an avoid point is within tolerance of it, which
+                # the precondition excludes; keep the vertex and move on
+                out.append(i)
+                src = V[i]
+                s = PolylineSimplifier(src)
+                i += 1
+                continue
+        s.target_disc(V[i], r2)
+        i += 1
+    if out[-1] != len(V) - 1:
+        out.append(len(V) - 1)
+    return out

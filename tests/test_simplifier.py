@@ -202,3 +202,94 @@ class TestSimplifyPolyline:
         for a, b in zip(idx, idx[1:]):
             for m in range(a + 1, b):
                 assert is_edge_b_near_edge_a(V[a], V[b], V[m], V[m], tol)
+
+
+class TestSimplifyAvoiding:
+    """simplify_polyline_avoiding: the S2Builder simplify_edge_chains
+    discipline — output edges pass every obstacle on the same side as
+    the original polyline (no obstacle is enclosed between the
+    original path and the simplified path)."""
+
+    def _enclosed(self, verts, idx, x):
+        """True if x is enclosed by original-path + reversed
+        simplified-path (winding != 0 around x)."""
+        from s2geometry_spark.kernels.winding import winding_number
+
+        V = [tuple(float(v) for v in p) for p in verts]
+        simp = [V[i] for i in idx]
+        ring = V + simp[::-1][1:-1]  # closed: fwd original, back simp
+        if len(ring) < 3:
+            return False
+        from s2geometry_spark.kernels.edges import ORIGIN
+        return winding_number(
+            [np.asarray(ring)], tuple(x), ref_point=ORIGIN, ref_winding=0
+        ) != 0
+
+    def test_obstacle_blocks_shortcut(self):
+        from s2geometry_spark.kernels.simplifier import (
+            simplify_polyline,
+            simplify_polyline_avoiding,
+        )
+
+        # a detour around an obstacle sitting inside the shortcut
+        verts = TF.parse_points("0:0, 0.35:1, 0:2")
+        tol = math.radians(1.0)  # large enough to cut the corner
+        obstacle = TF.parse_points("0.15:1")[0]
+        plain = simplify_polyline(verts, tol)
+        assert plain == [0, 2]  # without topology: straight shortcut
+        assert self._enclosed(verts, plain, obstacle)  # and it's wrong
+        kept = simplify_polyline_avoiding(verts, tol, [obstacle])
+        assert not self._enclosed(verts, kept, obstacle)
+
+    def test_far_obstacles_do_not_block(self):
+        from s2geometry_spark.kernels.simplifier import (
+            simplify_polyline_avoiding,
+        )
+
+        verts = TF.parse_points(
+            "0:0, 0.01:0.5, -0.01:1.0, 0.01:1.5, 0:2"
+        )
+        tol = math.radians(0.1)
+        far = TF.parse_points("5:1, -5:1")
+        idx = simplify_polyline_avoiding(verts, tol, far)
+        assert idx == [0, 4]  # wiggles collapse; far points irrelevant
+
+    def test_random_walks_never_enclose_obstacles(self):
+        from s2geometry_spark.kernels.simplifier import (
+            simplify_polyline_avoiding,
+        )
+        from s2geometry_spark.kernels.polyline import edge_distance
+
+        rng = np.random.default_rng(17)
+        tol = math.radians(0.08)
+        for trial in range(20):
+            lats = np.cumsum(rng.uniform(-0.05, 0.05, 30))
+            lngs = np.arange(30) * 0.1
+            txt = ", ".join(
+                f"{a:.6f}:{b:.6f}" for a, b in zip(lats, lngs)
+            )
+            verts = TF.parse_points(txt)
+            # obstacles sprinkled near (but > tol from) the polyline
+            obs = []
+            V = [tuple(float(x) for x in v) for v in verts]
+            for _ in range(10):
+                j = int(rng.integers(0, 29))
+                side = 1 if rng.integers(0, 2) else -1
+                la = (lats[j] + lats[j + 1]) / 2 + side * rng.uniform(
+                    0.1, 0.3
+                )
+                ln = (lngs[j] + lngs[j + 1]) / 2
+                p = TF.parse_points(f"{la:.6f}:{ln:.6f}")[0]
+                pt = tuple(float(x) for x in p)
+                d = min(
+                    edge_distance(pt, V[k], V[k + 1])
+                    for k in range(len(V) - 1)
+                )
+                if d > tol * 1.2:
+                    obs.append(pt)
+            idx = simplify_polyline_avoiding(verts, tol, obs)
+            assert idx[0] == 0 and idx[-1] == 29
+            for x in obs:
+                assert not self._enclosed(verts, idx, x), (
+                    f"trial {trial}: obstacle enclosed"
+                )
