@@ -248,6 +248,24 @@ def q_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MO.dtw_align_pairs(spark.createDataFrame(pdf))
 
 
+def q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology-preserving per-line simplification (simplify_edge_chains
+    discipline; oracle = driver-precomputed literal table)."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.simplify_vertices(),
+        columns=["line_id", "which", "vtx_idx", "x", "y", "z"],
+    )
+    return MO.simplify_lines(
+        spark.createDataFrame(pdf), LO.SIMPLIFY_TOL
+    )
+
+
 def q_polyline_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polyline Intersects / NearlyCovers / SubsampleVertices relations
     per deterministic line pair (grouped Arrow kernel; oracle =
@@ -693,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_crossing_edges": q_crossing_edges,
         "s2_convex_hull_tile": q_convex_hull_tile,
         "s2_dtw_alignment": q_dtw_alignment,
+        "s2_polyline_simplify": q_polyline_simplify,
         "s2_near_loop_join": q_near_loop_join,
         "s2_range_join": q_range_join,
         "s2_cell_index_labels": q_cell_index_labels,
@@ -918,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_polyline_relations": LO.polyline_relations_sql(),
         "s2_region_boolean": LO.region_boolean_sql(),
         "s2_dtw_alignment": LO.dtw_alignment_sql(),
+        "s2_polyline_simplify": LO.polyline_simplify_sql(),
         "s2_convex_hull_tile": LO.convex_hull_sql(LO.oracle_sf_dir()),
         "s2_image_tile_counts": LO.image_tile_counts_sql(
             N_IMAGES, IMAGE_TILE_LEVEL

@@ -864,3 +864,80 @@ def video_frame_stats_sql() -> str:
             ("frame_fnv", "BIGINT"),
         ],
     )
+
+
+def simplify_vertices() -> list[tuple]:
+    """(line_id, which, vtx_idx, x, y, z) rows for the
+    polyline-simplify query: which=0 is a 10-vertex wiggly chain whose
+    amplitude varies per line (some collapse at the fixed tolerance,
+    some keep every bend), which=1 is a set of 3 obstacle points
+    placed off the chain (topology constraints)."""
+    import math
+
+    import numpy as np
+
+    from ..kernels import edges as E
+    from ..sources.regions_src import cap_params
+
+    tol = SIMPLIFY_TOL
+    rows = []
+    for key in range(25):
+        cx, cy, cz, _ = cap_params(key)
+        c = np.array((cx, cy, cz))
+        u = np.asarray(E.ortho(tuple(c)))
+        v = np.asarray(E.cross(tuple(c), tuple(u)))
+        step = 0.02 + (key % 3) * 0.005
+        amp = 0.002 + (key % 5) * 0.004
+        for k in range(10):
+            a_k = amp * (0.3 + 0.6 * (k % 3))
+            d = c + u * ((k - 4.5) * step) + v * (a_k * (-1.0) ** k)
+            d = d / np.linalg.norm(d)
+            rows.append(
+                (key, 0, k, float(d[0]), float(d[1]), float(d[2]))
+            )
+        off = tol + amp + 0.005
+        for j in range(3):
+            side = 1.0 if (key + j) % 2 == 0 else -1.0
+            d = c + u * ((j - 1) * 2.0 * step) + v * (side * off)
+            d = d / np.linalg.norm(d)
+            rows.append(
+                (key, 1, j, float(d[0]), float(d[1]), float(d[2]))
+            )
+    return rows
+
+
+SIMPLIFY_TOL = 0.01  # radians
+
+
+def polyline_simplify_sql() -> str:
+    """Driver-precomputed mirror of operators.measures_op
+    .simplify_lines over simplify_vertices()."""
+    from ..kernels.simplifier import simplify_polyline_avoiding
+
+    pdf = pd.DataFrame(
+        simplify_vertices(),
+        columns=["line_id", "which", "vtx_idx", "x", "y", "z"],
+    )
+    out = []
+    for lid, grp in pdf.groupby("line_id"):
+        grp = grp.sort_values(["which", "vtx_idx"])
+        verts = grp[grp["which"] == 0][["x", "y", "z"]].to_numpy()
+        obs = grp[grp["which"] == 1][["x", "y", "z"]].to_numpy()
+        idx = simplify_polyline_avoiding(verts, SIMPLIFY_TOL, obs)
+        out.append(
+            (
+                int(lid),
+                len(verts),
+                len(idx),
+                ",".join(str(i) for i in idx),
+            )
+        )
+    return values_sql(
+        out,
+        [
+            ("line_id", "BIGINT"),
+            ("n_in", "INT"),
+            ("n_kept", "INT"),
+            ("kept_csv", "VARCHAR"),
+        ],
+    )

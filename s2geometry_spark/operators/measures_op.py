@@ -432,3 +432,42 @@ def shape_nesting_groups(vertex_df: DataFrame) -> DataFrame:
     return vertex_df.groupBy("shape_id").applyInPandas(
         compute, schema=NESTING_SCHEMA
     )
+
+
+SIMPLIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("line_id", T.LongType(), False),
+        T.StructField("n_in", T.IntegerType(), False),
+        T.StructField("n_kept", T.IntegerType(), False),
+        T.StructField("kept_csv", T.StringType(), False),
+    ]
+)
+
+
+def simplify_lines(vertex_df: DataFrame, tolerance_rad: float) -> DataFrame:
+    """Topology-preserving polyline simplification per line_id
+    (columns: line_id, which in {0=chain, 1=obstacles}, vtx_idx,
+    x, y, z) — the S2Builder simplify_edge_chains discipline
+    (kernels/simplifier.simplify_polyline_avoiding) in a grouped Arrow
+    kernel; the distributed axis is the number of polylines."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels.simplifier import simplify_polyline_avoiding
+
+        (lid,) = key
+        pdf = pdf.sort_values(["which", "vtx_idx"])
+        verts = pdf[pdf["which"] == 0][["x", "y", "z"]].to_numpy()
+        obs = pdf[pdf["which"] == 1][["x", "y", "z"]].to_numpy()
+        idx = simplify_polyline_avoiding(verts, tolerance_rad, obs)
+        return pd.DataFrame(
+            [{
+                "line_id": int(lid),
+                "n_in": len(verts),
+                "n_kept": len(idx),
+                "kept_csv": ",".join(str(i) for i in idx),
+            }]
+        )
+
+    return vertex_df.groupBy("line_id").applyInPandas(
+        compute, schema=SIMPLIFY_SCHEMA
+    )
