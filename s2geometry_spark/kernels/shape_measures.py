@@ -107,3 +107,45 @@ def shape_centroid(shape: MultiShape) -> tuple:
         cy += c[1]
         cz += c[2]
     return (cx, cy, cz)
+
+
+# ---------------------------------------------------------------------
+# Collection-level measures (S2ShapeIndexMeasures.cs:15-143): sums of
+# per-shape measures; centroid sums over maximum-dimension shapes only.
+# ---------------------------------------------------------------------
+
+def collection_dimension(shapes: list[MultiShape]) -> int:
+    return max((s.dimension for s in shapes), default=-1)
+
+
+def collection_num_points(shapes: list[MultiShape]) -> int:
+    return sum(len(s.chains) for s in shapes if s.dimension == 0)
+
+
+def collection_length(shapes: list[MultiShape]) -> float:
+    return sum(shape_length(s) for s in shapes)
+
+
+def collection_perimeter(shapes: list[MultiShape]) -> float:
+    return sum(shape_perimeter(s) for s in shapes)
+
+
+def collection_area(shapes: list[MultiShape]) -> float:
+    """May exceed 4pi when polygons overlap (reference note)."""
+    return sum(shape_area(s) for s in shapes)
+
+
+def collection_approx_area(shapes: list[MultiShape]) -> float:
+    return sum(shape_approx_area(s) for s in shapes)
+
+
+def collection_centroid(shapes: list[MultiShape]) -> tuple:
+    dim = collection_dimension(shapes)
+    cx = cy = cz = 0.0
+    for s in shapes:
+        if s.dimension == dim:
+            c = shape_centroid(s)
+            cx += c[0]
+            cy += c[1]
+            cz += c[2]
+    return (cx, cy, cz)

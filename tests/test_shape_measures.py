@@ -114,3 +114,56 @@ class TestShapeMeasures:
         assert got == pytest.approx(
             (math.pi / 4, math.pi / 4, math.pi / 4), abs=1e-14
         )
+
+
+class TestCollectionMeasures:
+    """S2ShapeIndexMeasures parity: collection sums, max-dimension
+    centroid dispatch."""
+
+    def _shapes(self):
+        return [
+            MultiShape(0, [pts("0:0"), pts("0:90")]),
+            MultiShape(1, [pts("0:0, 0:90")]),
+            lax_polygon("0:0, 0:90, 90:0"),
+        ]
+
+    def test_dimension_and_counts(self):
+        from s2geometry_spark.kernels.shape_measures import (
+            collection_dimension,
+            collection_num_points,
+        )
+
+        assert collection_dimension([]) == -1
+        shapes = self._shapes()
+        assert collection_dimension(shapes) == 2
+        assert collection_num_points(shapes) == 2
+
+    def test_sums(self):
+        from s2geometry_spark.kernels.shape_measures import (
+            collection_area,
+            collection_length,
+            collection_perimeter,
+        )
+
+        shapes = self._shapes()
+        assert collection_length(shapes) == pytest.approx(
+            math.pi / 2, abs=1e-14
+        )
+        assert collection_perimeter(shapes) == pytest.approx(
+            3 * math.pi / 2, abs=1e-13
+        )
+        assert collection_area(shapes) == pytest.approx(
+            math.pi / 2, abs=1e-13
+        )
+
+    def test_centroid_max_dimension_only(self):
+        from s2geometry_spark.kernels.shape_measures import (
+            collection_centroid,
+        )
+
+        shapes = self._shapes()
+        # only the polygon (dim 2) contributes
+        assert collection_centroid(shapes) == pytest.approx(
+            (math.pi / 4, math.pi / 4, math.pi / 4), abs=1e-14
+        )
+        assert collection_centroid([]) == (0.0, 0.0, 0.0)
