@@ -45,9 +45,18 @@ def _stop_list_sql() -> str:
 # Token stats + quality
 # ---------------------------------------------------------------------
 
+# BPE-ish pre-tokenizer classes (letter runs, digit runs, single
+# punctuation marks) — the dialect-portable core of the GPT-2 pattern,
+# identical under Java regex (Spark) and RE2 (DuckDB)
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_distinct, distinct_ratio, n_stop,
-    stop_ratio, avg_token_len) — single-pass JVM expressions."""
+    """(doc_id, n_tokens, n_bpe_tokens, n_distinct, distinct_ratio,
+    n_stop, stop_ratio, avg_token_len) — single-pass JVM expressions;
+    n_bpe_tokens counts BPE-ish pre-tokenizer matches (letter/digit
+    runs + punctuation), the whitespace-free token estimate an LLM
+    data pipeline budgets by."""
     toks = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_tokens = F.size(toks)
@@ -59,6 +68,9 @@ def token_stats(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
+        F.expr(
+            f"regexp_count(text, '{BPE_TOKEN_RE}')"
+        ).cast("long").alias("n_bpe_tokens"),
         n_distinct.cast("long").alias("n_distinct"),
         (n_distinct.cast("double") / n_tokens.cast("double")).alias("distinct_ratio"),
         n_stop.cast("long").alias("n_stop"),
@@ -72,12 +84,13 @@ def token_stats_sql(table: str = "documents") -> str:
     return f"""
 SELECT doc_id,
   CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
   CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
   CAST(len(list_filter(toks, t -> t IN ({stops}))) AS BIGINT) AS n_stop,
   CAST(len(list_filter(toks, t -> t IN ({stops}))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
   CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len
-FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {table})"""
+FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM {table})"""
 
 
 # ---------------------------------------------------------------------
