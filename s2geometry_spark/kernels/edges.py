@@ -176,6 +176,35 @@ def vertex_crossing(a, b, c, d) -> bool:
     raise ValueError("VertexCrossing called with 4 distinct vertices")
 
 
+def signed_vertex_crossing(a, b, c, d) -> int:
+    """Signed shared-vertex crossing (S2EdgeCrossings.cs:182-203): +1
+    when both edges are outgoing or both incoming at the common
+    vertex, -1 otherwise, 0 when not crossing."""
+    if a == b or c == d:
+        return 0
+    if a == c:
+        return 1 if ((b == d) or ordered_ccw(ref_dir(a), d, b, a)) else 0
+    if b == d:
+        return 1 if ordered_ccw(ref_dir(b), c, a, b) else 0
+    if a == d:
+        return -1 if ((b == c) or ordered_ccw(ref_dir(a), c, b, a)) else 0
+    if b == c:
+        return -1 if ordered_ccw(ref_dir(b), d, a, b) else 0
+    raise ValueError("SignedVertexCrossing called with 4 distinct vertices")
+
+
+def signed_edge_or_vertex_crossing(a, b, c, d) -> int:
+    """Signed crossing count of AB vs CD (S2EdgeCrosser.cs:315-323):
+    +1 when CD crosses AB right-to-left, -1 left-to-right, 0 none —
+    summing these along a chain gives winding-number deltas."""
+    s = crossing_sign(a, b, c, d)
+    if s < 0:
+        return 0
+    if s > 0:
+        return sign(a, b, c)  # LastInteriorCrossingSign
+    return signed_vertex_crossing(a, b, c, d)
+
+
 def crossing_sign(a, b, c, d) -> int:
     """+1 interior crossing / 0 shared vertex / -1 none
     (S2EdgeCrosser.cs:262-296 + CrossingSignInternal2 :343-396, robust)."""

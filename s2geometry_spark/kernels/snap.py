@@ -1065,3 +1065,184 @@ def _rings_cyclic_equal(a: np.ndarray, b: np.ndarray) -> bool:
         return False
     n = len(av)
     return all(av[i] == bv[(i + off) % n] for i in range(n))
+
+
+# ---------------------------------------------------------------------
+# GetSnappedWindingDelta (S2BuilderUtil/GetSnappedWindingDelta.cs)
+# ---------------------------------------------------------------------
+
+class _EdgeSnap:
+    __slots__ = ("v0", "v1", "v_in", "v_out")
+
+    def __init__(self, v0, v1):
+        self.v0 = v0      # input edge endpoints (points)
+        self.v1 = v1
+        self.v_in = -1    # site id of incoming snapped edge, or -1
+        self.v_out = -1   # site id of outgoing snapped edge, or -1
+
+
+def find_first_site(builder: Builder, input_edge_id: int) -> int:
+    """Site the source vertex of the given input edge snapped to
+    (FindFirstVertexId, GetSnappedWindingDelta.cs:510-546) — trivial
+    here because the builder keeps per-edge snapped chains."""
+    return builder._chains[input_edge_id][0]
+
+
+def _edge_winding_delta(a, b, chain) -> int:
+    """Signed crossings of AB vs the chain (GetEdgeWindingDelta)."""
+    total = 0
+    for c, d in zip(chain, chain[1:]):
+        total += E.signed_edge_or_vertex_crossing(a, b, c, d)
+    return total
+
+
+def _connector(b0, b1, b1_snapped):
+    """Connecting vertex Bc for an edge whose snapped chain bends more
+    than 90 degrees (GetSnappedWindingDelta.cs:493-508)."""
+    if E.dot(b1_snapped, b1) >= 0:
+        return b1
+    x = _norm(E.cross(robust_cross_prod(b0, b1), b1_snapped))
+    mid = _norm((b0[0] + b1[0], b0[1] + b1[1], b0[2] + b1[2]))
+    if E.dot(x, mid) >= 0:
+        return tuple(x)
+    return (-x[0], -x[1], -x[2])
+
+
+def get_snapped_winding_delta(
+    builder: Builder,
+    ref_in,
+    ref_v: int,
+    input_edge_filter=None,
+) -> int:
+    """Change in winding number of the reference vertex due to snap
+    rounding (GetSnappedWindingDelta.cs:152-386).
+
+    ``ref_in`` is the reference vertex before snapping (must be an
+    input vertex); ``ref_v`` the site id it snapped to.  Input edges
+    (after ``input_edge_filter(edge_id)`` drops ignored ones) must
+    form closed loops.  Adding the result to the winding number of
+    ``ref_in`` w.r.t. the input loops gives the winding number of
+    site ``ref_v`` w.r.t. the snapped edges — the bridge that lets
+    S2WindingOperation semantics survive snap rounding.
+    """
+    assert builder._built
+    ref_in = tuple(map(float, ref_in))
+    ref_out = tuple(map(float, builder.sites[ref_v]))
+
+    # Group incident snapped edges by input edge, recording the
+    # neighbor sites before/after ref_v in each edge's snapped chain
+    # (the v_in/v_out of the reference's EdgeSnap).
+    snaps: list[_EdgeSnap] = []
+    for e, chain in enumerate(builder._chains):
+        if input_edge_filter is not None and input_edge_filter(e):
+            continue
+        if ref_v not in chain:
+            continue
+        k = chain.index(ref_v)
+        va, vb = builder.input_edges[e]
+        snap = _EdgeSnap(
+            builder.input_vertices[va], builder.input_vertices[vb]
+        )
+        if k > 0:
+            snap.v_in = chain[k - 1]
+        if k + 1 < len(chain):
+            snap.v_out = chain[k + 1]
+        snaps.append(snap)
+
+    # multimap: input source vertex -> pending edge snaps
+    by_v0: dict[tuple, list[_EdgeSnap]] = {}
+    for snap in snaps:
+        by_v0.setdefault(snap.v0, []).append(snap)
+
+    def take(v0) -> _EdgeSnap | None:
+        lst = by_v0.get(v0)
+        if not lst:
+            return None
+        snap = lst.pop(0)
+        if not lst:
+            del by_v0[v0]
+        return snap
+
+    winding_delta = 0
+    while by_v0:
+        # ---- BuildChain (GetSnappedWindingDelta.cs:408-470) ----
+        chain_in: list[tuple] = []
+        chain_out: list[tuple] = []
+        start = None
+        for lst in by_v0.values():
+            for snap in lst:
+                if snap.v_in >= 0:
+                    start = snap
+                    break
+            if start is not None:
+                break
+        if start is None:
+            start = next(iter(by_v0.values()))[0]
+        else:
+            chain_out.append(tuple(builder.sites[start.v_in]))
+        by_v0[start.v0].remove(start)
+        if not by_v0[start.v0]:
+            del by_v0[start.v0]
+        chain_in.append(start.v0)
+        chain_in.append(start.v1)
+        chain_out.append(ref_out)
+        done = False
+        if start.v_out >= 0:
+            chain_out.append(tuple(builder.sites[start.v_out]))
+            done = True
+        while not done and chain_in[-1] != chain_in[0]:
+            snap = take(chain_in[-1])
+            if snap is None:
+                raise ValueError(
+                    "input edges (after filtering) do not form loops"
+                )
+            chain_in.append(snap.v1)
+            if snap.v_out >= 0:
+                chain_out.append(tuple(builder.sites[snap.v_out]))
+                break
+
+        if len(chain_out) == 1:
+            # Closed chain entirely inside the Voronoi region of R':
+            # winding of R' relative to a point Z 90 degrees away is 0;
+            # subtract the winding of R (:257-275).
+            assert chain_in[0] == chain_in[-1]
+            z = tuple(E.ortho(ref_out))
+            winding_delta += 0 - _edge_winding_delta(z, ref_in, chain_in)
+        else:
+            # Open chain (A0, ..., B1) snapping to (A0', R', B1')
+            # (:277-384): reference points Za/Zb are the edge normals
+            # pointed away from R'.
+            assert len(chain_out) == 3
+            assert chain_out[1] == ref_out
+            za = _norm(robust_cross_prod(chain_in[0], chain_in[1]))
+            zb = _norm(robust_cross_prod(chain_in[-2], chain_in[-1]))
+            za = tuple(za)
+            zb = tuple(zb)
+            if E.dot(za, ref_out) > 0:
+                za = (-za[0], -za[1], -za[2])
+            if E.dot(zb, ref_out) > 0:
+                zb = (-zb[0], -zb[1], -zb[2])
+            a0_connector = _connector(
+                chain_in[1], chain_in[0], chain_out[0]
+            )
+            b1_connector = _connector(
+                chain_in[-2], chain_in[-1], chain_out[2]
+            )
+            # winding change of Zb due to A0A1 snapping to A0'R'
+            chain_z = [
+                chain_out[0], chain_out[1], chain_in[1], chain_in[0],
+                a0_connector, chain_out[0],
+            ]
+            winding_delta += _edge_winding_delta(za, zb, chain_z)
+            # winding change of ZbR due to C snapping to C'
+            chain_diff = list(chain_out)
+            chain_diff.append(b1_connector)
+            chain_diff.extend(reversed(chain_in))
+            chain_diff.append(a0_connector)
+            chain_diff.append(chain_out[0])
+            winding_delta += _edge_winding_delta(zb, ref_in, chain_diff)
+            # winding change of RR' w.r.t. C' only
+            winding_delta += _edge_winding_delta(
+                ref_in, ref_out, chain_out
+            )
+    return winding_delta
