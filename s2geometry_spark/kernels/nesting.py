@@ -263,3 +263,134 @@ def build_polygon_boundaries(components):
         faces.append(children.get(k, []) + [(ci, li)])
     faces.append(children.get(None, []))
     return faces
+
+
+# ---------------------------------------------------------------------
+# FindPolygonDegeneracies (S2BuilderUtil/PolygonDegeneracies.cs:49-453)
+# ---------------------------------------------------------------------
+
+def find_polygon_degeneracies(
+    vertices, edges, is_full_polygon: bool = False
+):
+    """Classify each degenerate edge (v -> v) and sibling-pair edge of
+    a directed polygon graph as a shell (False) or hole (True).
+
+    ``vertices``: list of points; ``edges``: directed (v0, v1) vertex
+    id pairs whose non-degenerate part forms valid polygon boundaries
+    (interior on the left).  ``is_full_polygon`` resolves the
+    fully-degenerate case (the reference's IsFullPolygon predicate).
+    Returns [(edge_index, is_hole)] sorted by edge index.
+
+    Port of DegeneracyFinder: flood-fill connected components from
+    each unvisited degeneracy, tracking boundary-crossing parity of
+    every traversed edge (CrossingParity over the incident-edge wedge)
+    so each degeneracy's side is known relative to the component root;
+    root containment comes from S2ContainsVertexQuery at an unbalanced
+    vertex, or signed crossings from a vertex of known containment.
+    """
+    from .wedge import ContainsVertexQuery
+
+    V = [tuple(map(float, v)) for v in vertices]
+    n_e = len(edges)
+    edge_set = set(edges)
+    is_degen = [False] * n_e
+    unbalanced = [False] * len(V)
+    num_degen = 0
+    for e, (a, b) in enumerate(edges):
+        if a == b or (b, a) in edge_set:
+            is_degen[e] = True
+            num_degen += 1
+        else:
+            unbalanced[a] = True
+    if num_degen == 0:
+        return []
+    if num_degen == n_e:
+        return [(e, bool(is_full_polygon)) for e in range(n_e)]
+
+    out_edges: dict[int, list[tuple[int, int]]] = {}
+    in_edges: dict[int, list[tuple[int, int]]] = {}
+    for e, (a, b) in enumerate(edges):
+        out_edges.setdefault(a, []).append((e, b))
+        in_edges.setdefault(b, []).append((e, a))
+
+    def contains_vertex_sign(v0: int) -> int:
+        q = ContainsVertexQuery(V[v0])
+        for _, b in out_edges.get(v0, []):
+            q.add_edge(V[b], 1)
+        for _, a in in_edges.get(v0, []):
+            q.add_edge(V[a], -1)
+        return q.contains_sign()
+
+    def crossing_parity(v0: int, v1: int, include_same: bool) -> bool:
+        crossings = 0
+        p0, p1 = V[v0], V[v1]
+        p0_ref = E.ref_dir(p0)
+        for _, b in out_edges.get(v0, []):
+            if b == v1:
+                if include_same:
+                    crossings += 1
+            elif E.ordered_ccw(p0_ref, V[b], p1, p0):
+                crossings += 1
+        for _, a in in_edges.get(v0, []):
+            if a == v1:
+                if include_same:
+                    crossings += 1
+            elif E.ordered_ccw(p0_ref, V[a], p1, p0):
+                crossings += 1
+        return (crossings & 1) != 0
+
+    used = [False] * len(V)
+    components = []  # (root, root_sign, [(edge, is_hole_rel_root)])
+    known_vertex, known_sign = -1, 0
+    for e in range(n_e):
+        if not is_degen[e]:
+            continue
+        root = edges[e][0]
+        if used[root]:
+            continue
+        frontier = [(root, True)]
+        used[root] = True
+        root_sign = 0
+        degens: list[tuple[int, bool]] = []
+        while frontier:
+            v0, v0_same = frontier.pop()
+            if root_sign == 0 and unbalanced[v0]:
+                s = contains_vertex_sign(v0)
+                assert s != 0
+                root_sign = s if v0_same else -s
+            for ee, v1 in out_edges.get(v0, []):
+                same = v0_same ^ crossing_parity(v0, v1, False)
+                if is_degen[ee]:
+                    degens.append((ee, same))
+                if used[v1]:
+                    continue
+                same ^= crossing_parity(v1, v0, True)
+                frontier.append((v1, same))
+                used[v1] = True
+        if root_sign != 0:
+            known_vertex, known_sign = root, root_sign
+        components.append([root, root_sign, degens])
+
+    if any(c[1] == 0 for c in components):
+        if known_sign == 0:
+            known_vertex = next(
+                v for v in range(len(V)) if unbalanced[v]
+            )
+            known_sign = contains_vertex_sign(known_vertex)
+        for c in components:
+            if c[1] != 0:
+                continue
+            inside = known_sign > 0
+            kp, rp = V[known_vertex], V[c[0]]
+            for e, (a, b) in enumerate(edges):
+                if is_degen[e]:
+                    continue
+                inside ^= E.edge_or_vertex_crossing(kp, rp, V[a], V[b])
+            c[1] = 1 if inside else -1
+
+    result = []
+    for root, root_sign, degens in components:
+        assert root_sign != 0
+        invert = root_sign < 0
+        result.extend((e, h ^ invert) for e, h in degens)
+    return sorted(result)
