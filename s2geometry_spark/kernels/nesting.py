@@ -394,3 +394,84 @@ def find_polygon_degeneracies(
         invert = root_sign < 0
         result.extend((e, h ^ invert) for e, h in degens)
     return sorted(result)
+
+
+def normalize_closed_set(
+    vertices,
+    points,
+    line_edges,
+    poly_edges,
+    suppress_lower_dimensions: bool = True,
+    is_full_polygon: bool = False,
+    merge_duplicates: bool = False,
+):
+    """ClosedSetNormalizer (S2BuilderUtil/ClosedSetNormalizer.cs):
+    convert polygon/polyline degeneracies to lower-dimensional objects
+    under the closed model.
+
+    - polygon sibling pairs: holes discarded, shells demoted to
+      polyline edges (keeping coincident polyline copies);
+    - degenerate polygon edges: holes discarded, shells demoted to
+      points (unless the vertex also belongs to a real edge);
+    - degenerate polyline edges: demoted to points (same caveat);
+    - with ``suppress_lower_dimensions``: polyline edges coinciding
+      with polygon edges (either direction) are discarded, and points
+      coinciding with any polyline/polygon vertex are discarded.
+
+    Inputs: ``points`` = vertex ids, ``line_edges`` / ``poly_edges`` =
+    directed (v0, v1) id pairs over shared ``vertices`` (duplicates
+    preserved; ``merge_duplicates`` dedups each output, the
+    DuplicateEdges.MERGE analogue).  Returns (points, line_edges,
+    poly_edges).
+    """
+    degens = dict(
+        find_polygon_degeneracies(vertices, poly_edges, is_full_polygon)
+    )
+    suppressed: set[int] = set()
+    if suppress_lower_dimensions:
+        for a, b in list(line_edges) + list(poly_edges):
+            if a != b:
+                suppressed.add(a)
+                suppressed.add(b)
+
+    out_points: list[int] = []
+    out_lines: list[tuple[int, int]] = []
+    out_polys: list[tuple[int, int]] = []
+
+    normal_poly: set[tuple[int, int]] = set()
+    shell_sibling: set[tuple[int, int]] = set()
+    poly_reverse: set[tuple[int, int]] = {(b, a) for a, b in poly_edges}
+    for e2, (a, b) in enumerate(poly_edges):
+        if e2 not in degens:
+            out_polys.append((a, b))
+            normal_poly.add((a, b))
+        elif not degens[e2]:  # degenerate shell
+            if a != b:
+                out_lines.append((a, b))
+                shell_sibling.add((a, b))
+            elif a not in suppressed:
+                out_points.append(a)
+        # holes: discarded
+
+    for a, b in line_edges:
+        if a != b:
+            if suppress_lower_dimensions and (a, b) in normal_poly:
+                continue  # duplicate of a polygon edge
+            if (a, b) in shell_sibling:
+                out_lines.append((a, b))  # kept beside the demoted edge
+                continue
+            if suppress_lower_dimensions and (a, b) in poly_reverse:
+                continue  # matches a polygon edge in reverse
+            out_lines.append((a, b))
+        elif a not in suppressed:
+            out_points.append(a)
+
+    for v in points:
+        if v not in suppressed:
+            out_points.append(v)
+
+    if merge_duplicates:
+        out_points = sorted(set(out_points))
+        out_lines = sorted(set(out_lines))
+        out_polys = sorted(set(out_polys))
+    return out_points, out_lines, out_polys
