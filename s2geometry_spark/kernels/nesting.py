@@ -475,3 +475,97 @@ def normalize_closed_set(
         out_lines = sorted(set(out_lines))
         out_polys = sorted(set(out_polys))
     return out_points, out_lines, out_polys
+
+
+DEGEN_KEEP = "keep"
+DEGEN_DISCARD = "discard"
+DEGEN_DISCARD_HOLES = "discard_holes"
+DEGEN_DISCARD_SHELLS = "discard_shells"
+
+
+def lax_polygon_layer(
+    vertices,
+    edges,
+    degenerate_boundaries: str = DEGEN_KEEP,
+    is_full_polygon: bool = False,
+):
+    """LaxPolygonLayer-style loop assembly with degenerate-boundary
+    control (S2BuilderUtil/LaxPolygonLayer.cs DegenerateBoundaries):
+    degenerate edges and sibling pairs are classified as shells or
+    holes (find_polygon_degeneracies) and kept or discarded per mode;
+    the non-degenerate part assembles into loops.
+
+    Scope: degeneracies are emitted as separate degenerate loops
+    (single-vertex or two-vertex); filament degeneracies attached
+    inside normal loops are supported only in DISCARD /
+    DISCARD_HOLES modes (where they are removed by sibling-pair
+    cancellation) — the KEEP-mode inline-filament chain assembly of
+    the reference is out of scope.
+
+    Returns (loops, is_full): loops as lists of vertex ids.
+    """
+    degens = dict(
+        find_polygon_degeneracies(vertices, edges, is_full_polygon)
+    )
+    keep_shells = degenerate_boundaries in (DEGEN_KEEP, DEGEN_DISCARD_HOLES)
+    keep_holes = degenerate_boundaries in (DEGEN_KEEP, DEGEN_DISCARD_SHELLS)
+
+    normal_edges = [
+        e for i, e in enumerate(edges) if i not in degens
+    ]
+    kept_degen = [
+        edges[i]
+        for i, is_hole in degens.items()
+        if (keep_holes if is_hole else keep_shells)
+    ]
+    # assemble degenerate loops: point loops from self-edges, chains
+    # from sibling pairs (each unordered pair once)
+    degen_loops: list[list[int]] = []
+    seen_pairs: set[frozenset] = set()
+    for a, b in kept_degen:
+        if a == b:
+            degen_loops.append([a])
+        else:
+            key = frozenset((a, b))
+            if key not in seen_pairs:
+                seen_pairs.add(key)
+                degen_loops.append([a, b])
+
+    # cancel sibling pairs within the normal part (filament removal),
+    # then stitch the remaining directed edges into loops
+    from collections import Counter
+
+    count = Counter(normal_edges)
+    for (a, b) in list(count):
+        if a < b and (b, a) in count:
+            k = min(count[(a, b)], count[(b, a)])
+            count[(a, b)] -= k
+            count[(b, a)] -= k
+    remaining: list[tuple[int, int]] = []
+    for e, k in count.items():
+        if e[0] != e[1]:
+            remaining.extend([e] * k)
+    by_src: dict[int, list[int]] = {}
+    for idx, (a, _b) in enumerate(remaining):
+        by_src.setdefault(a, []).append(idx)
+    used = [False] * len(remaining)
+    loops: list[list[int]] = []
+    for start in range(len(remaining)):
+        if used[start]:
+            continue
+        ring = [remaining[start][0]]
+        cur = start
+        used[start] = True
+        while True:
+            nxt = remaining[cur][1]
+            if nxt == ring[0]:
+                break
+            ring.append(nxt)
+            cands = [k for k in by_src.get(nxt, []) if not used[k]]
+            if not cands:
+                break
+            cur = cands[0]
+            used[cur] = True
+        if len(ring) >= 3:
+            loops.append(ring)
+    return loops + degen_loops, is_full_polygon

@@ -123,3 +123,69 @@ class TestFindPolygonDegeneracies:
                 ("0:0, 1:0", True), ("1:0, 0:0", True),
             ],
         )
+
+
+class TestLaxPolygonLayer:
+    """Degenerate-boundary modes of LaxPolygonLayer over isolated
+    degeneracies (S2BuilderUtil_LaxPolygonLayerTests.cs All/Some
+    Degenerate Shells/Holes families)."""
+
+    def _run(self, polygon_str, mode):
+        from s2geometry_spark.kernels.nesting import lax_polygon_layer
+
+        verts, edges, is_full = build_graph(polygon_str)
+        loops, full = lax_polygon_layer(
+            verts, edges, mode, is_full_polygon=is_full
+        )
+        def canon(ring):
+            pts = tuple(
+                TF.point_to_string(verts[v]) for v in ring
+            )
+            k = min(range(len(pts)), key=lambda i: pts[i:] + pts[:i])
+            return pts[k:] + pts[:k]
+        return sorted(canon(r) for r in loops), full
+
+    def _expect(self, input_str, expected_str, mode):
+        got = self._run(input_str, mode)
+        verts, _, is_full = build_graph(expected_str)
+        want_loops = []
+        for ls in expected_str.split(";"):
+            ls = ls.strip()
+            if not ls or ls == "full":
+                continue
+            pts = tuple(
+                TF.point_to_string(tuple(map(float, p)))
+                for p in TF.parse_points(ls)
+            )
+            k = min(range(len(pts)), key=lambda i: pts[i:] + pts[:i])
+            want_loops.append(pts[k:] + pts[:k])
+        assert got == (sorted(want_loops), is_full), f"{got}"
+
+    def test_all_degenerate_shells(self):
+        for mode in ("keep", "discard_holes"):
+            self._expect("1:1; 2:2, 3:3", "1:1; 2:2, 3:3", mode)
+        for mode in ("discard", "discard_shells"):
+            self._expect("1:1; 2:2, 3:3", "", mode)
+
+    def test_all_degenerate_holes(self):
+        for mode in ("keep", "discard_shells"):
+            self._expect(
+                "full; 1:1; 2:2, 3:3", "full; 1:1; 2:2, 3:3", mode
+            )
+        for mode in ("discard", "discard_holes"):
+            self._expect("full; 1:1; 2:2, 3:3", "full", mode)
+
+    def test_some_degenerate_shells(self):
+        normal = "0:0, 0:9, 9:0; 1:1, 7:1, 1:7"
+        inp = normal + "; 3:2; 2:2, 2:3"
+        for mode in ("keep", "discard_holes"):
+            self._expect(inp, inp, mode)
+        for mode in ("discard", "discard_shells"):
+            self._expect(inp, normal, mode)
+
+    def test_some_degenerate_holes(self):
+        inp = "0:0, 0:9, 9:0; 1:1; 2:2, 3:3"
+        for mode in ("keep", "discard_shells"):
+            self._expect(inp, inp, mode)
+        for mode in ("discard", "discard_holes"):
+            self._expect(inp, "0:0, 0:9, 9:0", mode)
