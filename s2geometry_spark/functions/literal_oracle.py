@@ -941,3 +941,92 @@ def polyline_simplify_sql() -> str:
             ("kept_csv", "VARCHAR"),
         ],
     )
+
+
+def shape_measure_chains() -> list[tuple]:
+    """(shape_id, dimension, chain_id, vtx_idx, x, y, z) rows for the
+    shape-measures query: 24 deterministic multi-chain shapes cycling
+    through dimensions (points / polyline sets / multi-loop polygons)
+    built from the cap directions."""
+    import numpy as np
+
+    from ..kernels import edges as E
+    from ..sources.regions_src import cap_params
+
+    rows = []
+    for sid in range(24):
+        dim = sid % 3
+        cx, cy, cz, _ = cap_params(sid)
+        c = np.array((cx, cy, cz))
+        u = np.asarray(E.ortho(tuple(c)))
+        v = np.asarray(E.cross(tuple(c), tuple(u)))
+        n_chains = 1 + sid % 3
+        size = 0.01 + (sid % 5) * 0.01
+        for ch in range(n_chains):
+            off = u * (ch * 3.0 * size)
+            if dim == 0:
+                pts = [c + off]
+            elif dim == 1:
+                pts = [
+                    c + off + v * (k * size) for k in range(3 + ch)
+                ]
+            else:
+                pts = [
+                    c + off,
+                    c + off + u * size,
+                    c + off + u * size + v * size,
+                    c + off + v * size,
+                ]
+                if ch % 2 == 1:
+                    pts = pts[::-1]  # odd chains wind CW (holes)
+            for k, p in enumerate(pts):
+                p = p / np.linalg.norm(p)
+                rows.append(
+                    (sid, dim, ch, k, float(p[0]), float(p[1]), float(p[2]))
+                )
+    return rows
+
+
+def shape_measures_sql() -> str:
+    """Driver-precomputed mirror of operators.measures_op
+    .shape_measures_rows over shape_measure_chains()."""
+    from ..kernels import shape_measures as SM
+
+    pdf = pd.DataFrame(
+        shape_measure_chains(),
+        columns=["shape_id", "dim", "chain_id", "vtx_idx", "x", "y", "z"],
+    )
+    out = []
+    for sid, grp in pdf.groupby("shape_id"):
+        dim = int(grp["dim"].iloc[0])
+        chains = [
+            g.sort_values("vtx_idx")[["x", "y", "z"]].to_numpy()
+            for _, g in grp.groupby("chain_id")
+        ]
+        sh = SM.MultiShape(dim, chains)
+        cx, cy, cz = SM.shape_centroid(sh)
+        out.append(
+            (
+                int(sid),
+                dim,
+                SM.shape_length(sh),
+                SM.shape_perimeter(sh),
+                SM.shape_area(sh),
+                SM.shape_approx_area(sh),
+                cx, cy, cz,
+            )
+        )
+    return values_sql(
+        out,
+        [
+            ("shape_id", "BIGINT"),
+            ("dim", "INT"),
+            ("length", "DOUBLE"),
+            ("perimeter", "DOUBLE"),
+            ("area", "DOUBLE"),
+            ("approx_area", "DOUBLE"),
+            ("cx", "DOUBLE"),
+            ("cy", "DOUBLE"),
+            ("cz", "DOUBLE"),
+        ],
+    )

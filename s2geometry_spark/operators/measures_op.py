@@ -471,3 +471,51 @@ def simplify_lines(vertex_df: DataFrame, tolerance_rad: float) -> DataFrame:
     return vertex_df.groupBy("line_id").applyInPandas(
         compute, schema=SIMPLIFY_SCHEMA
     )
+
+
+SHAPE_MEASURES_SCHEMA = T.StructType(
+    [
+        T.StructField("shape_id", T.LongType(), False),
+        T.StructField("dim", T.IntegerType(), False),
+        T.StructField("length", T.DoubleType(), False),
+        T.StructField("perimeter", T.DoubleType(), False),
+        T.StructField("area", T.DoubleType(), False),
+        T.StructField("approx_area", T.DoubleType(), False),
+        T.StructField("cx", T.DoubleType(), False),
+        T.StructField("cy", T.DoubleType(), False),
+        T.StructField("cz", T.DoubleType(), False),
+    ]
+)
+
+
+def shape_measures_rows(vertex_df: DataFrame) -> DataFrame:
+    """Dimension-dispatched shape measures per shape_id (columns:
+    shape_id, dim, chain_id, vtx_idx, x, y, z) — S2ShapeMeasures in a
+    grouped Arrow kernel; the distributed axis is the shape count."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import shape_measures as SM
+
+        (sid,) = key
+        dim = int(pdf["dim"].iloc[0])
+        chains = [
+            g.sort_values("vtx_idx")[["x", "y", "z"]].to_numpy()
+            for _, g in pdf.groupby("chain_id")
+        ]
+        sh = SM.MultiShape(dim, chains)
+        cx, cy, cz = SM.shape_centroid(sh)
+        return pd.DataFrame(
+            [{
+                "shape_id": int(sid),
+                "dim": dim,
+                "length": SM.shape_length(sh),
+                "perimeter": SM.shape_perimeter(sh),
+                "area": SM.shape_area(sh),
+                "approx_area": SM.shape_approx_area(sh),
+                "cx": cx, "cy": cy, "cz": cz,
+            }]
+        )
+
+    return vertex_df.groupBy("shape_id").applyInPandas(
+        compute, schema=SHAPE_MEASURES_SCHEMA
+    )
