@@ -282,6 +282,22 @@ def q_shape_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MO.shape_measures_rows(spark.createDataFrame(pdf))
 
 
+def q_polygon_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BuildPolygonBoundaries face assembly per deterministic component
+    group (oracle = driver-precomputed literal table)."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.polygon_boundary_components(),
+        columns=["group_id", "comp_id", "loop_id", "vtx_idx", "x", "y", "z"],
+    )
+    return MO.polygon_boundary_faces(spark.createDataFrame(pdf))
+
+
 def q_polyline_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polyline Intersects / NearlyCovers / SubsampleVertices relations
     per deterministic line pair (grouped Arrow kernel; oracle =
@@ -729,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_dtw_alignment": q_dtw_alignment,
         "s2_polyline_simplify": q_polyline_simplify,
         "s2_shape_measures": q_shape_measures,
+        "s2_polygon_boundaries": q_polygon_boundaries,
         "s2_near_loop_join": q_near_loop_join,
         "s2_range_join": q_range_join,
         "s2_cell_index_labels": q_cell_index_labels,
@@ -956,6 +973,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_dtw_alignment": LO.dtw_alignment_sql(),
         "s2_polyline_simplify": LO.polyline_simplify_sql(),
         "s2_shape_measures": LO.shape_measures_sql(),
+        "s2_polygon_boundaries": LO.polygon_boundaries_sql(),
         "s2_convex_hull_tile": LO.convex_hull_sql(LO.oracle_sf_dir()),
         "s2_image_tile_counts": LO.image_tile_counts_sql(
             N_IMAGES, IMAGE_TILE_LEVEL

@@ -1030,3 +1030,88 @@ def shape_measures_sql() -> str:
             ("cz", "DOUBLE"),
         ],
     )
+
+
+def polygon_boundary_components() -> list[tuple]:
+    """(group_id, comp_id, loop_id, vtx_idx, x, y, z) rows for the
+    polygon-boundaries query: per group a two-sided outer square
+    component, a nested two-sided inner square, and (odd groups) a
+    degenerate single-loop component beside them."""
+    import numpy as np
+
+    from ..kernels import edges as E
+    from ..sources.regions_src import cap_params
+
+    rows = []
+    for g in range(12):
+        cx, cy, cz, _ = cap_params(g)
+        c = np.array((cx, cy, cz))
+        u = np.asarray(E.ortho(tuple(c)))
+        v = np.asarray(E.cross(tuple(c), tuple(u)))
+        s = 0.02 + (g % 4) * 0.01
+
+        def square(center, half):
+            pts = [
+                center - u * half - v * half,
+                center + u * half - v * half,
+                center + u * half + v * half,
+                center - u * half + v * half,
+            ]
+            return [p / np.linalg.norm(p) for p in pts]
+
+        comps = []
+        outer = square(c, s)
+        comps.append([outer, outer[::-1]])
+        inner = square(c, s * 0.4)
+        comps.append([inner, inner[::-1]])
+        if g % 2:
+            spike = [
+                (c + u * (3 * s)) / np.linalg.norm(c + u * (3 * s)),
+                (c + u * (3.5 * s)) / np.linalg.norm(c + u * (3.5 * s)),
+            ]
+            comps.append([spike])
+        for ci, comp in enumerate(comps):
+            for li, loop in enumerate(comp):
+                for k, p in enumerate(loop):
+                    rows.append(
+                        (g, ci, li, k, float(p[0]), float(p[1]), float(p[2]))
+                    )
+    return rows
+
+
+def _boundary_faces(grp) -> list[str]:
+    from ..kernels.nesting import build_polygon_boundaries
+
+    comps = []
+    for _, comp in sorted(grp.groupby("comp_id")):
+        loops = [
+            lg.sort_values("vtx_idx")[["x", "y", "z"]].to_numpy()
+            for _, lg in sorted(comp.groupby("loop_id"))
+        ]
+        comps.append(loops)
+    faces = build_polygon_boundaries(comps)
+    return sorted(
+        "|".join(f"{ci}.{li}" for ci, li in sorted(face))
+        for face in faces
+    )
+
+
+def polygon_boundaries_sql() -> str:
+    """Driver-precomputed mirror of operators.measures_op
+    .polygon_boundary_faces over polygon_boundary_components()."""
+    pdf = pd.DataFrame(
+        polygon_boundary_components(),
+        columns=["group_id", "comp_id", "loop_id", "vtx_idx", "x", "y", "z"],
+    )
+    out = []
+    for gid, grp in pdf.groupby("group_id"):
+        for fi, face in enumerate(_boundary_faces(grp)):
+            out.append((int(gid), fi, face))
+    return values_sql(
+        out,
+        [
+            ("group_id", "BIGINT"),
+            ("face_idx", "INT"),
+            ("face_loops", "VARCHAR"),
+        ],
+    )

@@ -519,3 +519,36 @@ def shape_measures_rows(vertex_df: DataFrame) -> DataFrame:
     return vertex_df.groupBy("shape_id").applyInPandas(
         compute, schema=SHAPE_MEASURES_SCHEMA
     )
+
+
+BOUNDARY_SCHEMA = T.StructType(
+    [
+        T.StructField("group_id", T.LongType(), False),
+        T.StructField("face_idx", T.IntegerType(), False),
+        T.StructField("face_loops", T.StringType(), False),
+    ]
+)
+
+
+def polygon_boundary_faces(vertex_df: DataFrame) -> DataFrame:
+    """BuildPolygonBoundaries per group (columns: group_id, comp_id,
+    loop_id, vtx_idx, x, y, z): groups of non-crossing loop components
+    assembled into interior-disjoint polygons, one row per face with a
+    canonical 'comp.loop|...' signature — grouped Arrow kernel; the
+    distributed axis is the group count."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..functions.literal_oracle import _boundary_faces
+
+        (gid,) = key
+        faces = _boundary_faces(pdf)
+        return pd.DataFrame(
+            [
+                {"group_id": int(gid), "face_idx": fi, "face_loops": f}
+                for fi, f in enumerate(faces)
+            ]
+        )
+
+    return vertex_df.groupBy("group_id").applyInPandas(
+        compute, schema=BOUNDARY_SCHEMA
+    )
