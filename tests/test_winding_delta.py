@@ -145,3 +145,96 @@ class TestSnappedWindingDelta:
         expect_winding_delta(
             "8:26, 8:26; -36:70, -64:-35, -41:48", "", 66, 0, 0
         )
+
+
+class TestRandomLoopsIdentity:
+    """Scaled-down RandomLoops validation (the reference runs 10M
+    iterations of this identity): for random simple loops snapped with
+    a random radius, the winding number of the snapped reference
+    vertex w.r.t. the snapped loops must equal the winding number of
+    the original reference vertex w.r.t. the input loops plus the
+    computed delta.  Trials where the snapped reference vertex lands
+    on another snapped loop's boundary (ambiguous containment) are
+    skipped deterministically."""
+
+    def test_identity(self):
+        import numpy as np
+
+        from s2geometry_spark.kernels.edges import (
+            loop_contains_points,
+        )
+        from s2geometry_spark.kernels.polyline import edge_distance
+
+        rng = np.random.default_rng(20260818)
+        checked = 0
+        for trial in range(120):
+            n_loops = int(rng.integers(1, 4))
+            snap_deg = float(rng.uniform(1.0, 12.0))
+            b = Builder(IdentitySnapFunction(math.radians(snap_deg)))
+            loops = []
+            for _ in range(n_loops):
+                c = rng.standard_normal(3)
+                c /= np.linalg.norm(c)
+                u = np.cross(c, [0.0, 0.0, 1.0])
+                if np.linalg.norm(u) < 1e-6:
+                    u = np.cross(c, [0.0, 1.0, 0.0])
+                u /= np.linalg.norm(u)
+                v = np.cross(c, u)
+                r = rng.uniform(0.1, 0.5)
+                k = int(rng.integers(3, 8))
+                ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+                verts = [
+                    tuple(
+                        (c * np.cos(r) + (u * np.cos(a) + v * np.sin(a))
+                         * np.sin(r))
+                    )
+                    for a in ang
+                ]
+                loops.append(verts)
+            # reference vertex: a degenerate loop at loop 0's centroid
+            ref_in = tuple(
+                np.asarray(loops[0]).mean(axis=0)
+                / np.linalg.norm(np.asarray(loops[0]).mean(axis=0))
+            )
+            b.add_loop([ref_in])
+            for lp in loops:
+                b.add_loop(lp)
+            b.build()
+            ref_v = find_first_site(b, 0)
+            ref_out = tuple(map(float, b.sites[ref_v]))
+            delta = get_snapped_winding_delta(b, ref_in, ref_v)
+
+            # winding before: containment count over input loops
+            p_in = np.asarray([ref_in])
+            w_in = sum(
+                int(loop_contains_points(np.asarray(lp), p_in)[0])
+                for lp in loops
+            )
+            # winding after: containment count over snapped rings
+            # (degenerate edges and sibling pairs cancel in layer_loops)
+            rings = b.layer_loops()
+            skip = False
+            for ring in rings:
+                V = [tuple(map(float, q)) for q in ring]
+                if any(q == ref_out for q in V):
+                    skip = True
+                    break
+                d = min(
+                    edge_distance(ref_out, V[i], V[(i + 1) % len(V)])
+                    for i in range(len(V))
+                )
+                if d < 1e-9:
+                    skip = True
+                    break
+            if skip:
+                continue
+            p_out = np.asarray([ref_out])
+            w_out = sum(
+                int(loop_contains_points(np.asarray(r), p_out)[0])
+                for r in rings
+            )
+            assert w_out - w_in == delta, (
+                f"trial {trial}: w_in={w_in} w_out={w_out} delta={delta}"
+            )
+            checked += 1
+        assert checked >= 60  # most trials must actually be validated
