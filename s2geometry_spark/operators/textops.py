@@ -268,7 +268,9 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
     """(doc_id, h0..h{N-1}): minhash signature over k-char shingles,
     one-hash affine family h_i = min((w1 + w2*i) mod P)."""
     shingled = _shingle_words(
-        docs.select("doc_id", _shingles_expr("text").alias("shingles"))
+        _spread(docs).select(
+            "doc_id", _shingles_expr("text").alias("shingles")
+        )
     )
     sig = shingled.select(
         "doc_id",
@@ -294,13 +296,28 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.expr(sh_expr).alias("shingles"))
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition ahead of the Arrow signature stage: a small parquet
+    scan yields 1-2 splits, which would run the minhash pUDF nearly
+    single-threaded; hashing on doc_id spreads it across the session's
+    shuffle partitions.  Skipped for streaming inputs (micro-batches
+    arrive pre-split and repartition would force a stateful shuffle)."""
+    if docs.isStreaming:
+        return docs
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    # explicit numPartitions: AQE would coalesce a plain hash
+    # repartition of a few MB of text back to one partition, keeping
+    # the pUDF single-threaded (the CPU cost is per-doc, not per-byte)
+    return docs.repartition(n, "doc_id")
+
+
 def doc_band_rows(docs: DataFrame) -> DataFrame:
     """Slim (doc_id, b, bk) LSH band rows: shingles -> minhash
     signature -> banded md5 keys, stacked one row per band.  Works on
     batch AND streaming DataFrames (pure projections + the Arrow
     signature pUDF), so the stream-static dedup join shares this exact
     plan fragment with near_dup_pairs."""
-    shingled = _shingle_words(doc_shingles(docs))
+    shingled = _shingle_words(doc_shingles(_spread(docs)))
     sigs = shingled.select(
         "doc_id",
         _minhash_sig_udf()(F.col("w1"), F.col("w2")).alias("sig"),
@@ -353,6 +370,7 @@ def near_dup_pairs(
             F.concat(F.col("text"), F.lit(" zz")).alias("text"),
         )
         base = base.unionByName(mut)
+    base = _spread(base)
 
     k = SHINGLE_K
     sh_expr = (
