@@ -298,6 +298,23 @@ def q_polygon_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MO.polygon_boundary_faces(spark.createDataFrame(pdf))
 
 
+def q_graph_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Builder graph assembly (EdgeProcessor + loop/component/
+    polyline chain assembly) per deterministic edge-soup case (oracle =
+    driver-precomputed literal table)."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.graph_assembly_vertex_rows(),
+        columns=["case_id", "mode", "chain_id", "vtx_idx", "x", "y", "z"],
+    )
+    return MO.graph_assembly_rows(spark.createDataFrame(pdf))
+
+
 def q_polyline_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polyline Intersects / NearlyCovers / SubsampleVertices relations
     per deterministic line pair (grouped Arrow kernel; oracle =
@@ -746,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_polyline_simplify": q_polyline_simplify,
         "s2_shape_measures": q_shape_measures,
         "s2_polygon_boundaries": q_polygon_boundaries,
+        "s2_graph_assembly": q_graph_assembly,
         "s2_near_loop_join": q_near_loop_join,
         "s2_range_join": q_range_join,
         "s2_cell_index_labels": q_cell_index_labels,
@@ -974,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_polyline_simplify": LO.polyline_simplify_sql(),
         "s2_shape_measures": LO.shape_measures_sql(),
         "s2_polygon_boundaries": LO.polygon_boundaries_sql(),
+        "s2_graph_assembly": LO.graph_assembly_sql(),
         "s2_convex_hull_tile": LO.convex_hull_sql(LO.oracle_sf_dir()),
         "s2_image_tile_counts": LO.image_tile_counts_sql(
             N_IMAGES, IMAGE_TILE_LEVEL

@@ -1115,3 +1115,96 @@ def polygon_boundaries_sql() -> str:
             ("face_loops", "VARCHAR"),
         ],
     )
+
+
+# ---------------------------------------------------------------------
+# S2Builder graph assembly (kernels/graph.py; Graph.cs loop/component/
+# polyline assembly exposed as a per-case grouped operator)
+# ---------------------------------------------------------------------
+
+def graph_assembly_chains() -> list[tuple]:
+    """(case_id, mode, [chain texts]) — deterministic edge-soup cases.
+
+    Each case is an unordered multiset of chain fragments (rings split
+    and interleaved, degenerate point edges, duplicated fragments, open
+    filaments) whose assembly exercises one Graph output mode:
+    directed loops, directed components (sibling CREATE), undirected
+    complement pairs, and PATH / WALK polylines (Graph.cs:518-805,
+    1481-1723)."""
+    cases = []
+    cid = 0
+    for v in range(4):
+        b = 8 * v  # shift each variant to distinct geometry
+        dg = f"{b + 1}:{b + 1}, {b + 1}:{b + 1}"
+        ring3 = [
+            f"{b}:{b}, {b}:{b + 2}",
+            f"{b}:{b + 2}, {b + 2}:{b + 2}, {b + 2}:{b}",
+            f"{b + 2}:{b}, {b}:{b}",
+        ]
+        tri = f"{b + 3}:{b + 3}, {b + 3}:{b + 4}, {b + 4}:{b + 4}, {b + 3}:{b + 3}"
+        nested = [
+            f"{b}:{b}, {b}:{b + 6}, {b + 6}:{b + 6}",
+            f"{b + 6}:{b + 6}, {b + 6}:{b}, {b}:{b}",
+            f"{b + 1}:{b + 1}, {b + 1}:{b + 5}, {b + 5}:{b + 5}",
+            f"{b + 5}:{b + 5}, {b + 5}:{b + 1}, {b + 1}:{b + 1}",
+        ]
+        star = [
+            dg,
+            f"{b}:{b}, {b}:{b}, {b}:{b + 1}, {b}:{b + 1}, {b}:{b + 2}, {b}:{b + 2}",
+            dg,
+        ]
+        tree = [
+            f"{b + 5}:{b + 5}, {b + 5}:{b + 6}, {b + 6}:{b + 6}",
+            f"{b + 5}:{b + 6}, {b + 4}:{b + 6}",
+        ]
+        # interleave ring fragments so assembly must reorder
+        loops_chains = [ring3[1], dg, ring3[2], tri, ring3[0]]
+        if v == 3:
+            loops_chains += [tri]  # duplicate ring: two identical loops
+        cases.append((cid, "loops", loops_chains)); cid += 1
+        open_chain = f"{b}:{b + 3}, {b + 1}:{b + 3}, {b + 1}:{b + 4}"
+        cases.append(
+            (cid, "components", [ring3[2], open_chain, dg, ring3[0],
+                                 ring3[1]])); cid += 1
+        cases.append((cid, "undirected", [nested[2], dg, nested[0],
+                                          nested[3], nested[1]])); cid += 1
+        cases.append((cid, "paths", star + tree)); cid += 1
+        cases.append((cid, "walks", star + tree)); cid += 1
+    return cases
+
+
+def graph_assembly_vertex_rows() -> list[tuple]:
+    """Flattened (case_id, mode, chain_id, vtx_idx, x, y, z) rows for
+    the distributed operator's input DataFrame."""
+    from ..kernels.textformat import parse_points
+
+    rows = []
+    for cid, mode, texts in graph_assembly_chains():
+        for chain_id, text in enumerate(texts):
+            for vi, p in enumerate(parse_points(text)):
+                rows.append((cid, mode, chain_id, vi,
+                             float(p[0]), float(p[1]), float(p[2])))
+    return rows
+
+
+def graph_assembly_sql() -> str:
+    """Driver-precomputed mirror of operators.measures_op
+    .graph_assembly_rows over graph_assembly_chains()."""
+    from ..kernels import graph as G
+    from ..kernels.textformat import parse_points
+
+    out = []
+    for cid, mode, texts in graph_assembly_chains():
+        chains = [[tuple(p) for p in parse_points(t)] for t in texts]
+        for idx, (sig, n) in enumerate(G.assemble_chains(mode, chains)):
+            out.append((cid, mode, idx, sig, n))
+    return values_sql(
+        out,
+        [
+            ("case_id", "BIGINT"),
+            ("mode", "VARCHAR"),
+            ("chain_idx", "INT"),
+            ("chain_sig", "VARCHAR"),
+            ("n_edges", "INT"),
+        ],
+    )

@@ -552,3 +552,46 @@ def polygon_boundary_faces(vertex_df: DataFrame) -> DataFrame:
     return vertex_df.groupBy("group_id").applyInPandas(
         compute, schema=BOUNDARY_SCHEMA
     )
+
+
+GRAPH_ASSEMBLY_SCHEMA = T.StructType(
+    [
+        T.StructField("case_id", T.LongType(), False),
+        T.StructField("mode", T.StringType(), False),
+        T.StructField("chain_idx", T.IntegerType(), False),
+        T.StructField("chain_sig", T.StringType(), False),
+        T.StructField("n_edges", T.IntegerType(), False),
+    ]
+)
+
+
+def graph_assembly_rows(vertex_df: DataFrame) -> DataFrame:
+    """S2Builder graph assembly per case (columns: case_id, mode,
+    chain_id, vtx_idx, x, y, z): each case's edge-soup fragments run
+    through the EdgeProcessor + the mode's chain assembly
+    (Graph.cs:518-805 loops/components, 1481-1723 polylines) inside one
+    Arrow group — the distributed axis is the case count, the same way
+    snapped-geometry assembly shards per geometry at scale."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import graph as G
+
+        cid, mode = int(key[0]), str(key[1])
+        chains = [
+            [tuple(r) for r in cg.sort_values("vtx_idx")[["x", "y", "z"]]
+             .to_numpy()]
+            for _, cg in sorted(pdf.groupby("chain_id"))
+        ]
+        return pd.DataFrame(
+            [
+                {"case_id": cid, "mode": mode, "chain_idx": idx,
+                 "chain_sig": sig, "n_edges": int(n)}
+                for idx, (sig, n) in enumerate(
+                    G.assemble_chains(mode, chains))
+            ],
+            columns=[f.name for f in GRAPH_ASSEMBLY_SCHEMA.fields],
+        )
+
+    return vertex_df.groupBy("case_id", "mode").applyInPandas(
+        compute, schema=GRAPH_ASSEMBLY_SCHEMA
+    )
