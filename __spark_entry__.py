@@ -315,6 +315,25 @@ def q_graph_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MO.graph_assembly_rows(spark.createDataFrame(pdf))
 
 
+def q_mixed_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-dimension S2BooleanOperation (points x polylines x
+    polygons, all boundary models, degeneracies preserved) per
+    deterministic case/op pair (oracle = driver-precomputed literal
+    table)."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.mixed_boolean_input_rows(),
+        columns=["case_id", "op", "a", "b", "polygon_model",
+                 "polyline_model", "lb", "split", "snap_e"],
+    )
+    return MO.mixed_boolean_rows(spark.createDataFrame(pdf))
+
+
 def q_polyline_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polyline Intersects / NearlyCovers / SubsampleVertices relations
     per deterministic line pair (grouped Arrow kernel; oracle =
@@ -764,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_shape_measures": q_shape_measures,
         "s2_polygon_boundaries": q_polygon_boundaries,
         "s2_graph_assembly": q_graph_assembly,
+        "s2_mixed_boolean": q_mixed_boolean,
         "s2_near_loop_join": q_near_loop_join,
         "s2_range_join": q_range_join,
         "s2_cell_index_labels": q_cell_index_labels,
@@ -993,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_shape_measures": LO.shape_measures_sql(),
         "s2_polygon_boundaries": LO.polygon_boundaries_sql(),
         "s2_graph_assembly": LO.graph_assembly_sql(),
+        "s2_mixed_boolean": LO.mixed_boolean_sql(),
         "s2_convex_hull_tile": LO.convex_hull_sql(LO.oracle_sf_dir()),
         "s2_image_tile_counts": LO.image_tile_counts_sql(
             N_IMAGES, IMAGE_TILE_LEVEL

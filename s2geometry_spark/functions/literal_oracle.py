@@ -1208,3 +1208,102 @@ def graph_assembly_sql() -> str:
             ("n_edges", "INT"),
         ],
     )
+
+
+# ---------------------------------------------------------------------
+# Mixed-dimension boolean operations (kernels/mixed_boolop.py)
+# ---------------------------------------------------------------------
+
+MIXED_BOOL_OPS = (
+    "union", "intersection", "difference", "symmetric_difference"
+)
+
+
+def mixed_boolean_cases() -> list[tuple]:
+    """(case_id, a, b, polygon_model, polyline_model,
+    loops_have_boundaries, split_all, snap_e) — a deterministic slice
+    of the reference's S2BooleanOperation model battery
+    (S2BooleanOperationTests.cs:57-1055)."""
+    vp = ("0:0, 0:1, 0:2, 0:3, 0:4, 0:5, "
+          "5:5, 5:4, 5:3, 5:2, 5:1, 5:0")
+    pvp_a = ("# 1:1, 0:1 | 0:2, 1:2 | -1:3, 0:3 | 0:4, -1:4 "
+             "| 6:1, 5:1 | 5:2, 6:2 | 4:3, 5:3 | 5:4, 4:4 #")
+    pts_a = "0:0 | 1:0 | 2:0 | 3:0 | 4:0 | 5:0 # #"
+    lines_b = "# 0:0, 1:0, 2:0 | 3:0, 3:0 | 4:0, 5:0, 4:0 #"
+    loop_a = "# 0:0, 0:1, 1:0, 0:0 | 2:2, 2:3, 3:2, 2:2 #"
+    loop_b = "# 0:0, 0:0 | 0:0, 0:1 | 2:2, 2:2 | 2:2, 3:2 #"
+    rows = []
+    cid = 0
+
+    def add(a, b, pm="semi_open", lm="closed", lb=True, split=False,
+            snap=None):
+        nonlocal cid
+        rows.append((cid, a, b, pm, lm, lb, split, snap))
+        cid += 1
+
+    add("0:0 | 1:0 # #", "0:0 | 2:0 # #")
+    add("# # 0:0, 0:5, 5:5, 5:0; 1:1; 2:2, 3:3; 6:6; 7:7, 8:8", "# #")
+    for lm in ("open", "semi_open", "closed"):
+        add(pts_a, lines_b, lm=lm)
+        add(loop_a, loop_b, lm=lm)
+    add(pts_a, lines_b, lm="open", lb=False)
+    add(loop_a, loop_b, lm="closed", lb=False)
+    add("1:1 | 4:4 # #", "# # 0:0, 0:3, 3:0")
+    for pm in ("open", "semi_open", "closed"):
+        add("0:1 | 1:0 # #", "# # 0:0, 0:1, 1:0", pm=pm)
+        add(pvp_a, "# # " + vp, pm=pm)
+        add("# 1:1, 1:3, 3:3 | 3:3, 1:3 # ",
+            "# # 1:1, 1:3, 3:3, 3:1", pm=pm)
+        add("# # 0:0, 0:4, 2:4, 2:0",
+            "# # 0:0, 1:1, 2:0; 0:4, 1:5, 2:4", pm=pm)
+        add("# # 0:0, 0:5, 1:5, 0:0, 2:5, 3:5",
+            "# # 0:0, 5:3, 5:2", pm=pm)
+    add("# 0:0, 2:2 #", "# 2:0, 0:2 #", snap=1)
+    add("# # 0:0, 0:2, 2:2, 2:0", "# # 1:1, 1:3, 3:3, 3:1", snap=2)
+    add("# # 0:-1, 0:1, 0.1:1, 0.1:-1",
+        "# # -1:0.1, 1:0.1, 1:0, -1:0", snap=0)
+    add("# 0:2, 4:2, 2:0, 2:5 #", "# 0:4, 5:4, 3:6, 3:3 #",
+        snap=1, split=True)
+    add("# # 0:0, 0:4, 4:4, 4:0",
+        "# # 1:1, 1:2, 2:2, 2:1; 5:5, 5:6, 6:6, 6:5")
+    add("# 0:0, 0:10, 0:4 # ", "# # 0:0, -5:5, 5:5", snap=1)
+    return rows
+
+
+def mixed_boolean_input_rows() -> list[tuple]:
+    """One input row per (case, op) for the distributed operator."""
+    out = []
+    for row in mixed_boolean_cases():
+        for op in MIXED_BOOL_OPS:
+            out.append(row[:1] + (op,) + row[1:])
+    return out
+
+
+def mixed_boolean_sql() -> str:
+    """Driver-precomputed mirror of operators.measures_op
+    .mixed_boolean_rows over mixed_boolean_cases()."""
+    from ..kernels import mixed_boolop as MBK
+
+    out = []
+    for (cid, a, b, pm, lm, lb, split, snap) in mixed_boolean_cases():
+        options = MBK.Options(
+            polygon_model=pm, polyline_model=lm,
+            polyline_loops_have_boundaries=lb,
+            split_all_crossing_polyline_edges=split,
+            snap_exponent=snap,
+        )
+        ga, gb = MBK.parse_index(a), MBK.parse_index(b)
+        for op in MIXED_BOOL_OPS:
+            result = MBK.boolean_operation(ga, gb, op, options)
+            for dim, n, sig in MBK.signature_rows(result):
+                out.append((cid, op, dim, n, sig))
+    return values_sql(
+        out,
+        [
+            ("case_id", "BIGINT"),
+            ("op", "VARCHAR"),
+            ("dim", "INT"),
+            ("n_items", "INT"),
+            ("sig", "VARCHAR"),
+        ],
+    )

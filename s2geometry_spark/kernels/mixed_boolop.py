@@ -681,3 +681,29 @@ def expected_from_text(text: str, options: Options | None = None) -> dict:
                 continue
             out[2].extend(_loop_edges(loop))
     return out
+
+
+def signature_rows(result: dict) -> list[tuple[int, int, str]]:
+    """Canonical per-dimension (dim, count, signature) rows for the
+    distributed operator and its oracle: the normalized comparison
+    form rendered as sorted latlng-text multisets."""
+    from .textformat import point_to_string as pts
+
+    def e(u, v):
+        return f"{pts(u)}>{pts(v)}"
+
+    d0, d1, degen, sib, rest = normalize_result(result)
+    rows = []
+    s0 = ";".join(sorted(f"{pts(p)}*{n}" for p, n in d0.items()))
+    rows.append((0, sum(d0.values()), s0))
+    s1 = ";".join(sorted(f"{e(u, v)}*{n}" for (u, v), n in d1.items()))
+    rows.append((1, sum(d1.values()), s1))
+    s2 = ";".join(
+        sorted(
+            [f"D{e(u, v)}" for (u, v) in degen]
+            + [f"S{e(u, v)}" for (u, v) in sib]
+            + [f"{e(u, v)}*{n}" for (u, v), n in rest.items()]
+        )
+    )
+    rows.append((2, len(degen) + len(sib) + sum(rest.values()), s2))
+    return rows

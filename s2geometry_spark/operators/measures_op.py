@@ -595,3 +595,52 @@ def graph_assembly_rows(vertex_df: DataFrame) -> DataFrame:
     return vertex_df.groupBy("case_id", "mode").applyInPandas(
         compute, schema=GRAPH_ASSEMBLY_SCHEMA
     )
+
+
+MIXED_BOOL_SCHEMA = T.StructType(
+    [
+        T.StructField("case_id", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("dim", T.IntegerType(), False),
+        T.StructField("n_items", T.IntegerType(), False),
+        T.StructField("sig", T.StringType(), False),
+    ]
+)
+
+
+def mixed_boolean_rows(case_df: DataFrame) -> DataFrame:
+    """Mixed-dimension boolean operations per (case, op) row (columns:
+    case_id, op, a, b, polygon_model, polyline_model, lb, split,
+    snap_e): each group runs the full S2BooleanOperation kernel
+    (kernels.mixed_boolop) inside one Arrow batch and emits the
+    per-dimension normalized signatures — the distributed axis is the
+    (case x op) count, the way region-pair booleans shard at scale."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import mixed_boolop as MBK
+
+        cid, op = int(key[0]), str(key[1])
+        r = pdf.iloc[0]
+        options = MBK.Options(
+            polygon_model=str(r["polygon_model"]),
+            polyline_model=str(r["polyline_model"]),
+            polyline_loops_have_boundaries=bool(r["lb"]),
+            split_all_crossing_polyline_edges=bool(r["split"]),
+            snap_exponent=None if pd.isna(r["snap_e"]) else int(r["snap_e"]),
+        )
+        result = MBK.boolean_operation(
+            MBK.parse_index(str(r["a"])), MBK.parse_index(str(r["b"])),
+            op, options,
+        )
+        return pd.DataFrame(
+            [
+                {"case_id": cid, "op": op, "dim": dim, "n_items": n,
+                 "sig": sig}
+                for dim, n, sig in MBK.signature_rows(result)
+            ],
+            columns=[f.name for f in MIXED_BOOL_SCHEMA.fields],
+        )
+
+    return case_df.groupBy("case_id", "op").applyInPandas(
+        compute, schema=MIXED_BOOL_SCHEMA
+    )
