@@ -57,14 +57,14 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # local-profile split sizing: sf-scale parquet is a few MB, and
-        # the default 4MB file-open cost suppresses byte-range
-        # splitting, so scans arrive as 1-3 partitions and every Arrow
-        # stage runs nearly single-threaded.  Lowering the open cost
-        # restores scan parallelism for small files while leaving
-        # 128MB+ production files (where splits abound anyway) alone.
-        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
-        .config("spark.sql.files.minPartitionNum", str(cores))
+        # NOTE: do not force small-file scans wide here (openCostInBytes
+        # / minPartitionNum): measured A/B at sf0.1 shows globally
+        # over-splitting the few-MB local parquet costs more in per-task
+        # overhead than it buys (tile assign 3.6s -> 5.2s, kNN 12.5s ->
+        # 16.2s with minPartitionNum=cores).  The one stage that needs
+        # width on a tiny scan — the minhash signature pUDF — gets an
+        # explicit repartition at the operator (textops), which is also
+        # the correct cluster-side idiom.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
