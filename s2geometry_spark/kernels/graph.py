@@ -261,12 +261,16 @@ class Graph:
     lexicographically sorted (process_edges output is)."""
 
     def __init__(self, options, vertices, edges, input_id_set_ids,
-                 lexicon):
+                 lexicon, label_set_ids=None, label_lexicon=None):
         self.options = options
         self.vertices = vertices  # list of unit (x, y, z) tuples
         self.edges = list(edges)
         self.input_id_set_ids = list(input_id_set_ids)
         self.lexicon = lexicon
+        # labels attached to INPUT edges (Graph.cs:262-270): indexed by
+        # input edge id; missing/short lists read as the empty set
+        self.label_set_ids = label_set_ids or []
+        self.label_lexicon = label_lexicon
         assert self.edges == sorted(self.edges)
 
     @property
@@ -305,6 +309,13 @@ class Graph:
 
     def input_edge_ids(self, e: int):
         return self.lexicon.id_set(self.input_id_set_ids[e])
+
+    def labels(self, input_edge_id: int):
+        """Labels attached to one INPUT edge (Graph.Labels)."""
+        if (self.label_lexicon is None
+                or input_edge_id >= len(self.label_set_ids)):
+            return ()
+        return self.label_lexicon.id_set(self.label_set_ids[input_edge_id])
 
     def min_input_edge_id(self, e: int) -> int:
         ids = self.input_edge_ids(e)
@@ -628,6 +639,29 @@ class Graph:
         if polyline_type == POLYLINE_PATH:
             return builder.build_paths()
         return builder.build_walks()
+
+
+class LabelFetcher:
+    """Labels for a given GRAPH edge (Graph.cs:1188-1233): the sorted
+    union of labels over every input edge snapped to it, plus — for
+    UNDIRECTED — the labels of its sibling edge."""
+
+    def __init__(self, g: Graph, edge_type: str):
+        self.g = g
+        self.edge_type = edge_type
+        self.sibling_map = (
+            g.get_sibling_map() if edge_type == UNDIRECTED else None
+        )
+
+    def fetch(self, e: int) -> tuple[int, ...]:
+        labels: set[int] = set()
+        for input_edge_id in self.g.input_edge_ids(e):
+            labels.update(self.g.labels(input_edge_id))
+        if self.edge_type == UNDIRECTED:
+            for input_edge_id in self.g.input_edge_ids(
+                    self.sibling_map[e]):
+                labels.update(self.g.labels(input_edge_id))
+        return tuple(sorted(labels))
 
 
 def _add_vertex_edges(out_begin, out_end, in_begin, in_end, v1,

@@ -374,6 +374,15 @@ class Builder:
         self.num_forced_sites = 0
         self.snapping_needed = not idempotent and self.snapping_requested
         self._built = False
+        # per-input-edge label sets (S2Builder.SetLabel/PushLabel):
+        # edge_label_ids[e] indexes label_lexicon
+        from .graph import IdSetLexicon as _IdSetLexicon, EMPTY_SET_ID
+
+        self.label_lexicon = _IdSetLexicon()
+        self.edge_label_ids: list[int] = []
+        self._label_stack: list[int] = []
+        self._label_set_id = EMPTY_SET_ID
+        self._is_full_polygon = False
 
     # -- input ----------------------------------------------------------
 
@@ -394,6 +403,40 @@ class Builder:
             self.start_layer()
         self.input_edges.append((self._add_vertex(v0), self._add_vertex(v1)))
         self.edge_layers.append(self.num_layers - 1)
+        self.edge_label_ids.append(self._label_set_id)
+
+    def add_point(self, p) -> None:
+        """A degenerate edge (S2Builder.AddPoint)."""
+        self.add_edge(p, p)
+
+    # -- labels (S2Builder.cs SetLabel/PushLabel/PopLabel/ClearLabels) --
+
+    def set_label(self, label: int) -> None:
+        self._label_stack = [int(label)]
+        self._label_set_id = self.label_lexicon.add(self._label_stack)
+
+    def push_label(self, label: int) -> None:
+        self._label_stack.append(int(label))
+        self._label_set_id = self.label_lexicon.add(self._label_stack)
+
+    def pop_label(self) -> None:
+        self._label_stack.pop()
+        self._label_set_id = self.label_lexicon.add(self._label_stack)
+
+    def clear_labels(self) -> None:
+        from .graph import EMPTY_SET_ID
+
+        self._label_stack = []
+        self._label_set_id = EMPTY_SET_ID
+
+    def add_is_full_polygon_predicate(self, is_full: bool) -> None:
+        """Whether an all-degenerate / empty polygon graph represents
+        the full polygon (S2Builder.AddIsFullPolygonPredicate; the
+        constant-result form used throughout the reference tests)."""
+        self._is_full_polygon = bool(is_full)
+
+    def is_full_polygon(self) -> bool:
+        return self._is_full_polygon
 
     def add_polyline(self, points) -> None:
         pts = [tuple(map(float, p)) for p in points]
@@ -854,6 +897,70 @@ class Builder:
         self._chains = [chains[e] for e in range(len(self.input_edges))]
 
     # -- output assembly -------------------------------------------------
+
+    def layer_graph(self, layer: int, options):
+        """Build one layer's processed Graph from the snapped edge
+        chains (S2Builder.BuildLayerEdges + AddSnappedEdges,
+        S2Builder.cs:1597-1671): chains become consecutive site-id
+        edges (a length-1 chain is a degenerate edge unless the layer
+        discards degeneracies); UNDIRECTED layers double each edge
+        with a reverse carrying no input ids; then Graph.ProcessEdges
+        applies the layer's GraphOptions."""
+        assert self._built
+        from dataclasses import replace as _dc_replace
+
+        from .graph import (
+            DEGENERATE_DISCARD,
+            EMPTY_SET_ID,
+            Graph,
+            GraphError,
+            IdSetLexicon as _IdSetLexicon,
+            UNDIRECTED,
+            process_edges,
+        )
+
+        opts = _dc_replace(options)  # process_edges mutates edge_type
+        discard_degenerate = (
+            options.degenerate_edges == DEGENERATE_DISCARD
+        )
+        undirected = options.edge_type == UNDIRECTED
+        lexicon = _IdSetLexicon()
+        edges: list[tuple[int, int]] = []
+        input_ids: list[int] = []
+
+        def add_snapped(src, dst, sid):
+            edges.append((src, dst))
+            input_ids.append(sid)
+            if undirected:
+                # auto-created reverse edges carry no input edge ids
+                edges.append((dst, src))
+                input_ids.append(EMPTY_SET_ID)
+
+        for e, (chain, lay) in enumerate(
+                zip(self._chains, self.edge_layers)):
+            if lay != layer:
+                continue
+            sid = lexicon.add([e])
+            if len(chain) == 1:
+                if discard_degenerate:
+                    continue
+                add_snapped(chain[0], chain[0], sid)
+            else:
+                for a, b in zip(chain, chain[1:]):
+                    add_snapped(a, b, sid)
+        new_edges, new_ids, error = process_edges(
+            opts, edges, input_ids, lexicon)
+        if error is not None:
+            raise GraphError(error)
+        return Graph(
+            opts,
+            [tuple(s) for s in self.sites],
+            new_edges,
+            new_ids,
+            lexicon,
+            label_set_ids=self.edge_label_ids,
+            label_lexicon=self.label_lexicon,
+        )
 
     def snapped_chains(self, layer: int = 0) -> list[list[tuple]]:
         """Per-input-edge snapped site chains (as points)."""
