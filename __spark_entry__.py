@@ -315,6 +315,24 @@ def q_graph_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MO.graph_assembly_rows(spark.createDataFrame(pdf))
 
 
+def q_polygon_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon validity (FindSelfIntersection crossing-pair scan with
+    the full S2ErrorCode taxonomy) per deterministic polygon case under
+    cyclic vertex rotations (oracle = driver-precomputed literal
+    table)."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.validity_polygon_vertices(),
+        columns=["poly_id", "chain_id", "vtx_idx", "x", "y", "z"],
+    )
+    return MO.polygon_validate(spark.createDataFrame(pdf))
+
+
 def q_mixed_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-dimension S2BooleanOperation (points x polylines x
     polygons, all boundary models, degeneracies preserved) per
@@ -784,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_polygon_boundaries": q_polygon_boundaries,
         "s2_graph_assembly": q_graph_assembly,
         "s2_mixed_boolean": q_mixed_boolean,
+        "s2_polygon_validate": q_polygon_validate,
         "s2_near_loop_join": q_near_loop_join,
         "s2_range_join": q_range_join,
         "s2_cell_index_labels": q_cell_index_labels,
@@ -1014,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_polygon_boundaries": LO.polygon_boundaries_sql(),
         "s2_graph_assembly": LO.graph_assembly_sql(),
         "s2_mixed_boolean": LO.mixed_boolean_sql(),
+        "s2_polygon_validate": LO.polygon_validate_sql(),
         "s2_convex_hull_tile": LO.convex_hull_sql(LO.oracle_sf_dir()),
         "s2_image_tile_counts": LO.image_tile_counts_sql(
             N_IMAGES, IMAGE_TILE_LEVEL

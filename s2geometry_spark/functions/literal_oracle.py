@@ -1307,3 +1307,70 @@ def mixed_boolean_sql() -> str:
             ("sig", "VARCHAR"),
         ],
     )
+
+
+VALIDITY_CASES = (
+    # FindSelfIntersection_Basic battery
+    # (S2ShapeUtilVisitCrossingEdgePairsTests.cs:36-45)
+    "0:0, 0:1, 0:2, 1:2, 1:1, 1:0",                  # valid
+    "0:0, 0:1, 0:2, 1:2, 0:1, 1:0",                  # duplicate vertex
+    "0:0, 0:1, 1:0, 1:1",                            # edge crossing
+    "0:0, 1:1, 0:1; 0:0, 1:1, 1:0",                  # duplicate edge
+    "0:0, 1:1, 0:1; 1:1, 0:0, 1:0",                  # reversed edge
+    "0:0, 0:2, 2:2, 2:0; 1:1, 0:2, 3:1, 2:0",        # vertex crossing
+    # valid multi-loop nesting (shell; shell; hole-side shell)
+    "0:1, 1:1, 0:0; 3:3, 3:6, 6:6, 6:3; 4:4, 4:5, 5:5, 5:4",
+)
+
+
+def validity_polygon_vertices() -> list[tuple]:
+    """(poly_id, chain_id, vtx_idx, x, y, z) rows: the ported
+    FindSelfIntersection_Basic polygon family, each under several
+    cyclic vertex rotations (the reference test checks every rotation;
+    three per case keep the driver table small while still exercising
+    rotation-dependent classification)."""
+    from ..kernels.textformat import parse_points
+
+    rows = []
+    pid = 0
+    for s in VALIDITY_CASES:
+        loops = [parse_points(p) for p in s.split(";") if p.strip()]
+        for rot in range(3):
+            for ci, lv in enumerate(loops):
+                k = rot % len(lv)
+                rolled = np.roll(lv, -k, axis=0)
+                for i, v in enumerate(rolled):
+                    rows.append(
+                        (pid, ci, i,
+                         float(v[0]), float(v[1]), float(v[2]))
+                    )
+            pid += 1
+    return rows
+
+
+@lru_cache(maxsize=1)
+def polygon_validate_sql() -> str:
+    from ..kernels import validity as V
+
+    pdf = pd.DataFrame(
+        validity_polygon_vertices(),
+        columns=["poly_id", "chain_id", "vtx_idx", "x", "y", "z"],
+    )
+    out = []
+    for pid, grp in pdf.groupby("poly_id"):
+        chains = [
+            cg.sort_values("vtx_idx")[["x", "y", "z"]].to_numpy()
+            for _, cg in sorted(grp.groupby("chain_id"))
+        ]
+        n_chains, n_edges, n_pairs, code = V.validate_chains(chains)
+        out.append((int(pid), n_chains, n_edges, n_pairs, code))
+    return values_sql(
+        out,
+        [
+            ("poly_id", "BIGINT"),
+            ("n_chains", "INT"),
+            ("n_edges", "INT"),
+            ("n_crossing_pairs", "INT"),
+            ("error_code", "VARCHAR"),
+        ],
+    )

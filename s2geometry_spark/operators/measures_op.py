@@ -644,3 +644,46 @@ def mixed_boolean_rows(case_df: DataFrame) -> DataFrame:
     return case_df.groupBy("case_id", "op").applyInPandas(
         compute, schema=MIXED_BOOL_SCHEMA
     )
+
+
+POLYGON_VALIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.LongType(), False),
+        T.StructField("n_chains", T.IntegerType(), False),
+        T.StructField("n_edges", T.IntegerType(), False),
+        T.StructField("n_crossing_pairs", T.IntegerType(), False),
+        T.StructField("error_code", T.StringType(), False),
+    ]
+)
+
+
+def polygon_validate(vertex_df: DataFrame) -> DataFrame:
+    """Polygon validity per geometry (columns: poly_id, chain_id,
+    vtx_idx, x, y, z): each polygon's closed chains run the
+    FindSelfIntersection crossing-pair scan
+    (S2ShapeUtil/VisitCrossingEdgePairs.cs:404-506) inside one Arrow
+    group, emitting the first error's S2ErrorCode (or OK) plus the
+    CrossingType.ALL pair count — the distributed axis is the polygon
+    count, the way validation shards over a geometry table at scale."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import validity as V
+
+        (pid,) = key
+        chains = [
+            cg.sort_values("vtx_idx")[["x", "y", "z"]].to_numpy()
+            for _, cg in sorted(pdf.groupby("chain_id"))
+        ]
+        n_chains, n_edges, n_pairs, code = V.validate_chains(chains)
+        return pd.DataFrame(
+            [
+                {"poly_id": int(pid), "n_chains": n_chains,
+                 "n_edges": n_edges, "n_crossing_pairs": n_pairs,
+                 "error_code": code}
+            ],
+            columns=[f.name for f in POLYGON_VALIDATE_SCHEMA.fields],
+        )
+
+    return vertex_df.groupBy("poly_id").applyInPandas(
+        compute, schema=POLYGON_VALIDATE_SCHEMA
+    )
