@@ -71,20 +71,40 @@ def _xyz_to_cellid_chunk(
     the hot path; values are selection-identical, so results stay
     bit-exact vs coords.xyz_to_face_uv)."""
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    axis = np.where(
-        ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2)
-    )
-    den = np.where(axis == 0, x, np.where(axis == 1, y, z))
-    face = np.where(den < 0.0, axis + 3, axis).astype(np.int64)
+    m0 = (ax > ay) & (ax > az)
+    m1 = ~m0 & (ay > az)
+    axis = np.where(m0, 0, np.where(m1, 1, 2))
+    den = np.where(m0, x, np.where(m1, y, z))
+    neg = den < 0.0
+    face = np.where(neg, axis + 3, axis).astype(np.int64)
+    # the two non-major components in fixed order; the sign tables'
+    # index columns (_U_IDX/_V_IDX) reduce to "o1 on faces 0-2, o2 on
+    # faces 3-5" for u (and the reverse for v), so two flat wheres
+    # replace the four nested component-select wheres per axis
+    o1 = np.where(m0, y, x)
+    o2 = np.where(m0 | m1, z, y)
+    u = coords._U_SGN[face] * np.where(neg, o2, o1)
+    u /= den
+    v = coords._V_SGN[face] * np.where(neg, o1, o2)
+    v /= den
+    return from_face_ij(face, _uv_to_ij32(u), _uv_to_ij32(v))
 
-    def sel(idx):
-        return np.where(idx == 0, x, np.where(idx == 1, y, z))
 
-    u = coords._U_SGN[face] * sel(coords._U_IDX[face]) / den
-    v = coords._V_SGN[face] * sel(coords._V_IDX[face]) / den
-    i = coords.st_to_ij(coords.uv_to_st(u))
-    j = coords.st_to_ij(coords.uv_to_st(v))
-    return from_face_ij(face, i, j)
+def _uv_to_ij32(q: np.ndarray) -> np.ndarray:
+    """Fused in-place uv->st->ij (same op order as coords.uv_to_st +
+    coords.st_to_ij, so bit-identical), emitting int32 directly since
+    the Hilbert encode runs its hot loop in int32.  Consumes ``q``."""
+    r = np.abs(q)
+    r *= 3.0
+    r += 1.0
+    np.sqrt(r, out=r)
+    r *= 0.5
+    st = np.where(q >= 0.0, r, 1.0 - r)
+    st *= coords.LIMIT_IJ
+    st -= 0.5
+    np.rint(st, out=st)
+    np.clip(st, 0, coords.LIMIT_IJ - 1, out=st)
+    return st.astype(np.int32)
 
 
 def xyz_to_cellid(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:

@@ -98,8 +98,8 @@ def from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
     # i, j < 2^30 fit int32; running the extract/combine rounds in
     # int32 halves the memory traffic of the hot loop (only the
     # position accumulation into the 64-bit id upcasts, once per round)
-    i32 = np.asarray(i).astype(np.int32)
-    j32 = np.asarray(j).astype(np.int32)
+    i32 = np.asarray(i).astype(np.int32, copy=False)
+    j32 = np.asarray(j).astype(np.int32, copy=False)
     n = f << np.int64(POS_BITS - 1)
     bits = (f & np.int64(SWAP_MASK)).astype(np.int32)
     t1 = np.empty_like(bits)
