@@ -17,9 +17,10 @@ from __future__ import annotations
 
 import math
 
-from .cell_dist import cell_distance_to_edge
+import numpy as np
+
+from .cell_dist import cell_distance_to_edges_min, point_to_edges_distance2
 from .geom import Cap, Cell, Region
-from .polyline import edge_distance2
 
 
 def _chord2(radians: float) -> float:
@@ -41,17 +42,18 @@ class BufferedLoopRegion(Region):
         self.radius_rad = float(radius_rad)
         # radius.Successor() semantics: accept distance == radius
         self._radius2 = _chord2(self.radius_rad) * (1 + 4e-16) + 5e-324
-        self._edges = [
-            (tuple(map(float, a)), tuple(map(float, b)))
-            for a, b in loop.edges
-        ]
+        verts = np.asarray(loop.verts, dtype=float)
+        self._av = verts
+        self._bv = np.roll(verts, -1, axis=0)
 
     # -- distances ------------------------------------------------------
 
     def _dist2_to_point(self, p) -> float:
         if self.loop.contains_point(p):
             return 0.0
-        return min(edge_distance2(p, a, b) for a, b in self._edges)
+        return float(
+            point_to_edges_distance2(p, self._av, self._bv).min()
+        )
 
     def _dist2_to_cell(self, cell: Cell) -> float:
         """Min squared-chord distance from the loop (with interior) to
@@ -61,9 +63,9 @@ class BufferedLoopRegion(Region):
             return 0.0  # boundary passes through the cell
         if self.loop.contains_point(cell.center_raw()):
             return 0.0  # cell entirely in the loop interior
-        return min(
-            cell_distance_to_edge(cell, a, b) for a, b in self._edges
-        )
+        # no boundary edge intersects the cell here, so the vectorized
+        # min is exactly the scalar per-edge cell_distance_to_edge min
+        return cell_distance_to_edges_min(cell, self._av)
 
     # -- Region interface ----------------------------------------------
 
@@ -92,9 +94,10 @@ class BufferedLoopRegion(Region):
         if self.loop.contains_point(center):
             d2 = 0.0
         else:
-            d2 = min(
-                edge_distance2(tuple(map(float, center)), a, b)
-                for a, b in self._edges
+            d2 = float(
+                point_to_edges_distance2(
+                    tuple(map(float, center)), self._av, self._bv
+                ).min()
             )
         return d2 <= _chord2(self.radius_rad - cap_ang) * (1 + 4e-16)
 

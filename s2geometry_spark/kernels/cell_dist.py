@@ -205,3 +205,191 @@ def _max_dist_point_edge(x, a, b) -> float:
     of the antipode (S2EdgeDistances.UpdateMaxDistance)."""
     anti = (-x[0], -x[1], -x[2])
     return CHORD2_STRAIGHT - edge_distance2(anti, a, b)
+
+
+# ---------------------------------------------------------------------
+# Vectorized forms (the buffered-region coverer's hot path)
+# ---------------------------------------------------------------------
+
+def cell_distance_to_points(cell: Cell, pts, to_interior: bool = True):
+    """Vectorized cell_distance_to_point over ``pts`` [N,3]: the same
+    branch selection as _distance_internal via priority masks, so each
+    row is bit-identical to the scalar call."""
+    import numpy as np
+
+    pts = np.asarray(pts, dtype=float)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    f = cell.face
+    if f == 0:
+        t0, t1, t2 = y, z, x
+    elif f == 1:
+        t0, t1, t2 = -x, z, y
+    elif f == 2:
+        t0, t1, t2 = -x, -y, z
+    elif f == 3:
+        t0, t1, t2 = -z, -y, -x
+    elif f == 4:
+        t0, t1, t2 = -z, x, -y
+    else:
+        t0, t1, t2 = y, x, -z
+    u_lo, u_hi, v_lo, v_hi = cell.u_lo, cell.u_hi, cell.v_lo, cell.v_hi
+    d00 = t0 - t2 * u_lo
+    d01 = t0 - t2 * u_hi
+    d10 = t1 - t2 * v_lo
+    d11 = t1 - t2 * v_hi
+
+    def vdot(d):
+        return t0 * d[0] + t1 * d[1] + t2 * d[2]
+
+    def v_edge_closest(u):
+        return (vdot((-u * v_lo, u * u + 1, -v_lo)) > 0) & (
+            vdot((-u * v_hi, u * u + 1, -v_hi)) < 0
+        )
+
+    def u_edge_closest(v):
+        return (vdot((v * v + 1, -u_lo * v, -u_lo)) > 0) & (
+            vdot((v * v + 1, -u_hi * v, -u_hi)) < 0
+        )
+
+    def edge_dist(dir_ij, uv):
+        pq2 = dir_ij * dir_ij / (1 + uv * uv)
+        qr = 1 - np.sqrt(np.maximum(0.0, 1 - pq2))
+        return pq2 + qr * qr
+
+    def vert_dist(u, v):
+        vx, vy, vz = normalize((u, v, 1.0))
+        return np.minimum(
+            4.0, (t0 - vx) ** 2 + (t1 - vy) ** 2 + (t2 - vz) ** 2
+        )
+
+    vmin = np.minimum(
+        np.minimum(vert_dist(u_lo, v_lo), vert_dist(u_hi, v_lo)),
+        np.minimum(vert_dist(u_lo, v_hi), vert_dist(u_hi, v_hi)),
+    )
+    inside = (d00 >= 0) & (d01 <= 0) & (d10 >= 0) & (d11 <= 0)
+    out = vmin
+    # apply in reverse priority so the scalar's first-match-wins holds
+    out = np.where((d11 > 0) & u_edge_closest(v_hi),
+                   edge_dist(d11, v_hi), out)
+    out = np.where((d10 < 0) & u_edge_closest(v_lo),
+                   edge_dist(-d10, v_lo), out)
+    out = np.where((d01 > 0) & v_edge_closest(u_hi),
+                   edge_dist(d01, u_hi), out)
+    out = np.where((d00 < 0) & v_edge_closest(u_lo),
+                   edge_dist(-d00, u_lo), out)
+    if to_interior:
+        return np.where(inside, 0.0, out)
+    emin = np.minimum(
+        np.minimum(edge_dist(-d00, u_lo), edge_dist(d01, u_hi)),
+        np.minimum(edge_dist(-d10, v_lo), edge_dist(d11, v_hi)),
+    )
+    return np.where(inside, emin, out)
+
+
+def point_to_edges_distance2(x, av, bv):
+    """Vectorized edge_distance2(x, a_k, b_k) over edge endpoint arrays
+    av/bv [N,3]; per-row bit-identical to the scalar."""
+    import numpy as np
+
+    DBL_EPS = 2.220446049250313e-16
+    av = np.asarray(av, float)
+    bv = np.asarray(bv, float)
+    px, py, pz = float(x[0]), float(x[1]), float(x[2])
+
+    def norm2_3(q0, q1, q2):
+        # left-to-right component sum, matching the scalar _norm2
+        return q0 * q0 + q1 * q1 + q2 * q2
+
+    ax, ay, az = av[:, 0], av[:, 1], av[:, 2]
+    bx, by, bz = bv[:, 0], bv[:, 1], bv[:, 2]
+    xa0, xa1, xa2_ = px - ax, py - ay, pz - az
+    xb0, xb1, xb2_ = px - bx, py - by, pz - bz
+    xa2 = norm2_3(xa0, xa1, xa2_)
+    xb2 = norm2_3(xb0, xb1, xb2_)
+    ab0, ab1, ab2_ = ax - bx, ay - by, az - bz
+    ab2 = norm2_3(ab0, ab1, ab2_)
+    max_error = 4.75 * DBL_EPS * (xa2 + xb2 + ab2) + 8 * DBL_EPS * DBL_EPS
+    near = np.abs(xa2 - xb2) < ab2 + max_error
+    # stable cross product c = (a-b) x (a+b)
+    s0, s1, s2 = ax + bx, ay + by, az + bz
+    c0 = ab1 * s2 - ab2_ * s1
+    c1 = ab2_ * s0 - ab0 * s2
+    c2c = ab0 * s1 - ab1 * s0
+    c2 = norm2_3(c0, c1, c2c)
+    x_dot_c = px * c0 + py * c1 + pz * c2c
+    # cx = c x x
+    cx0 = c1 * pz - c2c * py
+    cx1 = c2c * px - c0 * pz
+    cx2 = c0 * py - c1 * px
+    # scalar: not (dot(a-x, cx) >= 0 or dot(b-x, cx) <= 0)
+    dot_a = (ax - px) * cx0 + (ay - py) * cx1 + (az - pz) * cx2
+    dot_b = (bx - px) * cx0 + (by - py) * cx1 + (bz - pz) * cx2
+    use = near & (dot_a < 0) & (dot_b > 0)
+    safe_c2 = np.where(use, c2, 1.0)
+    qr = 1 - np.sqrt(norm2_3(cx0, cx1, cx2) / safe_c2)
+    d_int = (x_dot_c * x_dot_c / safe_c2) + qr * qr
+    return np.where(use, d_int, np.minimum(xa2, xb2))
+
+
+def cell_distance_to_edges_min(cell: Cell, verts) -> float:
+    """Min over a closed loop's edges of cell_distance_to_edge.
+
+    REQUIRES that no loop edge intersects the (closed) cell — the
+    buffered-region coverer establishes this via the loop's exact
+    may-intersect callback before calling, which makes the scalar
+    path's crossing tests vacuously negative and its endpoint
+    containment distances nonzero; the result then equals the min of
+    the scalar calls exactly (same value multiset)."""
+    import numpy as np
+
+    pts = np.asarray(verts, dtype=float)
+    # each vertex is an endpoint of some edge of the closed loop, so
+    # min over edges of endpoint distances = min over vertices
+    best = float(cell_distance_to_points(cell, pts).min())
+    if best == 0.0:
+        return 0.0
+    bv = np.roll(pts, -1, axis=0)
+    corners = np.asarray(
+        [tuple(float(c) for c in cell.vertex(k)) for k in range(4)]
+    )
+    return min(best, points_to_edges_min(corners, pts, bv))
+
+
+def points_to_edges_min(xs, av, bv) -> float:
+    """Min over all (point, edge) pairs of edge_distance2, broadcast
+    [M,1] x [N] — per-pair bit-identical to the scalar."""
+    import numpy as np
+
+    DBL_EPS = 2.220446049250313e-16
+    xs = np.asarray(xs, float)
+    av = np.asarray(av, float)
+    bv = np.asarray(bv, float)
+    px = xs[:, 0:1]
+    py = xs[:, 1:2]
+    pz = xs[:, 2:3]
+    ax, ay, az = av[:, 0], av[:, 1], av[:, 2]
+    bx, by, bz = bv[:, 0], bv[:, 1], bv[:, 2]
+    xa0, xa1, xa2_ = px - ax, py - ay, pz - az
+    xb0, xb1, xb2_ = px - bx, py - by, pz - bz
+    xa2 = xa0 * xa0 + xa1 * xa1 + xa2_ * xa2_
+    xb2 = xb0 * xb0 + xb1 * xb1 + xb2_ * xb2_
+    ab0, ab1, ab2_ = ax - bx, ay - by, az - bz
+    ab2 = ab0 * ab0 + ab1 * ab1 + ab2_ * ab2_
+    max_error = 4.75 * DBL_EPS * (xa2 + xb2 + ab2) + 8 * DBL_EPS * DBL_EPS
+    near = np.abs(xa2 - xb2) < ab2 + max_error
+    s0, s1, s2 = ax + bx, ay + by, az + bz
+    c0 = ab1 * s2 - ab2_ * s1
+    c1 = ab2_ * s0 - ab0 * s2
+    c2c = ab0 * s1 - ab1 * s0
+    c2 = c0 * c0 + c1 * c1 + c2c * c2c
+    x_dot_c = px * c0 + py * c1 + pz * c2c
+    cx0 = c1 * pz - c2c * py
+    cx1 = c2c * px - c0 * pz
+    cx2 = c0 * py - c1 * px
+    dot_a = -xa0 * cx0 + -xa1 * cx1 + -xa2_ * cx2
+    dot_b = -xb0 * cx0 + -xb1 * cx1 + -xb2_ * cx2
+    use = near & (dot_a < 0) & (dot_b > 0)
+    safe_c2 = np.where(use, c2, 1.0)
+    qr = 1 - np.sqrt((cx0 * cx0 + cx1 * cx1 + cx2 * cx2) / safe_c2)
+    d_int = (x_dot_c * x_dot_c / safe_c2) + qr * qr
+    return float(np.where(use, d_int, np.minimum(xa2, xb2)).min())

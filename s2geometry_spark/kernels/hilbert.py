@@ -123,6 +123,42 @@ def from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
     return ((n << 1) | 1).view(np.uint64)
 
 
+_LOOKUP_IJ_LIST = None
+
+
+def _to_face_ij_scalar(cid: int, want_orientation: bool, shape):
+    """One-cell decode in Python ints (same LUT rounds as the
+    vectorized path, so identical results), wrapped back into arrays
+    of the input shape."""
+    global _LOOKUP_IJ_LIST
+    if _LOOKUP_IJ_LIST is None:
+        _LOOKUP_IJ_LIST = LOOKUP_IJ.tolist()
+    lut = _LOOKUP_IJ_LIST
+    face = cid >> POS_BITS
+    bits = face & SWAP_MASK
+    i = 0
+    j = 0
+    for k in range(7, -1, -1):
+        nbits = (MAX_LEVEL - 7 * LOOKUP_BITS) if k == 7 else LOOKUP_BITS
+        bits += ((cid >> (k * 2 * LOOKUP_BITS + 1))
+                 & ((1 << (2 * nbits)) - 1)) << 2
+        bits = lut[bits]
+        i += (bits >> (LOOKUP_BITS + 2)) << (k * LOOKUP_BITS)
+        j += ((bits >> 2) & ((1 << LOOKUP_BITS) - 1)) << (k * LOOKUP_BITS)
+        bits &= SWAP_MASK | INVERT_MASK
+
+    def arr(v, dtype=np.int64):
+        return np.full(shape, v, dtype=dtype)
+
+    if not want_orientation:
+        return arr(face), arr(i), arr(j)
+    lsb = cid & -cid  # lowest set bit (python ints: two's complement)
+    orientation = (
+        bits ^ SWAP_MASK if (lsb & 0x1111111111111110) else bits
+    )
+    return arr(face), arr(i), arr(j), arr(orientation)
+
+
 def to_face_ij(
     cell_id: np.ndarray, want_orientation: bool = False
 ) -> tuple[np.ndarray, ...]:
@@ -132,6 +168,12 @@ def to_face_ij(
     exactly as S2CellId.ToFaceIJOrientation (S2CellId.cs:860-916).
     """
     cid = np.asarray(cell_id).astype(np.uint64)
+    if cid.size == 1:
+        # scalar fast path in plain Python ints: the driver-side
+        # region/coverer machinery decodes cells one at a time, where
+        # 1-element ufunc dispatch dominates (~100x the int work)
+        return _to_face_ij_scalar(int(cid.reshape(-1)[0]),
+                                  want_orientation, cid.shape)
     face = cid >> U(POS_BITS)
     bits = face & U(SWAP_MASK)
     i = np.zeros_like(cid)
