@@ -310,9 +310,15 @@ class Builder:
         split_crossing_edges: bool = False,
         intersection_tolerance: float = 0.0,
         idempotent: bool = True,
+        simplify_edge_chains: bool = False,
     ):
         self.snap_function = snap_function or IdentitySnapFunction(0.0)
         self.split_crossing_edges = split_crossing_edges
+        # simplify_edge_chains implies idempotent=False
+        # (S2Builder.Options.SimplifyEdgeChains docs)
+        self.simplify_requested = simplify_edge_chains
+        if simplify_edge_chains:
+            idempotent = False
         if split_crossing_edges:
             intersection_tolerance = max(
                 intersection_tolerance, INTERSECTION_ERROR
@@ -383,11 +389,20 @@ class Builder:
         self._label_stack: list[int] = []
         self._label_set_id = EMPTY_SET_ID
         self._is_full_polygon = False
+        self.layer_options: list = []
+        # populated by _simplify_edge_chains (layer -> (edges, set_ids))
+        self._simplified_layers: dict[int, tuple[list, list]] | None = None
+        self._input_lexicon = None
 
     # -- input ----------------------------------------------------------
 
-    def start_layer(self) -> int:
+    def start_layer(self, graph_options=None) -> int:
+        """Begin a new layer; ``graph_options`` (the layer's
+        GraphOptions) is only required when simplify_edge_chains is on,
+        where the builder must materialize per-layer edge lists before
+        the joint simplification pass."""
         self.num_layers += 1
+        self.layer_options.append(graph_options)
         return self.num_layers - 1
 
     def _add_vertex(self, v) -> int:
@@ -895,6 +910,115 @@ class Builder:
                 edges_to_resnap.discard(e)
                 self._maybe_add_extra_sites(e, chain, edges_to_resnap)
         self._chains = [chains[e] for e in range(len(self.input_edges))]
+        if self.simplify_requested:
+            self._simplify_edge_chains()
+
+    # -- edge chain simplification (S2Builder.cs:1674-2757) --------------
+
+    def _simplify_edge_chains(self) -> None:
+        """SimplifyEdgeChains: materialize per-layer snapped edges
+        (AddSnappedEdges semantics, using the GraphOptions declared at
+        start_layer), then jointly simplify chains across all layers
+        so shared chains stay consistent, rewriting the per-layer edge
+        lists consumed by layer_graph."""
+        from .graph import (
+            DEGENERATE_DISCARD,
+            DEGENERATE_KEEP,
+            DIRECTED,
+            DUPLICATE_KEEP,
+            EMPTY_SET_ID,
+            Graph,
+            GraphOptions,
+            IdSetLexicon as _IdSetLexicon,
+            SIBLING_KEEP,
+            UNDIRECTED,
+        )
+
+        if self.num_layers == 0:
+            return
+        lexicon = _IdSetLexicon()
+        # site_vertices: input vertex ids snapped to each site (edge
+        # endpoints only, as in MaybeAddInputVertex)
+        site_vertices: list[list[int]] = [[] for _ in self.sites]
+
+        def maybe_add_input_vertex(v, sid):
+            lst = site_vertices[sid]
+            if not lst or lst[-1] != v:
+                lst.append(v)
+
+        layer_edges: list[list[tuple[int, int]]] = [
+            [] for _ in range(self.num_layers)
+        ]
+        layer_ids: list[list[int]] = [[] for _ in range(self.num_layers)]
+        for e, (chain, lay) in enumerate(
+                zip(self._chains, self.edge_layers)):
+            opts = self.layer_options[lay]
+            assert opts is not None, (
+                "simplify_edge_chains requires graph_options at "
+                "start_layer"
+            )
+            discard_degenerate = (
+                opts.degenerate_edges == DEGENERATE_DISCARD
+            )
+            undirected = opts.edge_type == UNDIRECTED
+            sid = lexicon.add([e])
+            maybe_add_input_vertex(self.input_edges[e][0], chain[0])
+            if len(chain) == 1:
+                if discard_degenerate:
+                    continue
+                pairs = [(chain[0], chain[0])]
+            else:
+                maybe_add_input_vertex(self.input_edges[e][1], chain[-1])
+                pairs = list(zip(chain, chain[1:]))
+            for a, b in pairs:
+                layer_edges[lay].append((a, b))
+                layer_ids[lay].append(sid)
+                if undirected:
+                    layer_edges[lay].append((b, a))
+                    layer_ids[lay].append(EMPTY_SET_ID)
+        # merge all layers into one lexicographically-sorted edge list
+        # (stable in (layer, position) so per-layer duplicates stay in
+        # layer order — MergeLayerEdges)
+        order = sorted(
+            (
+                (lay, k)
+                for lay in range(self.num_layers)
+                for k in range(len(layer_edges[lay]))
+            ),
+            key=lambda lk: (layer_edges[lk[0]][lk[1]], lk),
+        )
+        merged_edges = [layer_edges[lay][k] for lay, k in order]
+        merged_ids = [layer_ids[lay][k] for lay, k in order]
+        merged_layers = [lay for lay, _ in order]
+        graph = Graph(
+            GraphOptions(DIRECTED, DEGENERATE_KEEP, DUPLICATE_KEEP,
+                         SIBLING_KEEP),
+            [tuple(s) for s in self.sites],
+            merged_edges,
+            merged_ids,
+            lexicon,
+        )
+        # layer_begins: first input edge id of each layer (+ end);
+        # input edges are added in layer order
+        layer_begins = [0] * (self.num_layers + 1)
+        for e, lay in enumerate(self.edge_layers):
+            layer_begins[lay + 1] = e + 1
+        for k in range(1, self.num_layers + 1):
+            layer_begins[k] = max(layer_begins[k], layer_begins[k - 1])
+        simp = EdgeChainSimplifier(
+            self, graph, merged_layers, site_vertices, layer_begins,
+            lexicon, self.num_layers,
+        )
+        new_layer_edges, new_layer_ids = simp.run()
+        self._simplified_layers = {
+            lay: (new_layer_edges[lay], new_layer_ids[lay])
+            for lay in range(self.num_layers)
+        }
+        self._input_lexicon = lexicon
+
+    def is_forced(self, site_id: int) -> bool:
+        """Forced sites occupy the first ids (AddForcedSites)."""
+        return site_id < self.num_forced_sites
 
     # -- output assembly -------------------------------------------------
 
@@ -920,6 +1044,25 @@ class Builder:
         )
 
         opts = _dc_replace(options)  # process_edges mutates edge_type
+        if (self._simplified_layers is not None
+                and layer in self._simplified_layers):
+            # simplified layer edges (already degenerate-filtered and
+            # direction-doubled per the layer options declared at
+            # start_layer); the shared lexicon holds the merged id sets
+            s_edges, s_ids = self._simplified_layers[layer]
+            new_edges, new_ids, error = process_edges(
+                opts, list(s_edges), list(s_ids), self._input_lexicon)
+            if error is not None:
+                raise GraphError(error)
+            return Graph(
+                opts,
+                [tuple(s) for s in self.sites],
+                new_edges,
+                new_ids,
+                self._input_lexicon,
+                label_set_ids=self.edge_label_ids,
+                label_lexicon=self.label_lexicon,
+            )
         discard_degenerate = (
             options.degenerate_edges == DEGENERATE_DISCARD
         )
@@ -1063,6 +1206,323 @@ class Builder:
                         arr = arr[::-1]
                 rings.append(arr)
         return rings
+
+
+class _InteriorVertexMatcher:
+    """Can v0 be an interior vertex of a simplified edge chain
+    (S2Builder.cs:2280-2341): adjacent to exactly two vertices across
+    all layers, balanced in/out per layer per direction, and no
+    degenerate edges in a layer without a non-degenerate one."""
+
+    def __init__(self, v0: int):
+        self.v0 = v0
+        self.v1 = -1
+        self.v2 = -1
+        self.n0 = self.n1 = self.n2 = 0
+        self.excess_out = 0
+        self.too_many = False
+
+    def start_layer(self):
+        self.excess_out = self.n0 = self.n1 = self.n2 = 0
+
+    def tally(self, v: int, outgoing: bool):
+        self.excess_out += 1 if outgoing else -1
+        if v == self.v0:
+            self.n0 += 1
+        elif self.v1 < 0 or self.v1 == v:
+            self.v1 = v
+            self.n1 += 1
+        elif self.v2 < 0 or self.v2 == v:
+            self.v2 = v
+            self.n2 += 1
+        else:
+            self.too_many = True
+
+    def matches(self) -> bool:
+        return (
+            not self.too_many
+            and self.excess_out == 0
+            and self.n1 == self.n2
+            and (self.n0 == 0 or self.n1 > 0)
+        )
+
+
+class EdgeChainSimplifier:
+    """Joint edge-chain simplification over the merged multi-layer
+    snapped-edge graph (S2Builder.cs:2167-2757 EdgeChainSimplifier):
+    replaces chains of edges through interior vertices by single
+    edges, while staying within edge_snap_radius of every input vertex
+    that snapped to a chain vertex (TargetInputVertices) and keeping
+    min_edge_vertex_separation from all nearby sites on the correct
+    side (AvoidSites + PolylineSimplifier windows)."""
+
+    def __init__(self, builder, g, edge_layers, site_vertices,
+                 layer_begins, lexicon, num_layers):
+        from .graph import _VertexMaps
+
+        self.builder = builder
+        self.g = g
+        self.edge_layers = edge_layers
+        self.site_vertices = site_vertices
+        self.layer_begins = layer_begins
+        self.lexicon = lexicon
+        self.num_layers = num_layers
+        self.maps = _VertexMaps(g)
+        self.is_interior = [False] * g.num_vertices
+        self.used = [False] * g.num_edges
+        self.new_edges: list[tuple[int, int]] = []
+        self.new_input_ids: list[int] = []
+        self.new_layers: list[int] = []
+
+    # -- graph access -----------------------------------------------
+
+    def _out_edge_range(self, v0: int, v1: int):
+        """Graph edge ids equal to (v0, v1) (VertexOutMap.EdgeIds);
+        edges are lexicographically sorted."""
+        import bisect
+
+        lo = self.maps.out_begins[v0]
+        hi = self.maps.out_begins[v0 + 1]
+        edges = self.g.edges
+        return range(
+            bisect.bisect_left(edges, (v0, v1), lo, hi),
+            bisect.bisect_right(edges, (v0, v1), lo, hi),
+        )
+
+    # -- driver -------------------------------------------------------
+
+    def run(self):
+        g = self.g
+        for v in range(g.num_vertices):
+            self.is_interior[v] = self._vertex_is_interior(v)
+        # chains starting from non-interior vertices (all but loops)
+        for e in range(g.num_edges):
+            if self.used[e]:
+                continue
+            src, dst = g.edges[e]
+            if self.is_interior[src]:
+                continue
+            if not self.is_interior[dst]:
+                self._output_edge(e)
+            else:
+                self._simplify_chain(src, dst)
+        # remaining edges form loops of interior vertices
+        for e in range(g.num_edges):
+            if self.used[e]:
+                continue
+            src, dst = g.edges[e]
+            if src == dst:
+                self._output_edge(e)
+            else:
+                self._simplify_chain(src, dst)
+        layer_edges = [[] for _ in range(self.num_layers)]
+        layer_ids = [[] for _ in range(self.num_layers)]
+        for k, edge in enumerate(self.new_edges):
+            lay = self.new_layers[k]
+            layer_edges[lay].append(edge)
+            layer_ids[lay].append(self.new_input_ids[k])
+        return layer_edges, layer_ids
+
+    def _output_edge(self, e: int):
+        self.new_edges.append(self.g.edges[e])
+        self.new_input_ids.append(self.g.input_id_set_ids[e])
+        self.new_layers.append(self.edge_layers[e])
+        self.used[e] = True
+
+    def _input_edge_layer(self, input_id: int) -> int:
+        import bisect
+
+        return bisect.bisect_right(self.layer_begins, input_id) - 1
+
+    def _vertex_is_interior(self, v: int) -> bool:
+        if self.maps.out_degree(v) == 0:
+            return False
+        if self.maps.out_degree(v) != self.maps.in_degree(v):
+            return False
+        if self.builder.is_forced(v):
+            return False
+        edges = list(self.maps.out_edge_ids(v)) + list(
+            self.maps.in_edge_ids_of(v))
+        edges.sort(key=lambda e: self.edge_layers[e])
+        matcher = _InteriorVertexMatcher(v)
+        k = 0
+        while k < len(edges):
+            layer = self.edge_layers[edges[k]]
+            matcher.start_layer()
+            while k < len(edges) and self.edge_layers[edges[k]] == layer:
+                src, dst = self.g.edges[edges[k]]
+                if src == v:
+                    matcher.tally(dst, True)
+                if dst == v:
+                    matcher.tally(src, False)
+                k += 1
+            if not matcher.matches():
+                return False
+        return True
+
+    def _follow_chain(self, v0: int, v1: int) -> int:
+        assert self.is_interior[v1]
+        for e in self.maps.out_edge_ids(v1):
+            v = self.g.edges[e][1]
+            if v != v0 and v != v1:
+                return v
+        raise AssertionError("could not find next edge in edge chain")
+
+    def _output_all_edges(self, v0: int, v1: int):
+        for e in self._out_edge_range(v0, v1):
+            self._output_edge(e)
+        for e in self._out_edge_range(v1, v0):
+            self._output_edge(e)
+
+    def _target_input_vertices(self, v: int, simplifier) -> bool:
+        for i in self.site_vertices[v]:
+            if not simplifier.target_disc(
+                self.builder.input_vertices[i],
+                self.builder.edge_snap_radius_ca,
+            ):
+                return False
+        return True
+
+    def _avoid_sites(self, v0, v1, v2, used_vertices, simplifier) -> bool:
+        """Restrict the simplifier so all sites near edge (v1, v2) are
+        avoided by min_edge_vertex_separation; chains must move
+        monotonically away from v0 (S2Builder.cs:2490-2567)."""
+        verts = self.g.vertices
+        p0, p1, p2 = verts[v0], verts[v1], verts[v2]
+        r1 = _pt_chord2(p0, p1)
+        r2 = _pt_chord2(p0, p2)
+        if r2 < r1:
+            return False
+        if r2 >= self.builder.min_edge_length_to_split_ca:
+            return False
+        # choose the input edge that snapped to (v1,v2)/(v2,v1) with
+        # the shortest nearby-site list
+        best = -1
+        edge_sites = self.builder.edge_sites
+        for e in self._out_edge_range(v1, v2):
+            for iid in self.g.input_edge_ids(e):
+                if best < 0 or len(edge_sites[iid]) < len(edge_sites[best]):
+                    best = iid
+        for e in self._out_edge_range(v2, v1):
+            for iid in self.g.input_edge_ids(e):
+                if best < 0 or len(edge_sites[iid]) < len(edge_sites[best]):
+                    best = iid
+        assert best >= 0
+        for v in edge_sites[best]:
+            p = verts[v]
+            if _pt_chord2(p0, p) >= r2:
+                continue
+            if v in used_vertices:
+                continue
+            used_vertices.add(v)
+            if v1 == v0:
+                disc_on_left = E.sign(p1, p2, p) > 0
+            else:
+                disc_on_left = E.ordered_ccw(p0, p2, p, p1)
+            if not simplifier.avoid_disc(
+                p, self.builder.min_edge_site_separation_ca, disc_on_left
+            ):
+                return False
+        return True
+
+    def _simplify_chain(self, v0: int, v1: int):
+        from .simplifier import PolylineSimplifier
+
+        verts = self.g.vertices
+        vstart = v0
+        done = False
+        while not done:
+            chain = [v0]
+            used_vertices = {v0}
+            simplifier = PolylineSimplifier(verts[v0])
+            simplify = self._avoid_sites(
+                v0, v0, v1, used_vertices, simplifier)
+            while True:
+                chain.append(v1)
+                used_vertices.add(v1)
+                done = (not self.is_interior[v1]) or v1 == vstart
+                if done:
+                    break
+                vprev, v0 = v0, v1
+                v1 = self._follow_chain(vprev, v0)
+                if not (
+                    simplify
+                    and self._target_input_vertices(v0, simplifier)
+                    and self._avoid_sites(
+                        chain[0], v0, v1, used_vertices, simplifier)
+                    and simplifier.extend(verts[v1])
+                ):
+                    break
+            if len(chain) == 2:
+                self._output_all_edges(chain[0], chain[1])
+            else:
+                self._merge_chain(chain)
+
+    def _merge_chain(self, vertices: list[int]):
+        """Replace each parallel copy of the chain (either direction,
+        any layer) by a single edge (S2Builder.cs:2574-2659)."""
+        merged_input_ids: list[list[int]] = []
+        degenerate_ids: list[int] = []
+        for i in range(1, len(vertices)):
+            v0, v1 = vertices[i - 1], vertices[i]
+            out_edges = list(self._out_edge_range(v0, v1))
+            in_edges = list(self._out_edge_range(v1, v0))
+            if i == 1:
+                merged_input_ids = [
+                    [] for _ in range(len(out_edges) + len(in_edges))
+                ]
+            else:
+                # degenerate edges at interior vertices get assigned to
+                # one of the output edges below
+                for e in self._out_edge_range(v0, v0):
+                    degenerate_ids.extend(self.g.input_edge_ids(e))
+                    self.used[e] = True
+            j = 0
+            for e in out_edges:
+                merged_input_ids[j].extend(self.g.input_edge_ids(e))
+                self.used[e] = True
+                j += 1
+            for e in in_edges:
+                merged_input_ids[j].extend(self.g.input_edge_ids(e))
+                self.used[e] = True
+                j += 1
+            assert j == len(merged_input_ids)
+        if degenerate_ids:
+            degenerate_ids.sort()
+            self._assign_degenerate_edges(
+                degenerate_ids, merged_input_ids)
+        v0, v1, vb = vertices[0], vertices[1], vertices[-1]
+        for e in self._out_edge_range(v0, v1):
+            self.new_edges.append((v0, vb))
+            self.new_layers.append(self.edge_layers[e])
+        for e in self._out_edge_range(v1, v0):
+            self.new_edges.append((vb, v0))
+            self.new_layers.append(self.edge_layers[e])
+        for ids in merged_input_ids:
+            self.new_input_ids.append(self.lexicon.add(ids))
+
+    def _assign_degenerate_edges(self, degenerate_ids, merged_ids):
+        """Assign interior degenerate edges' input ids to output edges
+        in the right layer, preferring the edge whose input-id range
+        surrounds them (S2Builder.cs:2664-2714)."""
+        import bisect
+
+        for ids in merged_ids:
+            ids.sort()
+        order = [i for i in range(len(merged_ids)) if merged_ids[i]]
+        order.sort(key=lambda i: merged_ids[i][0])
+        firsts = [merged_ids[i][0] for i in order]
+        for degenerate_id in degenerate_ids:
+            layer = self._input_edge_layer(degenerate_id)
+            index = bisect.bisect_right(firsts, degenerate_id)
+            if index > 0 and (
+                merged_ids[order[index - 1]][0]
+                >= self.layer_begins[layer]
+            ):
+                index -= 1
+            assert layer == self._input_edge_layer(
+                merged_ids[order[index]][0])
+            merged_ids[order[index]].append(degenerate_id)
 
 
 def _compare_edge_directions(a, b, c, d) -> int:
