@@ -333,6 +333,24 @@ def q_polygon_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MO.polygon_validate(spark.createDataFrame(pdf))
 
 
+def q_builder_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snap + simplify_edge_chains builder per deterministic case
+    (multi-layer chains snapped to one site set, then jointly
+    simplified; oracle = driver-precomputed literal table)."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.builder_simplify_vertices(),
+        columns=["case_id", "chain_id", "vtx_idx", "x", "y", "z",
+                 "snap_deg", "intlatlng_e", "split"],
+    )
+    return MO.builder_simplify_rows(spark.createDataFrame(pdf))
+
+
 def q_mixed_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-dimension S2BooleanOperation (points x polylines x
     polygons, all boundary models, degeneracies preserved) per
@@ -803,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_graph_assembly": q_graph_assembly,
         "s2_mixed_boolean": q_mixed_boolean,
         "s2_polygon_validate": q_polygon_validate,
+        "s2_builder_simplify": q_builder_simplify,
         "s2_near_loop_join": q_near_loop_join,
         "s2_range_join": q_range_join,
         "s2_cell_index_labels": q_cell_index_labels,
@@ -1034,6 +1053,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_graph_assembly": LO.graph_assembly_sql(),
         "s2_mixed_boolean": LO.mixed_boolean_sql(),
         "s2_polygon_validate": LO.polygon_validate_sql(),
+        "s2_builder_simplify": LO.builder_simplify_sql(),
         "s2_convex_hull_tile": LO.convex_hull_sql(LO.oracle_sf_dir()),
         "s2_image_tile_counts": LO.image_tile_counts_sql(
             N_IMAGES, IMAGE_TILE_LEVEL

@@ -1374,3 +1374,85 @@ def polygon_validate_sql() -> str:
             ("error_code", "VARCHAR"),
         ],
     )
+
+
+BUILDER_SIMPLIFY_CASES = (
+    # (snap_deg, intlatlng_e, split, chains) — the reference Simplify*
+    # golden inputs (S2BuilderTests.cs:690-886)
+    (1.0, -1, False, ("0:0, 1:0.5, 2:-0.5, 3:0.5, 4:-0.5, 5:0",)),
+    (1.0, -1, False, ("0:180, 0:1e-09, 32:32",)),
+    (0.5, -1, True,
+     ("-2:-1, -1:0, 1:0, 2:1", "1:-2, 0:-1, 0:1, -1:2")),
+    (0.5, -1, False,
+     ("-4:0.83, -3:0.46, -2:0.2, -1:0.05, 0:0, 1:0.5, 2:0.2, 3:0.46, "
+      "4:0.83",
+      "4:.83, 3:.46, 2:.2, 1:.05, 0:0, -1:.5, -2:.2, -3:.46, -4:.83")),
+    (1.0, -1, False, ("0:-10, 0.99:0, 0:10", "-5:-5, -0.2:0, -5:5")),
+    (0.5, -1, False,
+     ("0:0, 1:0, 2:0, 3:0, 4:0, 5:0, 4:0, 3:0, 2:0, 3:0, 4:0, 5:0, "
+      "6:0, 7:0",)),
+    (1.0, -1, False, ("0:0, 1:0.1, 1:2", "0:1.05, -10:1.05")),
+    (0.0, 0, False, ("-30.49:-29.51, 29.51:30.49",)),
+)
+
+
+def builder_simplify_vertices() -> list[tuple]:
+    """(case_id, chain_id, vtx_idx, x, y, z, snap_deg, intlatlng_e,
+    split) rows for the snap+simplify builder query."""
+    from ..kernels.textformat import parse_points
+
+    rows = []
+    for cid, (snap_deg, e, split, chains) in enumerate(
+            BUILDER_SIMPLIFY_CASES):
+        for ci, s in enumerate(chains):
+            for i, v in enumerate(parse_points(s)):
+                rows.append(
+                    (cid, ci, i, float(v[0]), float(v[1]), float(v[2]),
+                     snap_deg, e, split)
+                )
+    return rows
+
+
+@lru_cache(maxsize=1)
+def builder_simplify_sql() -> str:
+    import math
+
+    from ..kernels import builder_layers as BLK
+    from ..kernels import graph as GK
+    from ..kernels import snap as SNK
+    from ..kernels.textformat import parse_points
+
+    out = []
+    for cid, (snap_deg, e, split, chains) in enumerate(
+            BUILDER_SIMPLIFY_CASES):
+        if e >= 0:
+            snap_fn = SNK.IntLatLngSnapFunction(e)
+        else:
+            snap_fn = SNK.IdentitySnapFunction(math.radians(snap_deg))
+        b = SNK.Builder(
+            snap_fn, split_crossing_edges=split,
+            simplify_edge_chains=True,
+        )
+        opts = GK.GraphOptions(
+            GK.DIRECTED, GK.DEGENERATE_DISCARD, GK.DUPLICATE_KEEP,
+            GK.SIBLING_KEEP,
+        )
+        lays = []
+        for s in chains:
+            lays.append(b.start_layer(opts))
+            b.add_polyline(parse_points(s))
+        b.build()
+        for lay in lays:
+            res = BLK.polyline_layer(b, lay)
+            out.append(
+                (cid, lay, len(res.vertices), res.to_debug_string())
+            )
+    return values_sql(
+        out,
+        [
+            ("case_id", "BIGINT"),
+            ("layer_id", "INT"),
+            ("n_vertices", "INT"),
+            ("verts", "VARCHAR"),
+        ],
+    )

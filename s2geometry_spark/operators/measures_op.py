@@ -687,3 +687,68 @@ def polygon_validate(vertex_df: DataFrame) -> DataFrame:
     return vertex_df.groupBy("poly_id").applyInPandas(
         compute, schema=POLYGON_VALIDATE_SCHEMA
     )
+
+
+BUILDER_SIMPLIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("case_id", T.LongType(), False),
+        T.StructField("layer_id", T.IntegerType(), False),
+        T.StructField("n_vertices", T.IntegerType(), False),
+        T.StructField("verts", T.StringType(), False),
+    ]
+)
+
+
+def builder_simplify_rows(case_df: DataFrame) -> DataFrame:
+    """Full snap + simplify_edge_chains builder run per case (columns:
+    case_id, chain_id, vtx_idx, x, y, z, snap_deg, intlatlng_e, split):
+    each case's polylines become one builder layer each; the snapped,
+    jointly-simplified polylines come back as debug strings
+    (S2Builder.cs SimplifyEdgeChains; kernels.snap.EdgeChainSimplifier).
+    The distributed axis is the case count — the way snap+simplify
+    shards per geometry group at scale."""
+
+    def compute(key, pdf: pd.DataFrame):
+        import math
+
+        from ..kernels import builder_layers as BLK
+        from ..kernels import graph as GK
+        from ..kernels import snap as SNK
+
+        (cid,) = key
+        r = pdf.iloc[0]
+        if int(r["intlatlng_e"]) >= 0:
+            snap_fn = SNK.IntLatLngSnapFunction(int(r["intlatlng_e"]))
+        else:
+            snap_fn = SNK.IdentitySnapFunction(
+                math.radians(float(r["snap_deg"])))
+        b = SNK.Builder(
+            snap_fn,
+            split_crossing_edges=bool(r["split"]),
+            simplify_edge_chains=True,
+        )
+        opts = GK.GraphOptions(
+            GK.DIRECTED, GK.DEGENERATE_DISCARD, GK.DUPLICATE_KEEP,
+            GK.SIBLING_KEEP,
+        )
+        lays = []
+        for _, cg in sorted(pdf.groupby("chain_id")):
+            lays.append(b.start_layer(opts))
+            b.add_polyline(
+                cg.sort_values("vtx_idx")[["x", "y", "z"]].to_numpy())
+        b.build()
+        rows = []
+        for lay in lays:
+            out = BLK.polyline_layer(b, lay)
+            rows.append(
+                {"case_id": int(cid), "layer_id": int(lay),
+                 "n_vertices": len(out.vertices),
+                 "verts": out.to_debug_string()}
+            )
+        return pd.DataFrame(
+            rows, columns=[f.name for f in BUILDER_SIMPLIFY_SCHEMA.fields]
+        )
+
+    return case_df.groupBy("case_id").applyInPandas(
+        compute, schema=BUILDER_SIMPLIFY_SCHEMA
+    )
