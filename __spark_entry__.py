@@ -95,6 +95,39 @@ def q_cell_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cellid_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-order navigation (S2CellId.cs Next/Prev/Advance/
+    CommonAncestorLevel) on level-12 ancestors of derived leaf cells,
+    paired with the Hilbert successor row via a window.  Oracle:
+    independent DuckDB HUGEINT re-implementation
+    (duckdb_oracle.cellid_nav_sql), not a literal table."""
+    _ensure_pkg(spark)
+    from pyspark.sql import Window
+
+    from s2geometry_spark.functions import sparkfns as S
+    from s2geometry_spark.functions import udfs as U
+    from s2geometry_spark.operators import tile as T
+
+    df = T.assign_cellids(_orders_points(spark, sf_dir)).select(
+        "key", S.cell_parent(F.col("cell_id"), 12).alias("p12")
+    )
+    w = Window.orderBy("key")
+    df = (
+        df.withColumn("q12", F.lead("p12").over(w))
+        .where(F.col("q12").isNotNull())
+        .withColumn("steps", F.col("key") % 1001 - 500)
+    )
+    return df.select(
+        "key",
+        U.cell_next(F.col("p12")).alias("next12"),
+        U.cell_prev(F.col("p12")).alias("prev12"),
+        U.cell_advance(F.col("p12"), F.col("steps")).alias("adv12"),
+        U.cell_common_ancestor_level(F.col("p12"), F.col("q12")).alias(
+            "ca_level"
+        ),
+    )
+
+
 def _nation_caps(spark: SparkSession, sf_dir: str):
     from s2geometry_spark.sources import regions_src as R
 
@@ -800,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cellid_leaf": q_cellid_leaf,
         "s2_tile_assign": q_tile_assign,
         "s2_cell_hierarchy": q_cell_hierarchy,
+        "s2_cellid_nav": q_cellid_nav,
         "s2_cell_token": q_cell_token,
         "s2_pip_cap_join": q_pip_cap_join,
         "s2_pip_cap_count": q_pip_cap_count,
@@ -996,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
             + "xor(cell_id, CAST('-9223372036854775808' AS BIGINT)) AS biased "
             + "FROM cells"
         ),
+        "s2_cellid_nav": O.cellid_nav_sql(base),
         "s2_cell_token": (
             base
             + "\nSELECT key, "

@@ -281,3 +281,72 @@ def token_sql(cell_expr: str) -> str:
         f"CASE WHEN ({cell_expr}) = 0 THEN 'X' "
         f"ELSE regexp_replace({hex16}, '0+$', '') END"
     )
+
+
+def cellid_nav_sql(base_ctes: str, level: int = 12) -> str:
+    """Independent Hilbert-order navigation oracle (S2CellId.cs
+    Next/Prev/Advance/CommonAncestorLevel) in DuckDB HUGEINT
+    arithmetic: cell ids are lifted from raw signed-64 bits to their
+    unsigned value, navigated with exact 128-bit integer ops (mod-2^64
+    wrap at the cube ends), and mapped back.  The msb for
+    CommonAncestorLevel is computed exactly via bit-smear + bit_count
+    (no float log2 — doubles round 2^63-adjacent values).
+
+    `base_ctes` must provide cells(key, cell_id).
+    """
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    shift = 2 * (MAX_LEVEL - level) + 1
+    two63 = 1 << 63
+    two64 = 1 << 64
+    wrap = 6 << (2 * MAX_LEVEL + 1)  # 6 << 61: one past face 5
+    p12 = parent_sql("cell_id", level)
+    to_u = (
+        "CASE WHEN {s} < 0 THEN CAST({s} AS HUGEINT) + " + str(two64) +
+        " ELSE CAST({s} AS HUGEINT) END"
+    )
+    to_i = (
+        "CASE WHEN {u} >= " + str(two63) + " THEN CAST({u} - " + str(two64) +
+        " AS BIGINT) ELSE CAST({u} AS BIGINT) END"
+    )
+    return f"""{base_ctes},
+navp AS (
+  SELECT key, {p12} AS p FROM cells
+),
+navl AS (
+  SELECT key, p, LEAD(p) OVER (ORDER BY key) AS q,
+         key % 1001 - 500 AS steps
+  FROM navp
+),
+navu AS (
+  SELECT key, CAST(steps AS HUGEINT) AS steps,
+         {to_u.format(s="p")} AS up,
+         {to_u.format(s="q")} AS uq
+  FROM navl WHERE q IS NOT NULL
+),
+navv AS (
+  SELECT key,
+    (up + {2 * lsb}) % {two64} AS nx,
+    (up - {2 * lsb} + {two64}) % {two64} AS pv,
+    up + (GREATEST(-(up >> {shift}),
+                   LEAST(steps, ({wrap} + {lsb} - up) >> {shift}))
+          * {1 << shift}) AS av,
+    GREATEST(xor(up, uq), CAST({lsb} AS HUGEINT)) AS bits
+  FROM navu
+),
+navs AS (
+  -- sequential bit-smear: after step k every bit below the msb within
+  -- 2^k positions is set, so six doublings cover all 64 bits
+  SELECT key, nx, pv, av, s5 | (s5 >> 32) AS sm
+  FROM (SELECT key, nx, pv, av, s4 | (s4 >> 16) AS s5
+  FROM (SELECT key, nx, pv, av, s3 | (s3 >> 8) AS s4
+  FROM (SELECT key, nx, pv, av, s2 | (s2 >> 4) AS s3
+  FROM (SELECT key, nx, pv, av, s1 | (s1 >> 2) AS s2
+  FROM (SELECT key, nx, pv, av, bits | (bits >> 1) AS s1
+        FROM navv)))))
+)
+SELECT key,
+  {to_i.format(u="nx")} AS next12,
+  {to_i.format(u="pv")} AS prev12,
+  {to_i.format(u="av")} AS adv12,
+  CAST(GREATEST(60 - (bit_count(sm) - 1), -1) >> 1 AS BIGINT) AS ca_level
+FROM navs"""

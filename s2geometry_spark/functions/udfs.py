@@ -62,6 +62,36 @@ def cell_all_neighbors(cid: pd.Series, nbr_level: pd.Series) -> pd.Series:
     return pd.Series([C.as_i64(a).tolist() for a in out])
 
 
+# ---------------------------------------------------------------------
+# Hilbert-order navigation (S2CellId.cs Next/Prev/Advance/
+# CommonAncestorLevel).  Modular uint64 arithmetic wraps at the cube
+# ends, so these stay in the numpy kernels (ANSI-mode JVM arithmetic
+# would throw on the wrap); the driver oracle recomputes them
+# independently in DuckDB HUGEINT arithmetic (duckdb_oracle.cellid_nav_sql).
+# ---------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def cell_next(cid: pd.Series) -> pd.Series:
+    return pd.Series(C.as_i64(C.next_id(cid.to_numpy())))
+
+
+@pandas_udf(LongType())
+def cell_prev(cid: pd.Series) -> pd.Series:
+    return pd.Series(C.as_i64(C.prev_id(cid.to_numpy())))
+
+
+@pandas_udf(LongType())
+def cell_advance(cid: pd.Series, steps: pd.Series) -> pd.Series:
+    return pd.Series(C.as_i64(C.advance(cid.to_numpy(), steps.to_numpy())))
+
+
+@pandas_udf(LongType())
+def cell_common_ancestor_level(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        C.common_ancestor_level(a.to_numpy(), b.to_numpy()).astype(np.int64)
+    )
+
+
 def loop_parity_udf(loops_by_id: dict):
     """UDF factory: crossing-number parity of candidate (region, point)
     rows against the region's loop (kernels.edges.crossing_parity_fast,
