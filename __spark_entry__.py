@@ -128,6 +128,36 @@ def q_cellid_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cellunion_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2CellUnion Normalize + Intersection, distributed: rows grouped
+    into 16 unions of mixed-level cells (level 8 + key%3), normalized
+    via containment anti-joins + sibling-quadruple merge rounds (all
+    JVM bit arithmetic), then each union intersected with its successor
+    group's via unsigned range overlap.  Oracle: fully relational
+    DuckDB re-implementation (duckdb_oracle.cellunion_ops_sql)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.functions import sparkfns as S
+    from s2geometry_spark.operators import cellunion_ops as CU
+    from s2geometry_spark.operators import tile as T
+
+    n_groups = 16
+    df = T.assign_cellids(_orders_points(spark, sf_dir))
+    cells = df.select(
+        (F.col("key") % n_groups).alias("g"),
+        F.when(
+            F.col("key") % 3 == 0, S.cell_parent(F.col("cell_id"), 8)
+        )
+        .when(F.col("key") % 3 == 1, S.cell_parent(F.col("cell_id"), 9))
+        .otherwise(S.cell_parent(F.col("cell_id"), 10))
+        .alias("cell"),
+    )
+    norm = CU.normalize_unions(cells, levels=[8, 9, 10], merge_floor=7)
+    inter = CU.union_intersection(norm, (F.col("g") + 1) % n_groups)
+    return norm.select(F.lit("norm").alias("part"), "g", "cell").unionByName(
+        inter.select(F.lit("inter").alias("part"), "g", "cell")
+    )
+
+
 def _nation_caps(spark: SparkSession, sf_dir: str):
     from s2geometry_spark.sources import regions_src as R
 
@@ -834,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_tile_assign": q_tile_assign,
         "s2_cell_hierarchy": q_cell_hierarchy,
         "s2_cellid_nav": q_cellid_nav,
+        "s2_cellunion_ops": q_cellunion_ops,
         "s2_cell_token": q_cell_token,
         "s2_pip_cap_join": q_pip_cap_join,
         "s2_pip_cap_count": q_pip_cap_count,
@@ -1031,6 +1062,7 @@ def oracle_sql() -> dict[str, str]:
             + "FROM cells"
         ),
         "s2_cellid_nav": O.cellid_nav_sql(base),
+        "s2_cellunion_ops": O.cellunion_ops_sql(base),
         "s2_cell_token": (
             base
             + "\nSELECT key, "

@@ -350,3 +350,87 @@ SELECT key,
   {to_i.format(u="av")} AS adv12,
   CAST(GREATEST(60 - (bit_count(sm) - 1), -1) >> 1 AS BIGINT) AS ca_level
 FROM navs"""
+
+
+def _is_level_sql(expr: str, level: int) -> str:
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return f"(({expr}) & {2 * lsb - 1}) = {lsb}"
+
+
+def _bias_sql(expr: str) -> str:
+    return f"xor({expr}, CAST('-9223372036854775808' AS BIGINT))"
+
+
+def cellunion_ops_sql(base_ctes: str, n_groups: int = 16) -> str:
+    """Relational S2CellUnion Normalize + Intersection oracle
+    (S2Region/S2CellUnion.cs): grouped mixed-level cells (level
+    8 + key%3) are normalized by containment anti-joins (ancestor
+    levels 8 then 9) and three sibling-quadruple merge rounds
+    (10->9->8->7, a bounded unroll of the reference fixed point —
+    deeper quadruples cannot survive at these data scales, asserted
+    against the exhaustive scalar kernel in tests), then each group's
+    union is intersected with its successor group's via unsigned
+    range-overlap (bias trick), emitting the deeper cell.
+
+    `base_ctes` must provide cells(key, cell_id).
+    """
+    p = {lv: parent_sql("cell_id", lv) for lv in (8, 9, 10)}
+
+    def merge_round(src: str, child: int, mname: str, sname: str) -> str:
+        par = parent_sql("cell", child - 1)
+        is_child = _is_level_sql("cell", child)
+        return f"""{mname} AS MATERIALIZED (
+  SELECT g, {par} AS p FROM {src}
+  WHERE {is_child}
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT cell) = 4
+),
+{sname} AS MATERIALIZED (
+  SELECT g, cell FROM {src} t
+  WHERE NOT ({is_child.replace('cell', 't.cell')} AND EXISTS (
+    SELECT 1 FROM {mname} m
+    WHERE m.g = t.g AND m.p = {par.replace('cell', 't.cell')}))
+  UNION ALL SELECT g, p AS cell FROM {mname}
+)"""
+
+    def anc_round(src: str, out: str, anc: int) -> str:
+        holder = _is_level_sql("a.cell", anc)
+        deeper = f"NOT ({_is_level_sql('t.cell', anc)})"
+        par = parent_sql("t.cell", anc)
+        return f"""{out} AS MATERIALIZED (
+  SELECT g, cell FROM {src} t
+  WHERE NOT ({deeper} AND EXISTS (
+    SELECT 1 FROM {src} a WHERE a.g = t.g AND {holder} AND a.cell = {par}))
+)"""
+
+    rngs = {
+        s: (
+            f"{s}.cell - (({s}.cell & -({s}.cell)) - 1)",
+            f"{s}.cell + (({s}.cell & -({s}.cell)) - 1)",
+        )
+        for s in ("a", "b")
+    }
+    a_min, a_max = (_bias_sql(e) for e in rngs["a"])
+    b_min, b_max = (_bias_sql(e) for e in rngs["b"])
+    return f"""{base_ctes},
+cuc AS MATERIALIZED (
+  SELECT key % {n_groups} AS g,
+    CASE key % 3 WHEN 0 THEN {p[8]} WHEN 1 THEN {p[9]} ELSE {p[10]} END AS cell
+  FROM cells
+),
+cu0 AS MATERIALIZED (SELECT DISTINCT g, cell FROM cuc),
+{anc_round("cu0", "cu1", 8)},
+{anc_round("cu1", "cu2", 9)},
+{merge_round("cu2", 10, "m10", "s10")},
+{merge_round("s10", 9, "m9", "s9")},
+{merge_round("s9", 8, "m8", "cunorm")},
+cuinter AS MATERIALIZED (
+  SELECT DISTINCT a.g AS g,
+    CASE WHEN {a_min} <= {b_min} AND {b_max} <= {a_max}
+         THEN b.cell ELSE a.cell END AS cell
+  FROM cunorm a JOIN cunorm b
+    ON b.g = (a.g + 1) % {n_groups}
+   AND {b_min} <= {a_max} AND {b_max} >= {a_min}
+)
+SELECT 'norm' AS part, g, cell FROM cunorm
+UNION ALL
+SELECT 'inter' AS part, g, cell FROM cuinter"""

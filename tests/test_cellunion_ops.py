@@ -1,0 +1,78 @@
+"""Distributed cellunion Normalize/Intersection (operators.cellunion_ops)
+must equal the exhaustive scalar kernel (kernels.cellunion, ported from
+S2Region/S2CellUnion.cs with reference goldens) group for group —
+including that the bounded merge unroll (3 rounds, floor level 7) IS
+the fixed point at our data scales.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.functions import sparkfns as S
+from s2geometry_spark.kernels import cellid as C
+from s2geometry_spark.kernels import cellunion as CU
+from s2geometry_spark.operators import cellunion_ops as CUO
+
+N_GROUPS = 16
+
+
+@pytest.fixture(scope="module")
+def grouped(spark, sf_dir):
+    from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.sources import points as P
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = P.with_xyz(orders.select(F.col("o_orderkey").alias("key")))
+    df = T.assign_cellids(pts)
+    cells = df.select(
+        "key",
+        (F.col("key") % N_GROUPS).alias("g"),
+        F.when(F.col("key") % 3 == 0, S.cell_parent(F.col("cell_id"), 8))
+        .when(F.col("key") % 3 == 1, S.cell_parent(F.col("cell_id"), 9))
+        .otherwise(S.cell_parent(F.col("cell_id"), 10))
+        .alias("cell"),
+    )
+    norm = CUO.normalize_unions(
+        cells.select("g", "cell"), levels=[8, 9, 10], merge_floor=7
+    )
+    raw = {}
+    for g, cell in cells.select("g", "cell").collect():
+        raw.setdefault(g, []).append(int(np.uint64(np.int64(cell))))
+    got = {}
+    for g, cell in norm.collect():
+        got.setdefault(g, set()).add(int(np.uint64(np.int64(cell))))
+    return raw, got, norm
+
+
+def test_normalize_matches_scalar_kernel(grouped):
+    raw, got, _ = grouped
+    assert set(raw) == set(range(N_GROUPS))
+    for g, ids in raw.items():
+        want = set(CU.normalize(ids))
+        assert got[g] == want, f"group {g}: {len(got[g])} vs {len(want)}"
+
+
+def test_bounded_unroll_reaches_fixed_point(grouped):
+    """No normalized cell sits above the merge floor — i.e. the three
+    unrolled rounds were enough (a level-6 cell would mean a missed
+    fourth merge)."""
+    _, got, _ = grouped
+    for g, ids in got.items():
+        levels = {int(C.level(np.array([i], dtype=np.uint64))[0]) for i in ids}
+        assert min(levels) >= 7
+
+
+def test_intersection_matches_scalar_kernel(grouped):
+    raw, got, norm = grouped
+    inter = CUO.union_intersection(norm, (F.col("g") + 1) % N_GROUPS)
+    got_i = {g: set() for g in range(N_GROUPS)}
+    for g, cell in inter.collect():
+        got_i[g].add(int(np.uint64(np.int64(cell))))
+    for g in range(N_GROUPS):
+        a = CU.normalize(raw[g])
+        b = CU.normalize(raw[(g + 1) % N_GROUPS])
+        want = set(CU.intersection(a, b))
+        assert got_i[g] == want, f"group {g}"
