@@ -158,6 +158,65 @@ def q_cellunion_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s2_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed RegionCoverer: GetCovering / GetInteriorCovering /
+    CanonicalizeCovering of one deterministic cap per sampled customer
+    row, exploded with the exact reference refinement order (`ord`).
+    Oracle: driver-precomputed literal table through the same kernels
+    (golden-matched against the reference coverer)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import coverings as COV
+
+    keys = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("key"))
+        .where(F.col("key") % 150 == 0)
+        .repartition(8)
+    )
+    return COV.cap_covering_rows_df(keys)
+
+
+def q_s2_cell_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max cell↔cell squared-chord distance (S2Cell.Distance /
+    MaxDistance) between level-8 ancestors of consecutive sampled
+    orders.  Oracle: driver recompute through the golden-tested
+    kernels (literal table)."""
+    _ensure_pkg(spark)
+    from pyspark.sql import Window
+
+    from s2geometry_spark.functions import sparkfns as S
+    from s2geometry_spark.operators import cell_dist_op as CD
+    from s2geometry_spark.operators import tile as T
+
+    pts = _orders_points(spark, sf_dir).where(F.col("key") % 25 == 0)
+    df = T.assign_cellids(pts).select(
+        "key", S.cell_parent(F.col("cell_id"), 8).alias("cell_a")
+    )
+    w = Window.orderBy("key")
+    pairs = (
+        df.withColumn("cell_b", F.lead("cell_a").over(w))
+        .where(F.col("cell_b").isNotNull())
+        .select("key", "cell_a", "cell_b")
+    )
+    return CD.cell_pair_distances(pairs)
+
+
+def q_s2_closest_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=2 closest labeled index cells per sampled point
+    (Query/S2ClosestCellQuery.cs over a (cell_id, label) index of
+    level-6 supplier cells).  Oracle: driver recompute with the same
+    vectorized batch kernel (literal table)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.functions.literal_oracle import (
+        closest_cell_entries,
+    )
+    from s2geometry_spark.operators.knn import closest_cell_join
+
+    entries = closest_cell_entries(sf_dir)
+    pts = _orders_points(spark, sf_dir).where(F.col("key") % 25 == 0)
+    return closest_cell_join(pts, entries, k=2)
+
+
 def _nation_caps(spark: SparkSession, sf_dir: str):
     from s2geometry_spark.sources import regions_src as R
 
@@ -865,6 +924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_hierarchy": q_cell_hierarchy,
         "s2_cellid_nav": q_cellid_nav,
         "s2_cellunion_ops": q_cellunion_ops,
+        "s2_covering": q_s2_covering,
+        "s2_cell_distance": q_s2_cell_distance,
+        "s2_closest_cell": q_s2_closest_cell,
         "s2_cell_token": q_cell_token,
         "s2_pip_cap_join": q_pip_cap_join,
         "s2_pip_cap_count": q_pip_cap_count,
@@ -1105,6 +1167,9 @@ def oracle_sql() -> dict[str, str]:
         # s2geometry_spark/functions/literal_oracle.py for what each
         # one independently recomputes vs takes as literals)
         "s2_loop_measures": LO.loop_measures_sql(),
+        "s2_covering": LO.cap_coverings_sql(LO.oracle_sf_dir()),
+        "s2_cell_distance": LO.cell_pair_distances_sql(LO.oracle_sf_dir()),
+        "s2_closest_cell": LO.closest_cell_sql(LO.oracle_sf_dir()),
         "s2_buffer_loops": LO.buffer_loops_sql(),
         "s2_winding_groups": LO.winding_groups_sql(),
         "s2_shape_nesting": LO.shape_nesting_sql(),

@@ -1456,3 +1456,173 @@ def builder_simplify_sql() -> str:
             ("verts", "VARCHAR"),
         ],
     )
+
+
+@lru_cache(maxsize=2)
+def cap_coverings_sql(sf_dir: str, modulus: int = 150, max_cells: int = 8) -> str:
+    """Expected coverings for q_s2_covering — the driver recomputes the
+    same deterministic caps (sources.regions_src.cap_params) through the
+    same RegionCoverer kernels (S2RegionCoverer.cs semantics, golden-
+    matched in tests/test_coverer_golden.py) and emits them as literal
+    rows; the correctness contract is distributed == single-node, in
+    the exact reference refinement order (`ord`)."""
+    import pyarrow.parquet as pq
+
+    from ..kernels.coverer import CovererOptions, RegionCoverer
+    from ..kernels.geom import Cap
+    from ..sources import regions_src as R
+
+    keys = (
+        pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .column("c_custkey")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    keys = sorted(int(k) for k in keys if k % modulus == 0)
+    rc = RegionCoverer(CovererOptions(max_cells=max_cells))
+    rc_canon = RegionCoverer(
+        CovererOptions(max_cells=6, min_level=2, level_mod=2)
+    )
+    rows = []
+
+    def i64(c):
+        return int(np.int64(np.uint64(c)))
+
+    for key in keys:
+        cx, cy, cz, r2 = R.cap_params(key)
+        cap = Cap((cx, cy, cz), r2)
+        cov = rc.get_covering(cap)
+        rows.extend((key, "cov", i, i64(c)) for i, c in enumerate(cov))
+        rows.extend(
+            (key, "int", i, i64(c))
+            for i, c in enumerate(rc.get_interior_covering(cap))
+        )
+        canon = list(cov)
+        rc_canon.canonicalize_covering(canon)
+        rows.extend((key, "canon", i, i64(c)) for i, c in enumerate(canon))
+    return values_sql(
+        rows,
+        [
+            ("key", "BIGINT"),
+            ("kind", "VARCHAR"),
+            ("ord", "INT"),
+            ("cell_id", "BIGINT"),
+        ],
+    )
+
+
+def _sampled_leaf_cells(sf_dir: str, table: str, col: str, modulus: int):
+    """Sorted sampled keys and their leaf cell ids, derived exactly as
+    sources.points.with_xyz + the encode kernel do distributed."""
+    import pyarrow.parquet as pq
+
+    from ..kernels import cellid as C
+    from ..sources import points as P
+
+    keys = (
+        pq.read_table(f"{sf_dir}/{table}.parquet", columns=[col])
+        .column(col)
+        .to_numpy()
+        .astype(np.int64)
+    )
+    keys = np.sort(keys[keys % modulus == 0])
+    comps = {}
+    for axis in ("x", "y", "z"):
+        m, p = P.MUL[axis], P.MOD[axis]
+        comps[axis] = ((keys * m) % p).astype(np.float64) / (p / 2.0) - 1.0
+    leaf = C.xyz_to_cellid(comps["x"], comps["y"], comps["z"])
+    return keys, leaf, comps
+
+
+@lru_cache(maxsize=2)
+def cell_pair_distances_sql(sf_dir: str, modulus: int = 25, level: int = 8) -> str:
+    """Expected min/max cell↔cell squared-chord distances for
+    q_s2_cell_distance (S2Region/S2Cell.cs Distance/MaxDistance),
+    recomputed on the driver through the same golden-tested kernels."""
+    from ..kernels import cellid as C
+    from ..kernels.cell_dist import (
+        cell_distance_to_cell,
+        cell_max_distance_to_cell,
+    )
+    from ..kernels.geom import Cell
+
+    keys, leaf, _ = _sampled_leaf_cells(sf_dir, "orders", "o_orderkey", modulus)
+    par = C.parent(leaf, level)
+    rows = []
+    for i in range(len(keys) - 1):
+        ca, cb = Cell(par[i].item()), Cell(par[i + 1].item())
+        rows.append(
+            (
+                int(keys[i]),
+                int(np.int64(par[i])),
+                int(np.int64(par[i + 1])),
+                cell_distance_to_cell(ca, cb),
+                cell_max_distance_to_cell(ca, cb),
+            )
+        )
+    return values_sql(
+        rows,
+        [
+            ("key", "BIGINT"),
+            ("cell_a", "BIGINT"),
+            ("cell_b", "BIGINT"),
+            ("min_d2", "DOUBLE"),
+            ("max_d2", "DOUBLE"),
+        ],
+    )
+
+
+def closest_cell_entries(sf_dir: str, modulus: int = 10, level: int = 6):
+    """(cell_id uint, label) index entries for q_s2_closest_cell,
+    derived from sampled supplier keys."""
+    from ..kernels import cellid as C
+
+    keys, leaf, _ = _sampled_leaf_cells(sf_dir, "supplier", "s_suppkey", modulus)
+    par = C.parent(leaf, level)
+    return [(int(par[i]), int(keys[i]) % 97) for i in range(len(keys))]
+
+
+@lru_cache(maxsize=2)
+def closest_cell_sql(sf_dir: str, k: int = 2, modulus: int = 25) -> str:
+    """Expected k-closest labeled index cells per sampled point
+    (Query/S2ClosestCellQuery.cs), recomputed on the driver with the
+    same vectorized batch kernel the operator uses."""
+    from ..kernels.closest_cell import cell_distance_to_points_batch
+    from ..kernels.geom import Cell
+
+    ents = closest_cell_entries(sf_dir)
+    keys, _leaf, comps = _sampled_leaf_cells(
+        sf_dir, "orders", "o_orderkey", modulus
+    )
+    # same association as operators.spatial_join.normalized_cols:
+    # (x*x + y*y) + z*z, for bit-identical unit vectors
+    n = np.sqrt(
+        comps["x"] * comps["x"] + comps["y"] * comps["y"]
+        + comps["z"] * comps["z"]
+    )
+    px, py, pz = comps["x"] / n, comps["y"] / n, comps["z"] / n
+    dists = np.empty((len(ents), len(keys)))
+    for i, (cid, _lab) in enumerate(ents):
+        dists[i] = cell_distance_to_points_batch(
+            Cell(np.uint64(cid).item()), px, py, pz
+        )
+    rows = []
+    for j in range(len(keys)):
+        scored = sorted(
+            (float(dists[i, j]), ents[i][0], ents[i][1])
+            for i in range(len(ents))
+        )[:k]
+        for pos, (d, c, lab) in enumerate(scored):
+            rows.append(
+                (int(keys[j]), int(np.int64(np.uint64(c))), lab, d, pos + 1)
+            )
+    return values_sql(
+        rows,
+        [
+            ("key", "BIGINT"),
+            ("cell_id", "BIGINT"),
+            ("label", "BIGINT"),
+            ("dist2", "DOUBLE"),
+            ("rn", "BIGINT"),
+        ],
+    )

@@ -91,3 +91,64 @@ def covering_levels(pdf_or_df) -> list[int]:
     return sorted(
         r["level"] for r in pdf_or_df.select("level").distinct().collect()
     )
+
+
+def cap_covering_rows_df(
+    keys_df: DataFrame, max_cells: int = 8
+) -> DataFrame:
+    """Distributed coverer: one covering per input row's deterministic
+    cap (sources.regions_src.cap_params), exploded to
+    (key, kind, ord, cell_id) with kind in
+    {'cov' GetCovering, 'int' GetInteriorCovering,
+     'canon' CanonicalizeCovering(max_cells=6, min_level=2, level_mod=2)}.
+
+    `ord` is the position in the reference output order, so the oracle
+    pins the exact priority-queue refinement order, not just the set.
+    Region-level parallelism is the scale axis: each covering is an
+    O(max_cells) tree search, and a 10^8-region table fans out
+    perfectly over executors (mapInPandas, Arrow batches in, no
+    driver involvement).
+    """
+    import numpy as np
+
+    from ..kernels.coverer import CovererOptions, RegionCoverer
+    from ..kernels.geom import Cap
+    from ..sources import regions_src as R
+
+    def gen(batches):
+        rc = RegionCoverer(CovererOptions(max_cells=max_cells))
+        rc_canon = RegionCoverer(
+            CovererOptions(max_cells=6, min_level=2, level_mod=2)
+        )
+
+        def i64(c):
+            return int(np.int64(np.uint64(c)))
+
+        for pdf in batches:
+            rows = []
+            for key in pdf["key"].tolist():
+                cx, cy, cz, r2 = R.cap_params(int(key))
+                cap = Cap((cx, cy, cz), r2)
+                cov = rc.get_covering(cap)
+                rows.extend(
+                    (key, "cov", i, i64(c)) for i, c in enumerate(cov)
+                )
+                rows.extend(
+                    (key, "int", i, i64(c))
+                    for i, c in enumerate(rc.get_interior_covering(cap))
+                )
+                canon = list(cov)
+                rc_canon.canonicalize_covering(canon)
+                rows.extend(
+                    (key, "canon", i, i64(c)) for i, c in enumerate(canon)
+                )
+            yield pd.DataFrame(
+                rows, columns=["key", "kind", "ord", "cell_id"]
+            ).astype(
+                {"key": "int64", "kind": "object", "ord": "int32",
+                 "cell_id": "int64"}
+            )
+
+    return keys_df.mapInPandas(
+        gen, schema="key long, kind string, ord int, cell_id long"
+    )
