@@ -217,6 +217,100 @@ def q_s2_closest_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closest_cell_join(pts, entries, k=2)
 
 
+def q_s2_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust predicates (Sign / OrderedCCW / CompareDistances /
+    VertexCrossing / WedgeRelation) over sliding 5-tuples of sampled
+    unit points.  Outcomes are exact ints/bools/enums; oracle is the
+    driver recompute through the same exact-arithmetic kernels."""
+    _ensure_pkg(spark)
+    from pyspark.sql import Window
+
+    from s2geometry_spark.operators import predicates_op as PR
+    from s2geometry_spark.operators.spatial_join import normalized_cols
+
+    pts = normalized_cols(
+        _orders_points(spark, sf_dir).where(F.col("key") % 10 == 0)
+    )
+    w = Window.orderBy("key")
+    df = pts.select("key", "ux", "uy", "uz")
+    names = ["a", "b", "c", "d", "e"]
+    for j, p in enumerate(names):
+        for ax in ("x", "y", "z"):
+            col = F.col(f"u{ax}") if j == 0 else F.lead(f"u{ax}", j).over(w)
+            df = df.withColumn(f"{p}{ax}", col)
+    df = df.where(F.col("ex").isNotNull())
+    return PR.predicate_columns(df)
+
+
+def q_s2_loop_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loop↔loop Contains/Intersects/CompareBoundary/ContainsNested
+    over the 25×25 synthetic-loop pair matrix (self-pairs hit every
+    shared-vertex wedge branch).  Oracle: driver recompute through the
+    same kernels — exact bool/int equality."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import loop_relations_op as LR
+    from s2geometry_spark.sources import regions_src as R
+
+    keys = [
+        int(r[0])
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_nationkey")
+        .collect()
+    ]
+    loops = dict(R.synthetic_loops(sorted(keys)))
+    ids = spark.createDataFrame([(k,) for k in sorted(keys)], "a_id long")
+    pairs = ids.crossJoin(ids.select(F.col("a_id").alias("b_id"))).repartition(
+        8
+    )
+    return LR.loop_relations(pairs, loops)
+
+
+def q_s2_edgeclip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge→face uv clipping (S2EdgeClipping.ClipToPaddedFace) of
+    consecutive sampled unit-point edges against all six cube faces.
+    Oracle: driver recompute through the same kernel (literal table)."""
+    _ensure_pkg(spark)
+    from pyspark.sql import Window
+
+    from s2geometry_spark.operators import edgeclip_op as EC
+    from s2geometry_spark.operators.spatial_join import normalized_cols
+
+    pts = normalized_cols(
+        _orders_points(spark, sf_dir).where(F.col("key") % 25 == 0)
+    )
+    w = Window.orderBy("key")
+    edges = (
+        pts.select(
+            "key",
+            F.col("ux").alias("ax"),
+            F.col("uy").alias("ay"),
+            F.col("uz").alias("az"),
+            F.lead("ux").over(w).alias("bx"),
+            F.lead("uy").over(w).alias("by"),
+            F.lead("uz").over(w).alias("bz"),
+        )
+        .where(F.col("bx").isNotNull())
+    )
+    return EC.edge_face_clips(edges)
+
+
+def q_s2_rect_bounder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative polyline lat/lng bounds (S2LatLngRectBounder.cs)
+    via the grouped chain kernel.  Oracle: driver recompute (literal
+    table)."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.polyline_measure_vertices(),
+        columns=["line_id", "vtx_idx", "x", "y", "z"],
+    )
+    return MO.rect_bounds(spark.createDataFrame(pdf))
+
+
 def _nation_caps(spark: SparkSession, sf_dir: str):
     from s2geometry_spark.sources import regions_src as R
 
@@ -927,6 +1021,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_covering": q_s2_covering,
         "s2_cell_distance": q_s2_cell_distance,
         "s2_closest_cell": q_s2_closest_cell,
+        "s2_predicates": q_s2_predicates,
+        "s2_loop_relations": q_s2_loop_relations,
+        "s2_edgeclip": q_s2_edgeclip,
+        "s2_rect_bounder": q_s2_rect_bounder,
         "s2_cell_token": q_cell_token,
         "s2_pip_cap_join": q_pip_cap_join,
         "s2_pip_cap_count": q_pip_cap_count,
@@ -1170,6 +1268,10 @@ def oracle_sql() -> dict[str, str]:
         "s2_covering": LO.cap_coverings_sql(LO.oracle_sf_dir()),
         "s2_cell_distance": LO.cell_pair_distances_sql(LO.oracle_sf_dir()),
         "s2_closest_cell": LO.closest_cell_sql(LO.oracle_sf_dir()),
+        "s2_predicates": LO.predicates_sql(LO.oracle_sf_dir()),
+        "s2_loop_relations": LO.loop_relations_sql(),
+        "s2_edgeclip": LO.edgeclip_sql(LO.oracle_sf_dir()),
+        "s2_rect_bounder": LO.rect_bounds_sql(),
         "s2_buffer_loops": LO.buffer_loops_sql(),
         "s2_winding_groups": LO.winding_groups_sql(),
         "s2_shape_nesting": LO.shape_nesting_sql(),

@@ -1626,3 +1626,130 @@ def closest_cell_sql(sf_dir: str, k: int = 2, modulus: int = 25) -> str:
             ("rn", "BIGINT"),
         ],
     )
+
+
+@lru_cache(maxsize=2)
+def predicates_sql(sf_dir: str, modulus: int = 10) -> str:
+    """Expected robust-predicate outcomes for q_s2_predicates
+    (S2Predicates.cs / S2WedgeRelations.cs), recomputed on the driver
+    through the same exact-arithmetic kernels.  All outcomes are ints/
+    bools/enum strings — exact equality, no float tolerance anywhere."""
+    from ..operators.predicates_op import predicate_rows
+
+    keys, _leaf, comps = _sampled_leaf_cells(
+        sf_dir, "orders", "o_orderkey", modulus
+    )
+    n = np.sqrt(
+        comps["x"] * comps["x"] + comps["y"] * comps["y"]
+        + comps["z"] * comps["z"]
+    )
+    ux, uy, uz = comps["x"] / n, comps["y"] / n, comps["z"] / n
+    rows = []
+    for i in range(len(keys) - 4):
+        pts = [
+            (float(ux[i + j]), float(uy[i + j]), float(uz[i + j]))
+            for j in range(5)
+        ]
+        sgn, occw, cmpd, vc, wr = predicate_rows(pts)
+        rows.append((int(keys[i]), sgn, occw, cmpd, vc, wr))
+    return values_sql(
+        rows,
+        [
+            ("key", "BIGINT"),
+            ("sgn", "INT"),
+            ("occw", "BOOLEAN"),
+            ("cmpd", "INT"),
+            ("vcross", "INT"),
+            ("wedge", "VARCHAR"),
+        ],
+    )
+
+
+@lru_cache(maxsize=1)
+def loop_relations_sql() -> str:
+    """Expected loop↔loop relations for q_s2_loop_relations
+    (S2Loop.Contains/Intersects/CompareBoundary/ContainsNested),
+    recomputed on the driver over the same 25×25 synthetic-loop pairs
+    (self-pairs exercise every shared-vertex wedge branch).  All
+    outcomes are bools/ints — exact equality."""
+    from ..operators.loop_relations_op import relation_row
+    from ..sources import regions_src as R
+
+    loops = dict(R.synthetic_loops(range(25)))
+    rows = []
+    for a_id in range(25):
+        for b_id in range(25):
+            c, x, cb, n = relation_row(loops[a_id], loops[b_id])
+            rows.append((a_id, b_id, c, x, cb, n))
+    return values_sql(
+        rows,
+        [
+            ("a_id", "BIGINT"),
+            ("b_id", "BIGINT"),
+            ("contains", "BOOLEAN"),
+            ("intersects", "BOOLEAN"),
+            ("cmp_boundary", "INT"),
+            ("nested", "BOOLEAN"),
+        ],
+    )
+
+
+@lru_cache(maxsize=2)
+def edgeclip_sql(sf_dir: str, modulus: int = 25) -> str:
+    """Expected per-face uv clips for q_s2_edgeclip
+    (S2EdgeClipping.ClipToPaddedFace), recomputed on the driver through
+    the same kernel over the same consecutive sampled unit-point edges."""
+    from ..operators.edgeclip_op import clip_rows
+
+    keys, _leaf, comps = _sampled_leaf_cells(
+        sf_dir, "orders", "o_orderkey", modulus
+    )
+    n = np.sqrt(
+        comps["x"] * comps["x"] + comps["y"] * comps["y"]
+        + comps["z"] * comps["z"]
+    )
+    ux, uy, uz = comps["x"] / n, comps["y"] / n, comps["z"] / n
+    rows = []
+    for i in range(len(keys) - 1):
+        a = (float(ux[i]), float(uy[i]), float(uz[i]))
+        b = (float(ux[i + 1]), float(uy[i + 1]), float(uz[i + 1]))
+        for f, au, av, bu, bv in clip_rows(a, b):
+            rows.append((int(keys[i]), f, au, av, bu, bv))
+    return values_sql(
+        rows,
+        [
+            ("key", "BIGINT"),
+            ("face", "INT"),
+            ("au", "DOUBLE"),
+            ("av", "DOUBLE"),
+            ("bu", "DOUBLE"),
+            ("bv", "DOUBLE"),
+        ],
+    )
+
+
+@lru_cache(maxsize=1)
+def rect_bounds_sql() -> str:
+    """Expected polyline lat/lng bounds for q_s2_rect_bounder
+    (S2LatLngRectBounder.cs), recomputed on the driver over the same 25
+    synthetic polylines."""
+    from ..kernels.loop import RectBounder
+    from ..sources import regions_src as R
+
+    rows = []
+    for key in range(25):
+        rb = RectBounder()
+        for v in R.polyline_vertices(key):
+            rb.add_point((float(v[0]), float(v[1]), float(v[2])))
+        b = rb.bound
+        rows.append((key, b.lat.lo, b.lat.hi, b.lng.lo, b.lng.hi))
+    return values_sql(
+        rows,
+        [
+            ("line_id", "BIGINT"),
+            ("lat_lo", "DOUBLE"),
+            ("lat_hi", "DOUBLE"),
+            ("lng_lo", "DOUBLE"),
+            ("lng_hi", "DOUBLE"),
+        ],
+    )

@@ -752,3 +752,40 @@ def builder_simplify_rows(case_df: DataFrame) -> DataFrame:
     return case_df.groupBy("case_id").applyInPandas(
         compute, schema=BUILDER_SIMPLIFY_SCHEMA
     )
+
+
+RECT_BOUND_SCHEMA = (
+    "line_id long, lat_lo double, lat_hi double, "
+    "lng_lo double, lng_hi double"
+)
+
+
+def rect_bounds(vertex_df: DataFrame) -> DataFrame:
+    """Per-chain conservative lat/lng bound
+    (S2LatLngRectBounder.cs:140-260 via kernels.loop.RectBounder):
+    vertices gathered in order inside one applyInPandas group, exactly
+    like the other chain measures — chain-level parallelism scales,
+    the per-chain pass is O(vertices)."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels.loop import RectBounder
+
+        (lid,) = key
+        pdf = pdf.sort_values("vtx_idx")
+        rb = RectBounder()
+        for v in pdf[["x", "y", "z"]].to_numpy():
+            rb.add_point((float(v[0]), float(v[1]), float(v[2])))
+        b = rb.bound
+        return pd.DataFrame(
+            [
+                {
+                    "line_id": int(lid),
+                    "lat_lo": b.lat.lo, "lat_hi": b.lat.hi,
+                    "lng_lo": b.lng.lo, "lng_hi": b.lng.hi,
+                }
+            ]
+        )
+
+    return vertex_df.groupBy("line_id").applyInPandas(
+        compute, schema=RECT_BOUND_SCHEMA
+    )
