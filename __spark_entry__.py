@@ -311,6 +311,88 @@ def q_s2_rect_bounder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MO.rect_bounds(spark.createDataFrame(pdf))
 
 
+def q_s2_earth_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Earth conversions + S2Metrics level pickers over per-row
+    ground distances.  The kernel uses exact frexp exponent arithmetic;
+    the DuckDB oracle independently re-derives levels with a corrected
+    floor(log2) — a two-implementation boundary check, not a literal."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import earth_metrics_op as EM
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = (
+        orders.select(F.col("o_orderkey").alias("key"))
+        .where(F.col("key") % 10 == 0)
+        .withColumn(
+            "meters",
+            ((F.col("key") % 100000) + 1).cast("double") * F.lit(37.5),
+        )
+    )
+    return EM.earth_metric_columns(df)
+
+
+def q_s2_textformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2TextFormat ToDebugString of sampled unit points + MakePoint
+    round trip re-encoded to leaf cells.  Oracle: driver recompute
+    (literal table)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.functions import udfs as U
+    from s2geometry_spark.operators.spatial_join import normalized_cols
+
+    pts = normalized_cols(
+        _orders_points(spark, sf_dir).where(F.col("key") % 25 == 0)
+    )
+    df = pts.select(
+        "key",
+        U.point_debug_string(
+            F.col("ux"), F.col("uy"), F.col("uz")
+        ).alias("debug"),
+    )
+    return df.withColumn(
+        "cell_rt", U.debug_string_to_cellid(F.col("debug"))
+    )
+
+
+def q_s2_triangle_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical triangle Angle/TurnAngle/Girard/Area/SignedArea/
+    TrueCentroid over sliding triples of sampled unit points.  Oracle:
+    driver recompute (literal table)."""
+    _ensure_pkg(spark)
+    from pyspark.sql import Window
+
+    from s2geometry_spark.operators import measures_op as MO
+    from s2geometry_spark.operators.spatial_join import normalized_cols
+
+    pts = normalized_cols(
+        _orders_points(spark, sf_dir).where(F.col("key") % 25 == 0)
+    )
+    w = Window.orderBy("key")
+    df = pts.select("key", "ux", "uy", "uz")
+    for j, p in enumerate(("a", "b", "c")):
+        for ax in ("x", "y", "z"):
+            col = F.col(f"u{ax}") if j == 0 else F.lead(f"u{ax}", j).over(w)
+            df = df.withColumn(f"{p}{ax}", col)
+    df = df.where(F.col("cx").isNotNull())
+    return MO.triangle_measures(df)
+
+
+def q_s2_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hole-subtracted polygon areas (S2Polygon.GetArea, loops signed
+    by nesting depth) via the grouped chain kernel.  Oracle: driver
+    recompute (literal table)."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.polygon_vertex_rows(),
+        columns=["region_id", "loop_idx", "depth", "vtx_idx", "x", "y", "z"],
+    )
+    return MO.polygon_areas(spark.createDataFrame(pdf))
+
+
 def _nation_caps(spark: SparkSession, sf_dir: str):
     from s2geometry_spark.sources import regions_src as R
 
@@ -321,6 +403,32 @@ def _nation_caps(spark: SparkSession, sf_dir: str):
         .collect()
     ]
     return R.synthetic_caps(sorted(keys))
+
+
+def q_pip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join form: keys of points inside ANY cap (left_semi against
+    the covering join result).  Oracle: DISTINCT keys of the brute-force
+    SQL pip join — fully independent."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.operators import tile as T
+
+    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    return SJ.point_in_cap_semi(
+        spark, pts, _nation_caps(spark, sf_dir)
+    ).select("key")
+
+
+def q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join form: keys of points outside EVERY cap."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.operators import tile as T
+
+    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    return SJ.point_in_cap_semi(
+        spark, pts, _nation_caps(spark, sf_dir), anti=True
+    ).select("key")
 
 
 def q_pip_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1025,6 +1133,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_loop_relations": q_s2_loop_relations,
         "s2_edgeclip": q_s2_edgeclip,
         "s2_rect_bounder": q_s2_rect_bounder,
+        "s2_earth_metrics": q_s2_earth_metrics,
+        "s2_textformat": q_s2_textformat,
+        "s2_pip_semi": q_pip_semi,
+        "s2_pip_anti": q_pip_anti,
+        "s2_triangle_measures": q_s2_triangle_measures,
+        "s2_polygon_area": q_s2_polygon_area,
         "s2_cell_token": q_cell_token,
         "s2_pip_cap_join": q_pip_cap_join,
         "s2_pip_cap_count": q_pip_cap_count,
@@ -1272,6 +1386,20 @@ def oracle_sql() -> dict[str, str]:
         "s2_loop_relations": LO.loop_relations_sql(),
         "s2_edgeclip": LO.edgeclip_sql(LO.oracle_sf_dir()),
         "s2_rect_bounder": LO.rect_bounds_sql(),
+        "s2_earth_metrics": O.earth_metrics_sql(),
+        "s2_textformat": LO.textformat_sql(LO.oracle_sf_dir()),
+        "s2_pip_semi": (
+            "SELECT DISTINCT key FROM (" + pip_base + ") t"
+        ),
+        "s2_triangle_measures": LO.triangle_measures_sql(LO.oracle_sf_dir()),
+        "s2_polygon_area": LO.polygon_areas_sql(),
+        "s2_pip_anti": (
+            "WITH "
+            + P.xyz_sql_cte("orders", "o_orderkey", name="allpts")
+            + " SELECT key FROM allpts EXCEPT SELECT key FROM ("
+            + pip_base
+            + ") t"
+        ),
         "s2_buffer_loops": LO.buffer_loops_sql(),
         "s2_winding_groups": LO.winding_groups_sql(),
         "s2_shape_nesting": LO.shape_nesting_sql(),

@@ -434,3 +434,61 @@ cuinter AS MATERIALIZED (
 SELECT 'norm' AS part, g, cell FROM cunorm
 UNION ALL
 SELECT 'inter' AS part, g, cell FROM cuinter"""
+
+
+def earth_metrics_sql(modulus: int = 10) -> str:
+    """Independent S2Earth/S2Metrics oracle (S2Earth.cs, S2Metrics.cs):
+    conversions are plain double arithmetic; the level pickers'
+    frexp-exponent arithmetic is re-implemented as a floor(log2)
+    CORRECTED by exact power-of-two compares (a rounded log2 alone is
+    off by one when the ratio sits next to 2^k; power(2.0, k) is exact
+    for |k| < 1024, so the compare repairs it)."""
+    from ..constants import (
+        KAVG_AREA_DERIV,
+        KAVG_EDGE_DERIV,
+        KMIN_WIDTH_DERIV,
+        MAX_LEVEL,
+    )
+    from ..kernels.earth import RADIUS_KM, RADIUS_METERS
+
+    def d(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    def flog2(x: str) -> str:
+        e0 = f"CAST(floor(log2({x})) AS BIGINT)"
+        return (
+            f"({e0} + CASE WHEN ({x}) >= power(2.0, {e0} + 1) THEN 1 ELSE 0 END"
+            f" - CASE WHEN ({x}) < power(2.0, {e0}) THEN 1 ELSE 0 END)"
+        )
+
+    def clamp(lv: str) -> str:
+        return f"GREATEST(0, LEAST({MAX_LEVEL}, {lv}))"
+
+    sqrt2 = "sqrt(2.0)"
+    minw, avge, avga = (
+        d(KMIN_WIDTH_DERIV), d(KAVG_EDGE_DERIV), d(KAVG_AREA_DERIV)
+    )
+    return f"""WITH em0 AS (
+  SELECT o_orderkey AS key,
+         CAST((o_orderkey % 100000) + 1 AS DOUBLE) * 37.5 AS meters
+  FROM orders WHERE o_orderkey % {modulus} = 0
+),
+em1 AS (
+  SELECT key, meters / {d(RADIUS_METERS)} AS rad FROM em0
+),
+emr AS MATERIALIZED (
+  SELECT key, rad, rad * {d(RADIUS_KM)} AS km,
+         {clamp(f"-{flog2(f'(rad / {minw})')}")} AS l1,
+         {clamp(flog2(f'({avge} / rad)'))} AS l2,
+         {clamp(f"-({flog2(f'(rad / {avga})')} >> 1)")} AS l3,
+         {clamp(f"-{flog2(f'(({sqrt2} * rad) / {avge})')}")} AS l4
+  FROM em1
+)
+SELECT key, rad, km,
+  CAST(l1 AS INT) AS lvl_minw_max,
+  CAST(l2 AS INT) AS lvl_avge_min,
+  CAST(l3 AS INT) AS lvl_avga_max,
+  CAST(l4 AS INT) AS lvl_closest,
+  {minw} * power(2.0, -l1) AS val_minw,
+  {avga} * power(2.0, -2 * l3) AS val_avga
+FROM emr"""

@@ -1753,3 +1753,108 @@ def rect_bounds_sql() -> str:
             ("lng_hi", "DOUBLE"),
         ],
     )
+
+
+@lru_cache(maxsize=2)
+def textformat_sql(sf_dir: str, modulus: int = 25) -> str:
+    """Expected S2TextFormat debug strings + MakePoint round-trip leaf
+    cells for q_s2_textformat, recomputed on the driver through the
+    same kernels (S2TextFormat.cs ToDebugString/MakePoint)."""
+    from ..kernels import cellid as C
+    from ..kernels import textformat as TF
+
+    keys, _leaf, comps = _sampled_leaf_cells(
+        sf_dir, "orders", "o_orderkey", modulus
+    )
+    n = np.sqrt(
+        comps["x"] * comps["x"] + comps["y"] * comps["y"]
+        + comps["z"] * comps["z"]
+    )
+    ux, uy, uz = comps["x"] / n, comps["y"] / n, comps["z"] / n
+    rows = []
+    for i in range(len(keys)):
+        s = TF.point_to_string((float(ux[i]), float(uy[i]), float(uz[i])))
+        p = np.array([TF.make_point(s)])
+        cid = int(C.as_i64(C.xyz_to_cellid(p[:, 0], p[:, 1], p[:, 2]))[0])
+        rows.append((int(keys[i]), s, cid))
+    return values_sql(
+        rows,
+        [("key", "BIGINT"), ("debug", "VARCHAR"), ("cell_rt", "BIGINT")],
+    )
+
+
+def polygon_vertex_rows() -> list[tuple]:
+    """(region_id, loop_idx, depth, vtx_idx, x, y, z) rows of the 25
+    synthetic shell+hole polygons (shared by the Spark query and the
+    expected computation)."""
+    from ..sources import regions_src as R
+
+    rows = []
+    for rid, poly in R.synthetic_polygons(range(25)):
+        for li, lp in enumerate(poly.loops):
+            depth = li  # shell then concentric hole
+            for vi, v in enumerate(np.asarray(lp.verts)):
+                rows.append(
+                    (rid, li, depth, vi,
+                     float(v[0]), float(v[1]), float(v[2]))
+                )
+    return rows
+
+
+@lru_cache(maxsize=1)
+def polygon_areas_sql() -> str:
+    """Expected hole-subtracted polygon areas for q_s2_polygon_area
+    (S2Polygon.cs GetArea), recomputed on the driver."""
+    from ..kernels import measures as M
+
+    pdf = pd.DataFrame(
+        polygon_vertex_rows(),
+        columns=["region_id", "loop_idx", "depth", "vtx_idx", "x", "y", "z"],
+    )
+    rows = []
+    for rid, sub in sorted(pdf.groupby("region_id")):
+        loops = []
+        for _li, lsub in sorted(sub.groupby("loop_idx")):
+            lsub = lsub.sort_values("vtx_idx")
+            loops.append(
+                (int(lsub["depth"].iloc[0]),
+                 lsub[["x", "y", "z"]].to_numpy())
+            )
+        rows.append((int(rid), M.polygon_area(loops)))
+    return values_sql(rows, [("region_id", "BIGINT"), ("parea", "DOUBLE")])
+
+
+@lru_cache(maxsize=2)
+def triangle_measures_sql(sf_dir: str, modulus: int = 25) -> str:
+    """Expected per-triple spherical triangle measures for
+    q_s2_triangle_measures (S2Measures.cs / S2Centroid.cs), recomputed
+    on the driver through the same kernels."""
+    from ..kernels import measures as M
+
+    keys, _leaf, comps = _sampled_leaf_cells(
+        sf_dir, "orders", "o_orderkey", modulus
+    )
+    n = np.sqrt(
+        comps["x"] * comps["x"] + comps["y"] * comps["y"]
+        + comps["z"] * comps["z"]
+    )
+    ux, uy, uz = comps["x"] / n, comps["y"] / n, comps["z"] / n
+    rows = []
+    for i in range(len(keys) - 2):
+        a = (float(ux[i]), float(uy[i]), float(uz[i]))
+        b = (float(ux[i + 1]), float(uy[i + 1]), float(uz[i + 1]))
+        c = (float(ux[i + 2]), float(uy[i + 2]), float(uz[i + 2]))
+        tc = M.true_centroid(a, b, c)
+        rows.append(
+            (int(keys[i]), M.angle(a, b, c), M.turn_angle(a, b, c),
+             M.girard_area(a, b, c), M.triangle_area(a, b, c),
+             M.signed_triangle_area(a, b, c), tc[0], tc[1], tc[2])
+        )
+    return values_sql(
+        rows,
+        [
+            ("key", "BIGINT"), ("ang", "DOUBLE"), ("turn", "DOUBLE"),
+            ("girard", "DOUBLE"), ("area", "DOUBLE"), ("sarea", "DOUBLE"),
+            ("cx", "DOUBLE"), ("cy", "DOUBLE"), ("cz", "DOUBLE"),
+        ],
+    )

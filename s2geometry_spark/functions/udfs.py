@@ -188,3 +188,26 @@ def ancestors_array(levels: list[int]):
         return pd.Series(list(np.stack(cols, axis=1)))
 
     return _anc
+
+
+@pandas_udf(StringType())
+def point_debug_string(ux: pd.Series, uy: pd.Series, uz: pd.Series) -> pd.Series:
+    """S2TextFormat.ToDebugString of a unit point ("lat:lng", %.15g)."""
+    from ..kernels import textformat as TF
+
+    xs, ys, zs = ux.to_numpy(), uy.to_numpy(), uz.to_numpy()
+    return pd.Series(
+        [TF.point_to_string((xs[i], ys[i], zs[i])) for i in range(len(xs))]
+    )
+
+
+@pandas_udf(LongType())
+def debug_string_to_cellid(s: pd.Series) -> pd.Series:
+    """S2TextFormat.MakePoint round trip re-encoded to a leaf cell id —
+    the parse path feeding the pipeline."""
+    from ..kernels import textformat as TF
+
+    pts = np.array([TF.make_point(t) for t in s.tolist()])
+    if len(pts) == 0:
+        return pd.Series([], dtype="int64")
+    return pd.Series(C.as_i64(C.xyz_to_cellid(pts[:, 0], pts[:, 1], pts[:, 2])))

@@ -789,3 +789,78 @@ def rect_bounds(vertex_df: DataFrame) -> DataFrame:
     return vertex_df.groupBy("line_id").applyInPandas(
         compute, schema=RECT_BOUND_SCHEMA
     )
+
+
+TRIANGLE_SCHEMA = (
+    "key long, ang double, turn double, girard double, "
+    "area double, sarea double, cx double, cy double, cz double"
+)
+
+
+def triangle_measures(triples: DataFrame) -> DataFrame:
+    """Per-row spherical triangle measures (S2Measures.cs Angle/
+    TurnAngle/GirardArea/Area/SignedArea + S2Centroid.TrueCentroid)
+    over (ax..cz) unit-point triples — one Arrow batch, rows
+    independent, partition-parallel."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<ang: double, turn: double, girard: double, area: double,"
+        " sarea: double, cx: double, cy: double, cz: double>"
+    )
+    def _tri(ax, ay, az, bx, by, bz, cx, cy, cz):
+        from ..kernels import measures as M
+
+        out = {k: [] for k in
+               ("ang", "turn", "girard", "area", "sarea", "cx", "cy", "cz")}
+        for i in range(len(ax)):
+            a = (float(ax[i]), float(ay[i]), float(az[i]))
+            b = (float(bx[i]), float(by[i]), float(bz[i]))
+            c = (float(cx[i]), float(cy[i]), float(cz[i]))
+            out["ang"].append(M.angle(a, b, c))
+            out["turn"].append(M.turn_angle(a, b, c))
+            out["girard"].append(M.girard_area(a, b, c))
+            out["area"].append(M.triangle_area(a, b, c))
+            out["sarea"].append(M.signed_triangle_area(a, b, c))
+            tc = M.true_centroid(a, b, c)
+            out["cx"].append(tc[0])
+            out["cy"].append(tc[1])
+            out["cz"].append(tc[2])
+        return pd.DataFrame(out)
+
+    s = _tri(*[F.col(f"{p}{ax}") for p in ("a", "b", "c")
+               for ax in ("x", "y", "z")])
+    return triples.select(
+        "key",
+        *[s.getField(f).alias(f)
+          for f in ("ang", "turn", "girard", "area", "sarea",
+                    "cx", "cy", "cz")],
+    )
+
+
+POLYGON_AREA_SCHEMA = "region_id long, parea double"
+
+
+def polygon_areas(vertex_df: DataFrame) -> DataFrame:
+    """Per-polygon area with holes subtracted by nesting depth
+    (S2Polygon.cs:471-487 via kernels.measures.polygon_area): vertex
+    rows (region_id, depth, loop_idx, vtx_idx, x, y, z) gathered per
+    polygon in one applyInPandas group."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import measures as M
+
+        (rid,) = key
+        loops = []
+        for _li, sub in sorted(pdf.groupby("loop_idx")):
+            sub = sub.sort_values("vtx_idx")
+            loops.append(
+                (int(sub["depth"].iloc[0]), sub[["x", "y", "z"]].to_numpy())
+            )
+        return pd.DataFrame(
+            [{"region_id": int(rid), "parea": M.polygon_area(loops)}]
+        )
+
+    return vertex_df.groupBy("region_id").applyInPandas(
+        compute, schema=POLYGON_AREA_SCHEMA
+    )
