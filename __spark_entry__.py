@@ -131,10 +131,11 @@ def q_cellid_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cellunion_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2CellUnion Normalize + Intersection, distributed: rows grouped
     into 16 unions of mixed-level cells (level 8 + key%3), normalized
-    via containment anti-joins + sibling-quadruple merge rounds (all
-    JVM bit arithmetic), then each union intersected with its successor
-    group's via unsigned range overlap.  Oracle: fully relational
-    DuckDB re-implementation (duckdb_oracle.cellunion_ops_sql)."""
+    in ONE exchange (per-subtree exhaustive kernel; the all-JVM
+    groupBy-round chain is the tested alternative), then each union
+    intersected with its successor group's via unsigned range overlap.
+    Oracle: fully relational DuckDB re-implementation
+    (duckdb_oracle.cellunion_ops_sql)."""
     _ensure_pkg(spark)
     from s2geometry_spark.functions import sparkfns as S
     from s2geometry_spark.operators import cellunion_ops as CU
@@ -151,7 +152,9 @@ def q_cellunion_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(S.cell_parent(F.col("cell_id"), 10))
         .alias("cell"),
     )
-    norm = CU.normalize_unions(cells, levels=[8, 9, 10], merge_floor=7)
+    # norm feeds the self-join AND the output union — materialize once
+    # (a cluster job would checkpoint the stage; plans/checkpoint.py)
+    norm = CU.normalize_unions_subtree(cells).localCheckpoint()
     inter = CU.union_intersection(norm, (F.col("g") + 1) % n_groups)
     return norm.select(F.lit("norm").alias("part"), "g", "cell").unionByName(
         inter.select(F.lit("inter").alias("part"), "g", "cell")
@@ -258,7 +261,11 @@ def q_s2_loop_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     loops = dict(R.synthetic_loops(sorted(keys)))
-    ids = spark.createDataFrame([(k,) for k in sorted(keys)], "a_id long")
+    # single-partition inputs: a crossJoin of two default-parallelism
+    # DataFrames launches cores^2 (1024) tasks for a 625-row product
+    ids = spark.createDataFrame(
+        [(k,) for k in sorted(keys)], "a_id long"
+    ).coalesce(1)
     pairs = ids.crossJoin(ids.select(F.col("a_id").alias("b_id"))).repartition(
         8
     )
@@ -391,6 +398,34 @@ def q_s2_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["region_id", "loop_idx", "depth", "vtx_idx", "x", "y", "z"],
     )
     return MO.polygon_areas(spark.createDataFrame(pdf))
+
+
+def q_s2_cell_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell uv geometry: IJLevelToBoundUV, ExpandedByDistanceUV, and
+    MaximumTile (Hilbert-range tiling, limit = next sampled cell) on
+    level-12 ancestors of sampled orders.  Oracle: driver recompute
+    (literal table)."""
+    _ensure_pkg(spark)
+    from pyspark.sql import Window
+
+    from s2geometry_spark.functions import sparkfns as S
+    from s2geometry_spark.operators import cell_geometry_op as CG
+    from s2geometry_spark.operators import tile as T
+
+    pts = _orders_points(spark, sf_dir).where(F.col("key") % 25 == 0)
+    df = T.assign_cellids(pts).select(
+        "key", S.cell_parent(F.col("cell_id"), 12).alias("cell")
+    )
+    w = Window.orderBy("key")
+    cells = (
+        df.withColumn("nxt", F.lead("cell").over(w))
+        .where(F.col("nxt").isNotNull())
+        .withColumn(
+            "dist",
+            F.lit(0.01) + (F.col("key") % 5).cast("double") * F.lit(0.005),
+        )
+    )
+    return CG.cell_geometry(cells)
 
 
 def _nation_caps(spark: SparkSession, sf_dir: str):
@@ -1139,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pip_anti": q_pip_anti,
         "s2_triangle_measures": q_s2_triangle_measures,
         "s2_polygon_area": q_s2_polygon_area,
+        "s2_cell_geometry": q_s2_cell_geometry,
         "s2_cell_token": q_cell_token,
         "s2_pip_cap_join": q_pip_cap_join,
         "s2_pip_cap_count": q_pip_cap_count,
@@ -1393,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s2_triangle_measures": LO.triangle_measures_sql(LO.oracle_sf_dir()),
         "s2_polygon_area": LO.polygon_areas_sql(),
+        "s2_cell_geometry": LO.cell_geometry_sql(LO.oracle_sf_dir()),
         "s2_pip_anti": (
             "WITH "
             + P.xyz_sql_cte("orders", "o_orderkey", name="allpts")

@@ -1469,7 +1469,7 @@ def cap_coverings_sql(sf_dir: str, modulus: int = 150, max_cells: int = 8) -> st
     import pyarrow.parquet as pq
 
     from ..kernels.coverer import CovererOptions, RegionCoverer
-    from ..kernels.geom import Cap
+    from ..kernels.geom import Cap, RegionIntersection, RegionUnion
     from ..sources import regions_src as R
 
     keys = (
@@ -1500,6 +1500,20 @@ def cap_coverings_sql(sf_dir: str, modulus: int = 150, max_cells: int = 8) -> st
         canon = list(cov)
         rc_canon.canonicalize_covering(canon)
         rows.extend((key, "canon", i, i64(c)) for i, c in enumerate(canon))
+        nx, ny, nz, nr2 = R.cap_params(key + 1)
+        rows.extend(
+            (key, "union", i, i64(c))
+            for i, c in enumerate(
+                rc.get_covering(RegionUnion([cap, Cap((nx, ny, nz), nr2)]))
+            )
+        )
+        wide = Cap((cx, cy, cz), min(4.0, r2 * 4.0))
+        rows.extend(
+            (key, "rint", i, i64(c))
+            for i, c in enumerate(
+                rc.get_covering(RegionIntersection([cap, wide]))
+            )
+        )
     return values_sql(
         rows,
         [
@@ -1857,4 +1871,28 @@ def triangle_measures_sql(sf_dir: str, modulus: int = 25) -> str:
             ("girard", "DOUBLE"), ("area", "DOUBLE"), ("sarea", "DOUBLE"),
             ("cx", "DOUBLE"), ("cy", "DOUBLE"), ("cz", "DOUBLE"),
         ],
+    )
+
+
+@lru_cache(maxsize=2)
+def cell_geometry_sql(sf_dir: str, modulus: int = 25, level: int = 12) -> str:
+    """Expected uv bounds / distance-expanded rects / maximum tiles for
+    q_s2_cell_geometry (S2CellId.IJLevelToBoundUV /
+    ExpandedByDistanceUV / MaximumTile), recomputed on the driver."""
+    from ..kernels import cellid as C
+    from ..operators.cell_geometry_op import geometry_row
+
+    keys, leaf, _ = _sampled_leaf_cells(sf_dir, "orders", "o_orderkey", modulus)
+    par = C.parent(leaf, level)
+    rows = []
+    for i in range(len(keys) - 1):
+        dist = 0.01 + (int(keys[i]) % 5) * 0.005
+        g = geometry_row(int(par[i]), int(par[i + 1]), dist)
+        rows.append((int(keys[i]),) + g)
+    return values_sql(
+        rows,
+        [("key", "BIGINT")]
+        + [(n, "DOUBLE")
+           for n in ("u0", "u1", "v0", "v1", "eu0", "eu1", "ev0", "ev1")]
+        + [("maxtile", "BIGINT")],
     )

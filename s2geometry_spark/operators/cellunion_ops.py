@@ -31,10 +31,10 @@ rounds run shallowest-ancestor-first, so when a merge round at child
 level L runs, no proper ancestor of any level-L cell remains in the
 set — a parent key can therefore never collide with a non-child cell.
 
-Intersection of two normalized unions joins on group pairing then
-filters by unsigned range overlap; the contained (deeper) cell is the
-intersection cell.  Range compares use the bias trick (xor with
-Long.MIN) so signed BIGINT order equals unsigned cell-id order.
+Intersection of two normalized unions is two ancestor-term equi-joins
+on the 64-bit cell id (a cell overlaps the disjoint partner set iff
+one of its ancestors-or-self IS a partner cell); the contained
+(deeper) cell is the intersection cell.
 """
 
 from __future__ import annotations
@@ -43,8 +43,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import sparkfns as S
-
-_MIN_LONG = -(1 << 63)
 
 
 def _is_level(cell: Column, level: int) -> Column:
@@ -116,38 +114,123 @@ def normalize_unions(
     return out
 
 
-def _bias(c: Column) -> Column:
-    return c.bitwiseXOR(F.lit(_MIN_LONG))
-
-
-def union_intersection(norm: DataFrame, pair_with: Column) -> DataFrame:
+def union_intersection(
+    norm: DataFrame,
+    pair_with: Column,
+    levels: tuple[int, ...] = (7, 8, 9, 10),
+) -> DataFrame:
     """Intersection of each group's union with its partner group's
     (partner = pair_with(g)): overlapping disjoint cells emit the
-    deeper (contained) cell, keyed by the left group id."""
-    lsb_a = F.col("a_cell").bitwiseAND(-F.col("a_cell"))
-    lsb_b = F.col("b_cell").bitwiseAND(-F.col("b_cell"))
-    a = norm.select(
-        F.col("g").alias("g"), F.col("cell").alias("a_cell")
-    ).withColumn("pg", pair_with)
-    b = norm.select(F.col("g").alias("pg"), F.col("cell").alias("b_cell"))
-    j = a.join(b, "pg")
-    a_min, a_max = (
-        _bias(F.col("a_cell") - (lsb_a - 1)),
-        _bias(F.col("a_cell") + (lsb_a - 1)),
-    )
-    b_min, b_max = (
-        _bias(F.col("b_cell") - (lsb_b - 1)),
-        _bias(F.col("b_cell") + (lsb_b - 1)),
-    )
-    overlap = (b_min <= a_max) & (b_max >= a_min)
-    deeper_b = (a_min <= b_min) & (b_max <= a_max)
-    return (
-        j.where(overlap)
-        .select(
+    deeper (contained) cell, keyed by the left group id.
+
+    Join shape: a range-overlap join keyed only on the handful of
+    group ids would be a per-group cartesian (9k x 9k pairs per
+    group).  Since both sides are normalized (disjoint within a
+    group) and levels are bounded, cell x overlaps the other set iff
+    one of x's ancestors at a covering level — or x itself — IS a
+    cell of the other set, so intersection is two ancestor-term
+    EQUI-joins on the 64-bit cell id: output-sized, shuffle keyed on
+    the cell id (not the group), and each input cell matches at most
+    one partner cell (disjointness), so no dedup exchange is needed.
+    """
+    cell = F.col("cell")
+
+    def at_or_deeper(lv: int) -> Column:
+        # lsb(cell) <= lsb_for_level(lv): some bit below 2*lsb set
+        return cell.bitwiseAND(F.lit(2 * S.lsb_for_level(lv) - 1)) != 0
+
+    def strictly_deeper(lv: int) -> Column:
+        return cell.bitwiseAND(F.lit(S.lsb_for_level(lv) - 1)) != 0
+
+    def with_terms(df: DataFrame, cond) -> DataFrame:
+        return df.select(
             "g",
-            F.when(deeper_b, F.col("b_cell"))
-            .otherwise(F.col("a_cell"))
-            .alias("cell"),
+            pair_with.alias("pg"),
+            cell.alias("src_cell"),
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        *[
+                            F.when(cond(lv), S.cell_parent(cell, lv))
+                            for lv in levels
+                        ]
+                    )
+                )
+            ).alias("term"),
         )
-        .distinct()
+
+    # a deeper-or-equal: an ancestor of a (or a itself) is a b-cell
+    a_terms = with_terms(norm, at_or_deeper)
+    b_side = norm.select(F.col("g").alias("pg"), cell.alias("b_cell"))
+    j1 = a_terms.join(
+        b_side, (F.col("term") == F.col("b_cell")) & (a_terms["pg"] == b_side["pg"])
+    ).select("g", F.col("src_cell").alias("cell"))
+    # b strictly deeper: a proper ancestor of b is an a-cell; b's group
+    # is the PARTNER of the emitting group, so invert the pairing by
+    # joining b's own group id against pair_with(a.g)
+    b_terms = with_terms(norm, strictly_deeper).select(
+        F.col("g").alias("bg"), F.col("src_cell").alias("b_cell"), "term"
     )
+    a_side = norm.select(
+        "g", pair_with.alias("pg"), cell.alias("a_cell")
+    )
+    j2 = b_terms.join(
+        a_side,
+        (F.col("term") == F.col("a_cell")) & (F.col("bg") == F.col("pg")),
+    ).select("g", F.col("b_cell").alias("cell"))
+    return j1.unionByName(j2)
+
+
+def normalize_unions_subtree(
+    cells: DataFrame, subtree_level: int | None = None
+) -> DataFrame:
+    """One-shuffle Normalize via the exhaustive scalar kernel
+    (S2CellUnion.Normalize, golden-tested) inside a single exchange.
+
+    With ``subtree_level=None`` each union normalizes as one group —
+    one kernel call per union (15 ms per 10k cells), the right
+    granularity when unions fit an Arrow partition.  For unions too
+    large for one task, pass a subtree_level L: every containment /
+    merge relation between cells at levels >= L stays inside one
+    level-L subtree (an ancestor at level >= L shares the subtree root
+    with its descendants, and merges stop at the floor), so keying the
+    exchange on (g, subtree-root) splits a huge union across tasks
+    while remaining exactly the global Normalize.  Either way it is
+    one shuffle; the JVM bit-arithmetic round chain above is the
+    all-Catalyst alternative (kept row-equal by tests)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels import cellunion as CUK
+
+    if subtree_level is None:
+        df = cells.repartition("g")
+        grp_cols = ["g"]
+    else:
+        df = cells.withColumn(
+            "root", S.cell_parent(F.col("cell"), subtree_level)
+        ).repartition("g", "root")
+        grp_cols = ["g", "root"]
+
+    def gen(batches):
+        # a group never spans partitions (hash repartition), but may
+        # span Arrow batches within one — concat first
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf) == 0:
+            yield pd.DataFrame({"g": pd.Series([], dtype="int64"),
+                                "cell": pd.Series([], dtype="int64")})
+            return
+        gs, cs = [], []
+        for key_vals, sub in pdf.groupby(grp_cols, sort=False):
+            g = key_vals[0] if isinstance(key_vals, tuple) else key_vals
+            out = CUK.normalize(
+                [int(v) for v in
+                 sub["cell"].to_numpy().astype(np.int64).view(np.uint64)]
+            )
+            gs.append(np.full(len(out), g, dtype=np.int64))
+            cs.append(np.array(out, dtype=np.uint64).view(np.int64))
+        yield pd.DataFrame(
+            {"g": np.concatenate(gs), "cell": np.concatenate(cs)}
+        )
+
+    return df.mapInPandas(gen, schema="g long, cell long")

@@ -100,7 +100,9 @@ def cap_covering_rows_df(
     cap (sources.regions_src.cap_params), exploded to
     (key, kind, ord, cell_id) with kind in
     {'cov' GetCovering, 'int' GetInteriorCovering,
-     'canon' CanonicalizeCovering(max_cells=6, min_level=2, level_mod=2)}.
+     'canon' CanonicalizeCovering(max_cells=6, min_level=2, level_mod=2),
+     'union' GetCovering(S2RegionUnion(cap, next cap)),
+     'rint'  GetCovering(S2RegionIntersection(cap, widened cap))}.
 
     `ord` is the position in the reference output order, so the oracle
     pins the exact priority-queue refinement order, not just the set.
@@ -112,7 +114,7 @@ def cap_covering_rows_df(
     import numpy as np
 
     from ..kernels.coverer import CovererOptions, RegionCoverer
-    from ..kernels.geom import Cap
+    from ..kernels.geom import Cap, RegionIntersection, RegionUnion
     from ..sources import regions_src as R
 
     def gen(batches):
@@ -141,6 +143,21 @@ def cap_covering_rows_df(
                 rc_canon.canonicalize_covering(canon)
                 rows.extend(
                     (key, "canon", i, i64(c)) for i, c in enumerate(canon)
+                )
+                nx, ny, nz, nr2 = R.cap_params(int(key) + 1)
+                other = Cap((nx, ny, nz), nr2)
+                wide = Cap((cx, cy, cz), min(4.0, r2 * 4.0))
+                rows.extend(
+                    (key, "union", i, i64(c))
+                    for i, c in enumerate(
+                        rc.get_covering(RegionUnion([cap, other]))
+                    )
+                )
+                rows.extend(
+                    (key, "rint", i, i64(c))
+                    for i, c in enumerate(
+                        rc.get_covering(RegionIntersection([cap, wide]))
+                    )
                 )
             yield pd.DataFrame(
                 rows, columns=["key", "kind", "ord", "cell_id"]

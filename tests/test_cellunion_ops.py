@@ -35,9 +35,7 @@ def grouped(spark, sf_dir):
         .otherwise(S.cell_parent(F.col("cell_id"), 10))
         .alias("cell"),
     )
-    norm = CUO.normalize_unions(
-        cells.select("g", "cell"), levels=[8, 9, 10], merge_floor=7
-    )
+    norm = CUO.normalize_unions_subtree(cells.select("g", "cell"))
     raw = {}
     for g, cell in cells.select("g", "cell").collect():
         raw.setdefault(g, []).append(int(np.uint64(np.int64(cell))))
@@ -53,6 +51,38 @@ def test_normalize_matches_scalar_kernel(grouped):
     for g, ids in raw.items():
         want = set(CU.normalize(ids))
         assert got[g] == want, f"group {g}: {len(got[g])} vs {len(want)}"
+
+
+def test_round_chain_equals_subtree_path(grouped, spark, sf_dir):
+    """The all-JVM groupBy-round Normalize must emit exactly the same
+    rows as the one-shuffle per-subtree kernel path."""
+    from pyspark.sql import functions as F
+    from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.sources import points as P
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = P.with_xyz(orders.select(F.col("o_orderkey").alias("key")))
+    df = T.assign_cellids(pts)
+    cells = df.select(
+        (F.col("key") % N_GROUPS).alias("g"),
+        F.when(F.col("key") % 3 == 0, S.cell_parent(F.col("cell_id"), 8))
+        .when(F.col("key") % 3 == 1, S.cell_parent(F.col("cell_id"), 9))
+        .otherwise(S.cell_parent(F.col("cell_id"), 10))
+        .alias("cell"),
+    )
+    rounds = sorted(
+        map(tuple, CUO.normalize_unions(
+            cells, levels=[8, 9, 10], merge_floor=7
+        ).collect())
+    )
+    subtree = sorted(
+        map(tuple, CUO.normalize_unions_subtree(cells).collect())
+    )
+    subtree7 = sorted(
+        map(tuple, CUO.normalize_unions_subtree(cells, 7).collect())
+    )
+    assert rounds == subtree
+    assert rounds == subtree7
 
 
 def test_bounded_unroll_reaches_fixed_point(grouped):
