@@ -261,11 +261,14 @@ def q_s2_loop_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     loops = dict(R.synthetic_loops(sorted(keys)))
-    # single-partition inputs: a crossJoin of two default-parallelism
-    # DataFrames launches cores^2 (1024) tasks for a 625-row product
-    ids = spark.createDataFrame(
-        [(k,) for k in sorted(keys)], "a_id long"
-    ).coalesce(1)
+    # JVM-native single-partition dim (createDataFrame-from-list builds
+    # a Python RDD that re-launches a worker per action; a crossJoin of
+    # two default-parallelism inputs launches cores^2 tasks)
+    ids = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select(F.col("n_nationkey").cast("long").alias("a_id"))
+        .coalesce(1)
+    )
     pairs = ids.crossJoin(ids.select(F.col("a_id").alias("b_id"))).repartition(
         8
     )
