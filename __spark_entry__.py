@@ -469,6 +469,19 @@ def q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("key")
 
 
+def q_term_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2RegionTermIndexer retrieval: points indexed under ancestor
+    string terms, caps expanded to query terms, string equi-join +
+    exact refine.  Oracle: the brute-force SQL cap join — fully
+    independent, so a missed candidate (indexer bug) fails the gate."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import term_join as TJ
+    from s2geometry_spark.operators import tile as T
+
+    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    return TJ.term_index_cap_join(spark, pts, _nation_caps(spark, sf_dir))
+
+
 def q_pip_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-cap spatial join: covering-term broadcast equi-join +
     exact chord refine; output identical to brute force."""
@@ -1178,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_triangle_measures": q_s2_triangle_measures,
         "s2_polygon_area": q_s2_polygon_area,
         "s2_cell_geometry": q_s2_cell_geometry,
+        "s2_term_index_join": q_term_index_join,
         "s2_cell_token": q_cell_token,
         "s2_pip_cap_join": q_pip_cap_join,
         "s2_pip_cap_count": q_pip_cap_count,
@@ -1433,6 +1447,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_triangle_measures": LO.triangle_measures_sql(LO.oracle_sf_dir()),
         "s2_polygon_area": LO.polygon_areas_sql(),
         "s2_cell_geometry": LO.cell_geometry_sql(LO.oracle_sf_dir()),
+        "s2_term_index_join": pip_base,
         "s2_pip_anti": (
             "WITH "
             + P.xyz_sql_cte("orders", "o_orderkey", name="allpts")
