@@ -478,7 +478,9 @@ def q_term_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators import term_join as TJ
     from s2geometry_spark.operators import tile as T
 
-    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    pts = T.assign_cellids(
+        _orders_points(spark, sf_dir).where(F.col("key") % 5 == 0)
+    )
     return TJ.term_index_cap_join(spark, pts, _nation_caps(spark, sf_dir))
 
 
@@ -1447,7 +1449,9 @@ def oracle_sql() -> dict[str, str]:
         "s2_triangle_measures": LO.triangle_measures_sql(LO.oracle_sf_dir()),
         "s2_polygon_area": LO.polygon_areas_sql(),
         "s2_cell_geometry": LO.cell_geometry_sql(LO.oracle_sf_dir()),
-        "s2_term_index_join": pip_base,
+        "s2_term_index_join": (
+            "SELECT * FROM (" + pip_base + ") t WHERE key % 5 = 0"
+        ),
         "s2_pip_anti": (
             "WITH "
             + P.xyz_sql_cte("orders", "o_orderkey", name="allpts")

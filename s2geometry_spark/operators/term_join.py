@@ -24,25 +24,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
-from ..kernels.term_indexer import (
-    TermOptions,
-    point_index_terms,
-    region_query_terms,
-)
+from ..kernels.term_indexer import TermOptions, region_query_terms
 from .spatial_join import cap_refine_predicate, normalized_cols
 
 
 def point_index_terms_udf(opts: TermOptions):
-    """UDF factory: leaf cell id -> array of index terms."""
+    """UDF factory: leaf cell id -> array of index terms.
+
+    Vectorized per level (one parent + token pass over the whole Arrow
+    batch per level) rather than per row — GetIndexTerms(point) with
+    empty prefix is exactly the ancestor token at each configured
+    level (kernels.term_indexer._term with covering=False)."""
+    levels = list(
+        range(opts.min_level, opts.max_level + 1, opts.level_mod)
+    )
 
     @pandas_udf(ArrayType(StringType()))
     def _terms(cid: pd.Series) -> pd.Series:
         import numpy as np
 
+        from ..kernels import cellid as C
+
         ids = cid.to_numpy().astype(np.int64).view(np.uint64)
-        return pd.Series(
-            [point_index_terms(opts, int(v)) for v in ids]
-        )
+        cols = [C.to_token(C.parent(ids, lv)) for lv in levels]
+        return pd.Series([list(row) for row in zip(*cols)])
 
     return _terms
 

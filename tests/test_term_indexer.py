@@ -79,3 +79,24 @@ class TestTermIndexer:
                 if ok:
                     q = set(TI.point_query_terms(opts, int(leaf)))
                     assert q & index_terms
+
+
+def test_vectorized_index_terms_match_scalar():
+    """The per-level vectorized UDF body must emit exactly
+    point_index_terms(opts, leaf) for every row."""
+    import numpy as np
+
+    from s2geometry_spark.kernels import cellid as C
+    from s2geometry_spark.kernels.term_indexer import (
+        TermOptions, point_index_terms,
+    )
+
+    opts = TermOptions()
+    rng = np.random.RandomState(11)
+    xyz = rng.randn(3, 500)
+    ids = C.xyz_to_cellid(*xyz)
+    levels = list(range(opts.min_level, opts.max_level + 1, opts.level_mod))
+    cols = [C.to_token(C.parent(ids, lv)) for lv in levels]
+    vec = [list(row) for row in zip(*cols)]
+    for i in range(len(ids)):
+        assert vec[i] == point_index_terms(opts, int(ids[i]))
