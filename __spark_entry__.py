@@ -608,6 +608,27 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_img_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate images by perceptual-hash banding + exact
+    Hamming refine, over the deterministic phash table plus planted
+    <=2-bit-perturbed copies.  Oracle: brute-force all-pairs SQL
+    Hamming join (candidate banding exists only on the Spark side)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import image_dedup as ID
+    from s2geometry_spark.sources import images as IMG
+
+    base = IMG.phash_table(spark, N_IMAGES)
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(idx % 62 AS INT)) | "
+        "shiftleft(CAST(1 AS BIGINT), CAST((idx * 31 + 7) % 62 AS INT))"
+    )
+    perturbed = base.select(
+        (F.col("idx") + N_IMAGES).alias("idx"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"),
+    )
+    return ID.phash_near_dup(base.unionByName(perturbed))
+
+
 def q_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW vertex alignment between each deterministic polyline and its
     perpendicular twin (grouped Arrow DP kernel; oracle = driver-
@@ -1194,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_polygon_area": q_s2_polygon_area,
         "s2_cell_geometry": q_s2_cell_geometry,
         "s2_term_index_join": q_term_index_join,
+        "img_near_dup": q_img_near_dup,
         "s2_cell_token": q_cell_token,
         "s2_pip_cap_join": q_pip_cap_join,
         "s2_pip_cap_count": q_pip_cap_count,
@@ -1482,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_tile_mosaic": LO.tile_mosaic_sql(N_IMAGES, IMAGE_TILE_LEVEL),
         "s2_tile_extents": LO.tile_extents_sql(N_IMAGES, IMAGE_TILE_LEVEL),
         "img_features": LO.img_features_sql(N_IMAGES),
+        "img_near_dup": LO.img_near_dup_sql(N_IMAGES),
         "doc_token_stats": TX.token_stats_sql(),
         "doc_lang_id": TX.lang_id_sql(),
         "doc_fingerprints": TX.fingerprints_sql(),

@@ -1896,3 +1896,31 @@ def cell_geometry_sql(sf_dir: str, modulus: int = 25, level: int = 12) -> str:
            for n in ("u0", "u1", "v0", "v1", "eu0", "eu1", "ev0", "ev1")]
         + [("maxtile", "BIGINT")],
     )
+
+
+@lru_cache(maxsize=2)
+def img_near_dup_sql(n: int) -> str:
+    """Independent brute-force oracle for img_near_dup: literal
+    (idx, phash) rows (driver recompute of the deterministic image
+    phashes) + the planted perturbed copies derived IN SQL, then an
+    all-pairs xor/bit_count Hamming join — candidate generation
+    (banding) exists only on the Spark side, so a missed pair fails
+    the gate."""
+    from ..sources.images import phash_of_index
+
+    rows = [(i, phash_of_index(i)) for i in range(n)]
+    base = values_cte(rows, [("idx", "BIGINT"), ("phash", "BIGINT")], "ph0")
+    return f"""WITH {base},
+phall AS (
+  SELECT idx, phash FROM ph0
+  UNION ALL
+  SELECT idx + {n},
+         xor(phash,
+             (CAST(1 AS BIGINT) << CAST(idx % 62 AS INT))
+             | (CAST(1 AS BIGINT) << CAST((idx * 31 + 7) % 62 AS INT)))
+  FROM ph0
+)
+SELECT a.idx AS a_id, b.idx AS b_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM phall a JOIN phall b ON a.idx < b.idx
+WHERE bit_count(xor(a.phash, b.phash)) <= 3"""

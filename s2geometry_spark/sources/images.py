@@ -58,10 +58,9 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def row_record(i: int) -> dict:
-    """All columns for row index i — the single source of truth used by
-    both the distributed generator and the pytest payload oracle."""
-    image_id = f"img{i:012d}"
+def _rgb_of(i: int) -> tuple[int, int, str, "np.ndarray"]:
+    """(w, h, fmt, rgb) for row index i — the pixel synthesis shared by
+    row_record and the payload-free phash derivation."""
     seed = int(_mix64(np.array([i], dtype=np.uint64))[0])
     w = 16 + (seed % 49)
     h = 16 + ((seed >> 8) % 49)
@@ -72,6 +71,21 @@ def row_record(i: int) -> dict:
         np.arange(n_px, dtype=np.uint64) + np.uint64(seed)
     ).astype(np.uint64)
     rgb = (stream & np.uint64(0xFF)).astype(np.uint8).reshape(h, w, 3)
+    return w, h, fmt, rgb
+
+
+def phash_of_index(i: int) -> int:
+    """The row's phash without encoding the payload (signed int64)."""
+    _w, _h, _fmt, rgb = _rgb_of(i)
+    return PNG.phash64(rgb.tobytes())
+
+
+def row_record(i: int) -> dict:
+    """All columns for row index i — the single source of truth used by
+    both the distributed generator and the pytest payload oracle."""
+    image_id = f"img{i:012d}"
+    seed = int(_mix64(np.array([i], dtype=np.uint64))[0])
+    w, h, fmt, rgb = _rgb_of(i)
     if fmt == "png":
         data = PNG.encode_png(rgb)
     else:
@@ -220,3 +234,30 @@ def expected_pixels(i: int) -> np.ndarray:
     quantized for the fake-jpeg stub)."""
     rec = row_record(i)
     return PNG.decode_image(rec["bytes"], rec["fmt"])
+
+
+def phash_table(spark: SparkSession, n: int, partitions: int = 0) -> DataFrame:
+    """Payload-free (idx, phash) table — the perceptual-hash column of
+    the image table without materializing bytes (same pixel synthesis,
+    no codec), distributed over row-index ranges."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    parts = partitions or max(8, (n + 2047) // 2048)
+
+    def gen(batches):
+        for pdf in batches:
+            idx = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "idx": idx,
+                    "phash": np.array(
+                        [phash_of_index(int(i)) for i in idx], dtype=np.int64
+                    ),
+                }
+            )
+
+    return (
+        spark.range(0, n, numPartitions=parts)
+        .mapInPandas(gen, schema="idx long, phash long")
+    )
