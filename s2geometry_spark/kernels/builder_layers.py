@@ -416,3 +416,91 @@ def polygon_layer(
             out_labels.append(list(row))
     error = polygon_validation_error(out_loops) if validate else None
     return BuiltPolygon(out_loops, depths, False, out_labels, error)
+
+
+# ---------------------------------------------------------------------
+# S2Polygon.InitOriented (S2Polygon.cs:228-321): loops given with the
+# polygon interior on the LEFT of every loop (CCW shells, CW holes) are
+# normalized, nested, and the polygon inverted if needed so that the
+# origin-adjacency of the input is preserved.  No reference goldens
+# exist for this path (its tests go through InitNested equivalences),
+# so the contract here is property-based: region equality with the
+# explicitly-nested construction, and the inconsistent-orientation
+# detection.  One documented deviation: after a whole-polygon
+# inversion we re-derive the canonical order with init_nested rather
+# than replaying the reference's loops-vector rebuild, so loop ORDER
+# may differ; region, depths and the error flag agree.
+# ---------------------------------------------------------------------
+
+_CURVATURE_MAX_ERROR_PER_VERTEX = 11.25 * 2.220446049250313e-16
+
+
+def init_oriented(loop_vertex_lists) -> "BuiltPolygon":
+    """Orientation-driven polygon construction (S2Polygon.InitOriented).
+
+    Returns a BuiltPolygon in nesting preorder; ``error`` is set to
+    'POLYGON_INCONSISTENT_LOOP_ORIENTATIONS' when no interior-on-left
+    assignment exists for the given loops."""
+    from . import measures as M
+
+    loops = [np.asarray(lv, dtype=np.float64) for lv in loop_vertex_lists]
+    n = len(loops)
+    contained_origin = [False] * n
+    for i in range(n):
+        contained_origin[i] = bool(Loop(loops[i]).origin_inside)
+        angle = M.loop_curvature(loops[i])
+        if abs(angle) > _CURVATURE_MAX_ERROR_PER_VERTEX * len(loops[i]):
+            if angle < 0:
+                loops[i] = loops[i][::-1].copy()  # S2Loop.Invert
+        else:
+            if contained_origin[i]:
+                loops[i] = loops[i][::-1].copy()
+
+    def build(ls):
+        order, depths = init_nested(ls)
+        return [ls[i] for i in order], depths, order
+
+    ordered, depths, order = build(loops)
+    if n > 0:
+        objs = [Loop(lv) for lv in ordered]
+        polygon_contains_origin = False
+        origin_pos = 0  # position in preorder; loop(0) default
+        for p in range(len(ordered)):
+            if objs[p].origin_inside:
+                polygon_contains_origin ^= True
+                origin_pos = p
+        origin_orig_idx = order[origin_pos]
+        if contained_origin[origin_orig_idx] != polygon_contains_origin:
+            # Invert the polygon: invert the top-level shell with the
+            # smallest curvature (largest area), then re-derive nesting
+            # (S2Polygon.Invert)
+            tops = [p for p in range(len(ordered)) if depths[p] == 0]
+            best = min(
+                tops,
+                key=lambda p: (
+                    M.loop_curvature(ordered[p]),
+                    len(ordered[p]),
+                    ordered[p].tobytes(),
+                ),
+            )
+            loops = list(ordered)
+            loops[best] = loops[best][::-1].copy()
+            # remember origin containment against the new loop list:
+            # the original flags travel with the loops via `order`
+            reorder = [contained_origin[i] for i in order]
+            contained_origin = reorder
+            ordered, depths, order = build(loops)
+            contained_origin = [contained_origin[i] for i in order]
+        else:
+            contained_origin = [contained_origin[i] for i in order]
+    error = None
+    for p in range(len(ordered)):
+        is_hole = depths[p] % 2 == 1
+        now_contains = bool(Loop(ordered[p]).origin_inside)
+        # C#'s chained != is left-assoc ((a != b) != c), i.e. a^b^c:
+        # a loop must have been inverted (orig^now) exactly when it
+        # ended up a hole
+        if contained_origin[p] ^ now_contains ^ is_hole:
+            error = "POLYGON_INCONSISTENT_LOOP_ORIENTATIONS"
+            break
+    return BuiltPolygon(list(ordered), list(depths), error=error)
