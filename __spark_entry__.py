@@ -908,12 +908,15 @@ def q_furthest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators import tile as T
     from s2geometry_spark.sources import points as P
 
+    import pyarrow.parquet as pq
+
     q = T.assign_cellids(_orders_points(spark, sf_dir))
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     idx = T.assign_cellids(
         P.with_xyz(sup.select(F.col("s_suppkey").alias("key")))
     )
-    return KNN.furthest_join(spark, q, idx, KNN_K)
+    n_idx = pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata.num_rows
+    return KNN.furthest_join(spark, q, idx, KNN_K, index_count=n_idx)
 
 
 def q_furthest_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,12 +971,17 @@ def q_knn_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators import tile as T
     from s2geometry_spark.sources import points as P
 
+    import pyarrow.parquet as pq
+
     q = T.assign_cellids(_orders_points(spark, sf_dir))
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     idx = T.assign_cellids(
         P.with_xyz(sup.select(F.col("s_suppkey").alias("key")))
     )
-    return KNN.knn_join(spark, q, idx, KNN_K)
+    # seed level from parquet metadata (log-scale accuracy suffices) —
+    # skips the sampled-count action over the pUDF-encoded index
+    n_idx = pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata.num_rows
+    return KNN.knn_join(spark, q, idx, KNN_K, index_count=n_idx)
 
 
 N_IMAGES = 2000
