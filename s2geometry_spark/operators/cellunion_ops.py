@@ -215,7 +215,10 @@ def normalize_unions_subtree(
     def gen(batches):
         # a group never spans partitions (hash repartition), but may
         # span Arrow batches within one — concat first
-        pdf = pd.concat(list(batches), ignore_index=True)
+        batches = list(batches)
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
         if len(pdf) == 0:
             yield pd.DataFrame({"g": pd.Series([], dtype="int64"),
                                 "cell": pd.Series([], dtype="int64")})
