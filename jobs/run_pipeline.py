@@ -90,11 +90,26 @@ def main() -> None:
         inputs=(tiled,),
         params={"regions": 25},
     )
+    def near_dup(df):
+        from s2geometry_spark.operators.image_dedup import phash_near_dup
+
+        return phash_near_dup(
+            df.select("image_id", "phash"),
+            id_col="image_id",
+        )
+
+    dups = pipe.stage(
+        "near_dup",
+        near_dup,
+        inputs=(imgs,),
+        params={"max_hamming": 3},
+    )
     report = {
         "images": {"rows": imgs.rows, "resumed": imgs.resumed},
         "tiles": {"rows": tiled.rows, "resumed": tiled.resumed},
         "tile_counts": {"rows": counts.rows, "resumed": counts.resumed},
         "region_join": {"rows": joined.rows, "resumed": joined.resumed},
+        "near_dup": {"rows": dups.rows, "resumed": dups.resumed},
     }
     if args.mosaic:
         mos = pipe.stage(
