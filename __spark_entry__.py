@@ -617,7 +617,9 @@ def q_img_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators import image_dedup as ID
     from s2geometry_spark.sources import images as IMG
 
-    base = IMG.phash_table(spark, N_IMAGES)
+    # the union references the phash scan twice; materialize the
+    # per-image Python phash pass once
+    base = IMG.phash_table(spark, N_IMAGES).localCheckpoint()
     mask = F.expr(
         "shiftleft(CAST(1 AS BIGINT), CAST(idx % 62 AS INT)) | "
         "shiftleft(CAST(1 AS BIGINT), CAST((idx * 31 + 7) % 62 AS INT))"

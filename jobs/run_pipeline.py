@@ -90,11 +90,13 @@ def main() -> None:
         inputs=(tiled,),
         params={"regions": 25},
     )
+
     def near_dup(df):
         from s2geometry_spark.operators.image_dedup import phash_near_dup
 
         return phash_near_dup(
             df.select("image_id", "phash"),
+            max_hamming=3,
             id_col="image_id",
         )
 

@@ -1461,16 +1461,16 @@ def builder_simplify_sql() -> str:
 @lru_cache(maxsize=2)
 def cap_coverings_sql(sf_dir: str, modulus: int = 150, max_cells: int = 8) -> str:
     """Expected coverings for q_s2_covering — the driver recomputes the
-    same deterministic caps (sources.regions_src.cap_params) through the
-    same RegionCoverer kernels (S2RegionCoverer.cs semantics, golden-
-    matched in tests/test_coverer_golden.py) and emits them as literal
-    rows; the correctness contract is distributed == single-node, in
-    the exact reference refinement order (`ord`)."""
+    same deterministic caps through the SAME shared row generator
+    (operators.coverings.covering_kind_rows; S2RegionCoverer.cs
+    semantics, golden-matched in tests/test_coverer_golden.py) and
+    emits them as literal rows; the correctness contract is
+    distributed == single-node, in the exact reference refinement
+    order (`ord`)."""
     import pyarrow.parquet as pq
 
     from ..kernels.coverer import CovererOptions, RegionCoverer
-    from ..kernels.geom import Cap, RegionIntersection, RegionUnion
-    from ..sources import regions_src as R
+    from ..operators.coverings import covering_kind_rows
 
     keys = (
         pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
@@ -1483,37 +1483,14 @@ def cap_coverings_sql(sf_dir: str, modulus: int = 150, max_cells: int = 8) -> st
     rc_canon = RegionCoverer(
         CovererOptions(max_cells=6, min_level=2, level_mod=2)
     )
-    rows = []
 
     def i64(c):
         return int(np.int64(np.uint64(c)))
 
+    rows = []
     for key in keys:
-        cx, cy, cz, r2 = R.cap_params(key)
-        cap = Cap((cx, cy, cz), r2)
-        cov = rc.get_covering(cap)
-        rows.extend((key, "cov", i, i64(c)) for i, c in enumerate(cov))
-        rows.extend(
-            (key, "int", i, i64(c))
-            for i, c in enumerate(rc.get_interior_covering(cap))
-        )
-        canon = list(cov)
-        rc_canon.canonicalize_covering(canon)
-        rows.extend((key, "canon", i, i64(c)) for i, c in enumerate(canon))
-        nx, ny, nz, nr2 = R.cap_params(key + 1)
-        rows.extend(
-            (key, "union", i, i64(c))
-            for i, c in enumerate(
-                rc.get_covering(RegionUnion([cap, Cap((nx, ny, nz), nr2)]))
-            )
-        )
-        wide = Cap((cx, cy, cz), min(4.0, r2 * 4.0))
-        rows.extend(
-            (key, "rint", i, i64(c))
-            for i, c in enumerate(
-                rc.get_covering(RegionIntersection([cap, wide]))
-            )
-        )
+        rows.extend(covering_kind_rows(key, rc, rc_canon, i64))
+    
     return values_sql(
         rows,
         [
@@ -1546,6 +1523,19 @@ def _sampled_leaf_cells(sf_dir: str, table: str, col: str, modulus: int):
         comps[axis] = ((keys * m) % p).astype(np.float64) / (p / 2.0) - 1.0
     leaf = C.xyz_to_cellid(comps["x"], comps["y"], comps["z"])
     return keys, leaf, comps
+
+
+def _sampled_unit_points(sf_dir: str, table: str, col: str, modulus: int):
+    """(keys, ux, uy, uz): sampled keys with UNIT direction vectors in
+    the exact association order of operators.spatial_join.normalized_cols
+    ((x*x + y*y) + z*z) — the single definition every literal oracle
+    shares so no copy can drift off the bit-exact normalization."""
+    keys, leaf, comps = _sampled_leaf_cells(sf_dir, table, col, modulus)
+    n = np.sqrt(
+        comps["x"] * comps["x"] + comps["y"] * comps["y"]
+        + comps["z"] * comps["z"]
+    )
+    return keys, comps["x"] / n, comps["y"] / n, comps["z"] / n
 
 
 @lru_cache(maxsize=2)
@@ -1605,16 +1595,9 @@ def closest_cell_sql(sf_dir: str, k: int = 2, modulus: int = 25) -> str:
     from ..kernels.geom import Cell
 
     ents = closest_cell_entries(sf_dir)
-    keys, _leaf, comps = _sampled_leaf_cells(
+    keys, px, py, pz = _sampled_unit_points(
         sf_dir, "orders", "o_orderkey", modulus
     )
-    # same association as operators.spatial_join.normalized_cols:
-    # (x*x + y*y) + z*z, for bit-identical unit vectors
-    n = np.sqrt(
-        comps["x"] * comps["x"] + comps["y"] * comps["y"]
-        + comps["z"] * comps["z"]
-    )
-    px, py, pz = comps["x"] / n, comps["y"] / n, comps["z"] / n
     dists = np.empty((len(ents), len(keys)))
     for i, (cid, _lab) in enumerate(ents):
         dists[i] = cell_distance_to_points_batch(
@@ -1650,14 +1633,9 @@ def predicates_sql(sf_dir: str, modulus: int = 10) -> str:
     bools/enum strings — exact equality, no float tolerance anywhere."""
     from ..operators.predicates_op import predicate_rows
 
-    keys, _leaf, comps = _sampled_leaf_cells(
+    keys, ux, uy, uz = _sampled_unit_points(
         sf_dir, "orders", "o_orderkey", modulus
     )
-    n = np.sqrt(
-        comps["x"] * comps["x"] + comps["y"] * comps["y"]
-        + comps["z"] * comps["z"]
-    )
-    ux, uy, uz = comps["x"] / n, comps["y"] / n, comps["z"] / n
     rows = []
     for i in range(len(keys) - 4):
         pts = [
@@ -1715,14 +1693,9 @@ def edgeclip_sql(sf_dir: str, modulus: int = 25) -> str:
     the same kernel over the same consecutive sampled unit-point edges."""
     from ..operators.edgeclip_op import clip_rows
 
-    keys, _leaf, comps = _sampled_leaf_cells(
+    keys, ux, uy, uz = _sampled_unit_points(
         sf_dir, "orders", "o_orderkey", modulus
     )
-    n = np.sqrt(
-        comps["x"] * comps["x"] + comps["y"] * comps["y"]
-        + comps["z"] * comps["z"]
-    )
-    ux, uy, uz = comps["x"] / n, comps["y"] / n, comps["z"] / n
     rows = []
     for i in range(len(keys) - 1):
         a = (float(ux[i]), float(uy[i]), float(uz[i]))
@@ -1777,14 +1750,9 @@ def textformat_sql(sf_dir: str, modulus: int = 25) -> str:
     from ..kernels import cellid as C
     from ..kernels import textformat as TF
 
-    keys, _leaf, comps = _sampled_leaf_cells(
+    keys, ux, uy, uz = _sampled_unit_points(
         sf_dir, "orders", "o_orderkey", modulus
     )
-    n = np.sqrt(
-        comps["x"] * comps["x"] + comps["y"] * comps["y"]
-        + comps["z"] * comps["z"]
-    )
-    ux, uy, uz = comps["x"] / n, comps["y"] / n, comps["z"] / n
     rows = []
     for i in range(len(keys)):
         s = TF.point_to_string((float(ux[i]), float(uy[i]), float(uz[i])))
@@ -1845,14 +1813,9 @@ def triangle_measures_sql(sf_dir: str, modulus: int = 25) -> str:
     on the driver through the same kernels."""
     from ..kernels import measures as M
 
-    keys, _leaf, comps = _sampled_leaf_cells(
+    keys, ux, uy, uz = _sampled_unit_points(
         sf_dir, "orders", "o_orderkey", modulus
     )
-    n = np.sqrt(
-        comps["x"] * comps["x"] + comps["y"] * comps["y"]
-        + comps["z"] * comps["z"]
-    )
-    ux, uy, uz = comps["x"] / n, comps["y"] / n, comps["z"] / n
     rows = []
     for i in range(len(keys) - 2):
         a = (float(ux[i]), float(uy[i]), float(uz[i]))

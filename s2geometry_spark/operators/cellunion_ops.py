@@ -52,9 +52,10 @@ def _is_level(cell: Column, level: int) -> Column:
 
 
 def _deeper_than(cell: Column, level: int) -> Column:
-    """lsb(cell) < lsb_for_level(level) (cell is at a finer level)."""
+    """lsb(cell) < lsb_for_level(level) (cell is at a finer level):
+    some bit strictly below the level's lsb is set."""
     lsb = S.lsb_for_level(level)
-    return cell.bitwiseAND(F.lit(lsb | (lsb - 1))) != F.lit(lsb)
+    return cell.bitwiseAND(F.lit(lsb - 1)) != F.lit(0)
 
 
 def drop_contained_round(cells: DataFrame, anc: int) -> DataFrame:
@@ -181,36 +182,23 @@ def union_intersection(
     return j1.unionByName(j2)
 
 
-def normalize_unions_subtree(
-    cells: DataFrame, subtree_level: int | None = None
-) -> DataFrame:
+def normalize_unions_subtree(cells: DataFrame) -> DataFrame:
     """One-shuffle Normalize via the exhaustive scalar kernel
-    (S2CellUnion.Normalize, golden-tested) inside a single exchange.
-
-    With ``subtree_level=None`` each union normalizes as one group —
-    one kernel call per union (15 ms per 10k cells), the right
-    granularity when unions fit an Arrow partition.  For unions too
-    large for one task, pass a subtree_level L: every containment /
-    merge relation between cells at levels >= L stays inside one
-    level-L subtree (an ancestor at level >= L shares the subtree root
-    with its descendants, and merges stop at the floor), so keying the
-    exchange on (g, subtree-root) splits a huge union across tasks
-    while remaining exactly the global Normalize.  Either way it is
-    one shuffle; the JVM bit-arithmetic round chain above is the
-    all-Catalyst alternative (kept row-equal by tests)."""
+    (S2CellUnion.Normalize, golden-tested) inside a single exchange:
+    each union normalizes as one group — one kernel call per union
+    (15 ms per 10k cells), the right granularity when a union fits an
+    Arrow partition.  (Keying the exchange on subtrees to split a huge
+    union is NOT exact: a complete sibling cover at the subtree-root
+    level merges into a parent OUTSIDE every subtree — unions too big
+    for one task must use the bounded JVM round chain above, which
+    handles exactly the level range it is given.)"""
     import numpy as np
     import pandas as pd
 
     from ..kernels import cellunion as CUK
 
-    if subtree_level is None:
-        df = cells.repartition("g")
-        grp_cols = ["g"]
-    else:
-        df = cells.withColumn(
-            "root", S.cell_parent(F.col("cell"), subtree_level)
-        ).repartition("g", "root")
-        grp_cols = ["g", "root"]
+    df = cells.repartition("g")
+    grp_cols = ["g"]
 
     def gen(batches):
         # a group never spans partitions (hash repartition), but may

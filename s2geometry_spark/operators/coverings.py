@@ -93,6 +93,44 @@ def covering_levels(pdf_or_df) -> list[int]:
     )
 
 
+def covering_kind_rows(key: int, rc, rc_canon, i64) -> list[tuple]:
+    """All (key, kind, ord, cell_id) rows for one deterministic cap —
+    the single definition shared by the distributed generator and the
+    driver-side literal oracle (the oracle's contract is distributed ==
+    single-node through the SAME kernels, so a second copy would be
+    pure drift risk, not independence)."""
+    from ..kernels.geom import Cap, RegionIntersection, RegionUnion
+    from ..sources import regions_src as R
+
+    cx, cy, cz, r2 = R.cap_params(int(key))
+    cap = Cap((cx, cy, cz), r2)
+    rows = []
+    cov = rc.get_covering(cap)
+    rows.extend((key, "cov", i, i64(c)) for i, c in enumerate(cov))
+    rows.extend(
+        (key, "int", i, i64(c))
+        for i, c in enumerate(rc.get_interior_covering(cap))
+    )
+    canon = list(cov)
+    rc_canon.canonicalize_covering(canon)
+    rows.extend((key, "canon", i, i64(c)) for i, c in enumerate(canon))
+    nx, ny, nz, nr2 = R.cap_params(int(key) + 1)
+    rows.extend(
+        (key, "union", i, i64(c))
+        for i, c in enumerate(
+            rc.get_covering(RegionUnion([cap, Cap((nx, ny, nz), nr2)]))
+        )
+    )
+    wide = Cap((cx, cy, cz), min(4.0, r2 * 4.0))
+    rows.extend(
+        (key, "rint", i, i64(c))
+        for i, c in enumerate(
+            rc.get_covering(RegionIntersection([cap, wide]))
+        )
+    )
+    return rows
+
+
 def cap_covering_rows_df(
     keys_df: DataFrame, max_cells: int = 8
 ) -> DataFrame:
@@ -114,8 +152,6 @@ def cap_covering_rows_df(
     import numpy as np
 
     from ..kernels.coverer import CovererOptions, RegionCoverer
-    from ..kernels.geom import Cap, RegionIntersection, RegionUnion
-    from ..sources import regions_src as R
 
     def gen(batches):
         rc = RegionCoverer(CovererOptions(max_cells=max_cells))
@@ -129,36 +165,7 @@ def cap_covering_rows_df(
         for pdf in batches:
             rows = []
             for key in pdf["key"].tolist():
-                cx, cy, cz, r2 = R.cap_params(int(key))
-                cap = Cap((cx, cy, cz), r2)
-                cov = rc.get_covering(cap)
-                rows.extend(
-                    (key, "cov", i, i64(c)) for i, c in enumerate(cov)
-                )
-                rows.extend(
-                    (key, "int", i, i64(c))
-                    for i, c in enumerate(rc.get_interior_covering(cap))
-                )
-                canon = list(cov)
-                rc_canon.canonicalize_covering(canon)
-                rows.extend(
-                    (key, "canon", i, i64(c)) for i, c in enumerate(canon)
-                )
-                nx, ny, nz, nr2 = R.cap_params(int(key) + 1)
-                other = Cap((nx, ny, nz), nr2)
-                wide = Cap((cx, cy, cz), min(4.0, r2 * 4.0))
-                rows.extend(
-                    (key, "union", i, i64(c))
-                    for i, c in enumerate(
-                        rc.get_covering(RegionUnion([cap, other]))
-                    )
-                )
-                rows.extend(
-                    (key, "rint", i, i64(c))
-                    for i, c in enumerate(
-                        rc.get_covering(RegionIntersection([cap, wide]))
-                    )
-                )
+                rows.extend(covering_kind_rows(key, rc, rc_canon, i64))
             yield pd.DataFrame(
                 rows, columns=["key", "kind", "ord", "cell_id"]
             ).astype(

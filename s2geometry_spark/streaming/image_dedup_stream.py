@@ -3,13 +3,18 @@ images checked against a static corpus's perceptual-hash band index.
 
 The multimodal twin of streaming/dedup_stream.py for an image
 ingestion pipeline: the corpus side precomputes slim
-(sid, band, val, phash) rows from the 64-bit perceptual hashes
-(operators.image_dedup banding — lossless by pigeonhole for
-Hamming < n_bands); each micro-batch derives the SAME band rows for
-its incoming images, equi-joins (band, val) against the broadcast
-index, and verifies candidates with the exact popcount.  All JVM bit
-arithmetic, stream side never shuffles, append-mode output (no
-unbounded state).
+(sid, band, val, hash) rows from the 64-bit perceptual hashes
+(operators.image_dedup.band_rows — the SAME banding definition the
+batch operator uses, lossless by pigeonhole for Hamming < n_bands);
+each micro-batch derives the same band rows for its incoming images,
+equi-joins (band, val) against the broadcast index, and verifies
+candidates with the exact popcount.
+
+A pair agreeing on several bands is kept only at its FIRST agreeing
+band (operators.image_dedup.first_band_filter, computed from the two
+hashes in hand) — a plain filter, so the stream keeps NO state: no
+dropDuplicates state store, no watermark, append-mode output, and the
+stream side never shuffles.
 
 Batch twin ``batch_image_dup_matches`` replays the same plan over the
 whole directory; trigger=availableNow equality + planted-duplicate
@@ -21,51 +26,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.image_dedup import (
+    DEFAULT_N_BANDS,
+    band_rows,
+    first_band_filter,
+)
+
 MAX_HAMMING = 3
-N_BANDS = 4
-
-
-def _band_rows(imgs: DataFrame, id_alias: str) -> DataFrame:
-    width = 64 // N_BANDS
-    mask = (1 << width) - 1
-    bands = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftrightunsigned(F.col("phash"), b * width)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("val"),
-                )
-                for b in range(N_BANDS)
-            ]
-        )
-    ).alias("bv")
-    return imgs.select(
-        F.col("image_id").alias(id_alias),
-        F.col("phash").alias(f"{id_alias}_hash"),
-        bands,
-    ).select(id_alias, f"{id_alias}_hash", "bv.band", "bv.val")
 
 
 def static_phash_index(static_imgs: DataFrame) -> DataFrame:
     """Precompute the corpus side once: slim (sid, band, val, hash)."""
-    return _band_rows(static_imgs, "sid")
+    return band_rows(static_imgs, "image_id", "sid")
 
 
 def _matches(
     imgs: DataFrame, band_index: DataFrame, max_hamming: int
 ) -> DataFrame:
-    bands = _band_rows(imgs, "image_id")
+    bands = band_rows(imgs, "image_id", "image_id")
     ham = F.bit_count(
         F.col("image_id_hash").bitwiseXOR(F.col("sid_hash"))
     ).cast("int")
     return (
         bands.join(F.broadcast(band_index), ["band", "val"])
         .where(F.col("image_id") != F.col("sid"))
+        .where(
+            F.col("band")
+            == first_band_filter(
+                F.col("image_id_hash"), F.col("sid_hash"), DEFAULT_N_BANDS
+            )
+        )
         .select("image_id", "sid", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["image_id", "sid"])
     )
 
 
@@ -76,7 +68,7 @@ def streaming_image_dup_matches(
     max_hamming: int = MAX_HAMMING,
 ) -> DataFrame:
     """Streaming DataFrame of (image_id, sid, hamming) matches of
-    incoming images against the static corpus (append mode)."""
+    incoming images against the static corpus (append mode, stateless)."""
     schema = spark.read.parquet(imgs_path).schema
     stream = spark.readStream.schema(schema).parquet(imgs_path)
     bidx = static_phash_index(static_imgs).localCheckpoint()

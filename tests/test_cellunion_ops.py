@@ -78,11 +78,7 @@ def test_round_chain_equals_subtree_path(grouped, spark, sf_dir):
     subtree = sorted(
         map(tuple, CUO.normalize_unions_subtree(cells).collect())
     )
-    subtree7 = sorted(
-        map(tuple, CUO.normalize_unions_subtree(cells, 7).collect())
-    )
     assert rounds == subtree
-    assert rounds == subtree7
 
 
 def test_bounded_unroll_reaches_fixed_point(grouped):
