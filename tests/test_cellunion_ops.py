@@ -102,3 +102,37 @@ def test_intersection_matches_scalar_kernel(grouped):
         b = CU.normalize(raw[(g + 1) % N_GROUPS])
         want = set(CU.intersection(a, b))
         assert got_i[g] == want, f"group {g}"
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_round_chain_random_level_sets(spark, seed):
+    """Fuzz the bounded round chain: random cells at random level sets
+    (including adjacent and gappy levels) must normalize exactly like
+    the exhaustive scalar kernel — stresses the containment-round
+    ordering invariant and the _deeper_than mask on arbitrary inputs."""
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    level_sets = [[6, 7, 8], [5, 8, 11], [9, 10], [4, 10]]
+    levels = level_sets[seed % len(level_sets)]
+    xyz = rng.randn(3, 4000)
+    leaf = C.xyz_to_cellid(*xyz)
+    lv_pick = rng.randint(0, len(levels), size=4000)
+    cells_u = np.empty(4000, dtype=np.uint64)
+    for j, lv in enumerate(levels):
+        m = lv_pick == j
+        cells_u[m] = C.parent(leaf[m], lv)
+    g = (rng.randint(0, 4, size=4000)).astype(np.int64)
+    pdf = pd.DataFrame({"g": g, "cell": cells_u.view(np.int64)})
+    df = spark.createDataFrame(pdf)
+    got = {}
+    floor = min(levels) - 2
+    for row in CUO.normalize_unions(df, levels=levels,
+                                    merge_floor=floor).collect():
+        got.setdefault(row["g"], set()).add(
+            int(np.uint64(np.int64(row["cell"])))
+        )
+    for gi in range(4):
+        ids = [int(v) for v in cells_u[g == gi]]
+        want = set(CU.normalize(ids))
+        assert got.get(gi, set()) == want, f"seed {seed} group {gi}"
