@@ -99,9 +99,27 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, int]:
     return timings, oracle_timings, n_rows
 
 
+def _contention_probe() -> float:
+    """Single-core kernel throughput (M rows/s) measured just before
+    the suite — the host is multi-tenant and suite wall-times swing
+    2-3x with neighbor load (BENCH.md protocol notes), so the recorded
+    JSON carries its own load context: ~4-6.4 when quiet, <3 loaded."""
+    import numpy as np
+
+    from s2geometry_spark.kernels import cellid as C
+
+    rng = np.random.RandomState(1)
+    xyz = rng.randn(3, 1_000_000)
+    C.xyz_to_cellid(xyz[0][:1000], xyz[1][:1000], xyz[2][:1000])  # warm
+    t0 = time.perf_counter()
+    C.xyz_to_cellid(*xyz)
+    return round(1.0 / (time.perf_counter() - t0), 2)
+
+
 def bench_once(cores: int, sf_dir: str) -> dict:
     from s2geometry_spark.plans.session import build_session
 
+    probe = _contention_probe()
     spark = build_session(app_name=f"s2bench[{cores}]", cores=cores)
     try:
         timings, oracle_timings, n_rows = run_suite(spark, sf_dir)
@@ -118,6 +136,7 @@ def bench_once(cores: int, sf_dir: str) -> dict:
             "rows": n_rows,
             "cores": cores,
             "tile_assign_rows_per_sec": round(n_rows / timings["tile_assign"], 1),
+            "probe_mrows_per_sec": probe,
         }
     finally:
         spark.stop()
