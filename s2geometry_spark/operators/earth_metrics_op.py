@@ -65,14 +65,19 @@ def _earth_metrics(meters: pd.Series) -> pd.DataFrame:
     m = meters.to_numpy()
     rad = m / RADIUS_METERS
     km = rad * RADIUS_KM
+    # S2Metrics GetLevelForMaxValue / GetLevelForMinValue short-circuit
+    # to kMaxLevel for value <= 0 (S2Metrics.cs); mirror that instead
+    # of dividing (rad=0 would raise divide warnings and clamp to 0/1)
+    nonpos = rad <= 0
+    safe = np.where(nonpos, 1.0, rad)
     # LengthMetric.GetLevelForMaxValue(rad): -(frexp(v/deriv).x - 1)
-    lvl_minw_max = _clamp(-_flog2(rad / KMIN_WIDTH_DERIV))
+    lvl_minw_max = np.where(nonpos, MAX_LEVEL, _clamp(-_flog2(safe / KMIN_WIDTH_DERIV)))
     # LengthMetric.GetLevelForMinValue(rad): frexp(deriv/v).x - 1
-    lvl_avge_min = _clamp(_flog2(KAVG_EDGE_DERIV / rad))
+    lvl_avge_min = np.where(nonpos, MAX_LEVEL, _clamp(_flog2(KAVG_EDGE_DERIV / safe)))
     # AreaMetric.GetLevelForMaxValue(rad as area): -((x-1) >> 1)
-    lvl_avga_max = _clamp(-(_flog2(rad / KAVG_AREA_DERIV) >> 1))
+    lvl_avga_max = np.where(nonpos, MAX_LEVEL, _clamp(-(_flog2(safe / KAVG_AREA_DERIV) >> 1)))
     # LengthMetric.GetClosestLevel = GetLevelForMaxValue(sqrt2 * v)
-    lvl_closest = _clamp(-_flog2(_SQRT2 * rad / KAVG_EDGE_DERIV))
+    lvl_closest = np.where(nonpos, MAX_LEVEL, _clamp(-_flog2(_SQRT2 * safe / KAVG_EDGE_DERIV)))
     val_minw = np.ldexp(KMIN_WIDTH_DERIV, -lvl_minw_max)
     val_avga = np.ldexp(KAVG_AREA_DERIV, -2 * lvl_avga_max)
     return pd.DataFrame(

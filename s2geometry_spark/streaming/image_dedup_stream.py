@@ -43,6 +43,10 @@ def static_phash_index(static_imgs: DataFrame) -> DataFrame:
 def _matches(
     imgs: DataFrame, band_index: DataFrame, max_hamming: int
 ) -> DataFrame:
+    # same pigeonhole precondition phash_near_dup asserts: banding is
+    # lossless only when max_hamming < n_bands (a pair differing in
+    # n_bands+ bits may disagree on every band and lose recall)
+    assert max_hamming < DEFAULT_N_BANDS, "pigeonhole needs d < n_bands"
     bands = band_rows(imgs, "image_id", "image_id")
     ham = F.bit_count(
         F.col("image_id_hash").bitwiseXOR(F.col("sid_hash"))

@@ -136,3 +136,40 @@ def test_round_chain_random_level_sets(spark, seed):
         ids = [int(v) for v in cells_u[g == gi]]
         want = set(CU.normalize(ids))
         assert got.get(gi, set()) == want, f"seed {seed} group {gi}"
+
+
+def test_union_intersection_rejects_out_of_window_levels(spark):
+    """A cell whose level falls outside the ancestor-term window must
+    raise loudly in the operator (ADVICE r3: a level-6 merge would
+    otherwise silently emit no intersection rows)."""
+    import pandas as pd
+
+    face = C.xyz_to_cellid(
+        np.array([1.0]), np.array([0.1]), np.array([0.1])
+    )
+    lv6 = int(C.parent(face, 6)[0])
+    lv8 = int(C.parent(face, 8)[0])
+    pdf = pd.DataFrame(
+        {"g": [0, 1], "cell": np.array([lv6, lv8], dtype=np.uint64).view(np.int64)}
+    )
+    norm = spark.createDataFrame(pdf)
+    out = CUO.union_intersection(norm, (F.col("g") + 1) % 2)
+    with pytest.raises(Exception, match="term window"):
+        out.collect()
+
+
+def test_union_intersection_in_window_levels_pass_guard(spark):
+    """The guard must not fire for in-window inputs (levels 7..10)."""
+    import pandas as pd
+
+    face = C.xyz_to_cellid(
+        np.array([1.0, -0.5]), np.array([0.1, 1.0]), np.array([0.1, 0.3])
+    )
+    lv7 = int(C.parent(face, 7)[0])
+    lv10 = int(C.parent(face, 10)[1])
+    pdf = pd.DataFrame(
+        {"g": [0, 1], "cell": np.array([lv7, lv10], dtype=np.uint64).view(np.int64)}
+    )
+    norm = spark.createDataFrame(pdf)
+    out = CUO.union_intersection(norm, (F.col("g") + 1) % 2)
+    out.collect()  # must not raise

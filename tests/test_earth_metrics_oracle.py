@@ -11,6 +11,7 @@ import math
 import duckdb
 import numpy as np
 import pandas as pd
+import pytest
 
 
 def _flog2_sql(x: str) -> str:
@@ -47,7 +48,7 @@ def test_naive_floor_log2_would_fail():
     libm — at least one boundary neighbor differs from frexp under a
     plain floor(log2)."""
     con = duckdb.connect()
-    bad = 0
+    bad_vals = []
     for k in (-37, -13, 13, 37):
         v = math.nextafter(math.ldexp(1.0, k), 0.0)
         naive = con.sql(
@@ -55,7 +56,31 @@ def test_naive_floor_log2_would_fail():
         ).fetchone()[0]
         _m, x = np.frexp(v)
         if naive != x - 1:
-            bad += 1
-    # if libm's log2 is perfectly faithful here, the correction is
-    # merely free insurance — accept either, but record it ran
-    assert bad >= 0
+            bad_vals.append(v)
+    if not bad_vals:
+        pytest.skip("this host's libm log2 is faithful at the probed "
+                    "boundaries; the frexp correction is free insurance")
+    # the corrected oracle expression must fix every bad boundary
+    for v in bad_vals:
+        lit = "CAST('{!r}' AS DOUBLE)".format(v)
+        got = con.sql(f"SELECT {_flog2_sql(lit)}").fetchone()[0]
+        _m, x = np.frexp(v)
+        assert got == x - 1, f"corrected flog2 wrong at {v!r}"
+
+
+def test_level_pickers_nonpositive_short_circuit(spark):
+    """S2Metrics GetLevelFor{Max,Min}Value return kMaxLevel for
+    value <= 0 (S2Metrics.cs); the vectorized kernel must mirror that
+    instead of dividing (ADVICE r3)."""
+    from s2geometry_spark.constants import MAX_LEVEL
+    from s2geometry_spark.operators import earth_metrics_op as EM
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"key": [1, 2, 3], "meters": [0.0, -5.0, 37.5]})
+    )
+    rows = {r["key"]: r for r in EM.earth_metric_columns(df).collect()}
+    for k in (1, 2):
+        for c in ("lvl_minw_max", "lvl_avge_min", "lvl_avga_max",
+                  "lvl_closest"):
+            assert rows[k][c] == MAX_LEVEL, (k, c, rows[k][c])
+    assert rows[3]["lvl_minw_max"] != MAX_LEVEL
