@@ -1198,82 +1198,297 @@ def q_tile_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.tile_extents(tiled.select("tile_id").distinct())
 
 
+# ---------------------------------------------------------------------
+# Consolidated queries (round 4): the driver's correctness gate checks
+# the first 50 registry entries, so same-grain queries are column-
+# joined and same-schema plan variants are unioned under a
+# discriminator column — every component family keeps a driver-gated
+# oracle while the registry fits the gate window.
+# ---------------------------------------------------------------------
+
+def q_cellid_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaf encode + hierarchy bit ops + token codec, one per-key row
+    (consolidates s2_cellid_leaf / s2_cell_hierarchy / s2_cell_token)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.functions import sparkfns as S
+    from s2geometry_spark.operators import tile as T
+
+    df = T.assign_cellids(_orders_points(spark, sf_dir))
+    return df.select(
+        "key",
+        "cell_id",
+        S.cell_parent(F.col("cell_id"), 4).alias("parent4"),
+        S.cell_parent(F.col("cell_id"), 16).alias("parent16"),
+        S.cell_range_min(F.col("cell_id"), 12).alias("rmin12"),
+        S.cell_range_max(F.col("cell_id"), 12).alias("rmax12"),
+        S.cell_bias(F.col("cell_id")).alias("biased"),
+        S.cell_token(S.cell_parent(F.col("cell_id"), 12)).alias("token12"),
+    )
+
+
+def q_pip_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join forms, side-tagged (consolidates s2_pip_semi /
+    s2_pip_anti; oracles stay the independent EXISTS/EXCEPT SQL)."""
+    semi = q_pip_semi(spark, sf_dir).select(
+        F.lit("in").alias("side"), "key"
+    )
+    anti = q_pip_anti(spark, sf_dir).select(
+        F.lit("out").alias("side"), "key"
+    )
+    return semi.unionByName(anti)
+
+
+def q_pip_cap_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four retrieval plans for the point-in-cap join — covering-term
+    equi-join, S2CellIndex leaf-range join, S2RegionTermIndexer string
+    terms, and the labeled (cell_id, label) range sweep — unioned under
+    a `via` discriminator (consolidates s2_pip_cap_join / s2_range_join
+    / s2_term_index_join / s2_cell_index_labels)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.operators import term_join as TJ
+    from s2geometry_spark.operators import tile as T
+
+    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    caps = _nation_caps(spark, sf_dir)
+
+    def tag(df: DataFrame, via: str) -> DataFrame:
+        return df.select(F.lit(via).alias("via"), "key", "region_id")
+
+    cov = tag(SJ.point_in_cap_join(spark, pts, caps), "cover")
+    rng = tag(SJ.point_in_cap_range_join(spark, pts, caps), "range")
+    term = tag(
+        TJ.term_index_cap_join(
+            spark, pts.where(F.col("key") % 5 == 0), caps
+        ),
+        "term",
+    )
+    lrange = tag(
+        SJ.label_range_join(spark, pts, _cap_cover_entries()).select(
+            "key", F.col("label").alias("region_id")
+        ),
+        "lrange",
+    )
+    return cov.unionByName(rng).unionByName(term).unionByName(lrange)
+
+
+def q_pip_refine_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three exact PIP refines — single-loop crossing parity, polygon-
+    with-holes winding parity, and the distributed shape-index refine —
+    unioned under `via` (consolidates s2_pip_loop_join /
+    s2_pip_polygon_join / s2_pip_index_join)."""
+    def tag(df: DataFrame, via: str) -> DataFrame:
+        return df.select(F.lit(via).alias("via"), "key", "region_id")
+
+    return (
+        tag(q_pip_loop_join(spark, sf_dir), "loop")
+        .unionByName(tag(q_pip_polygon_join(spark, sf_dir), "polygon"))
+        .unionByName(tag(q_pip_index_join(spark, sf_dir), "shapeindex"))
+    )
+
+
+def q_knn_supplier_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k nearest + k furthest supplier points per order point through
+    the same ring-expansion machinery, side-tagged (consolidates
+    s2_knn_supplier / s2_furthest_supplier)."""
+    near = q_knn_supplier(spark, sf_dir).select(
+        F.lit("near").alias("side"), "key", "neighbor_key", "dist2", "rn"
+    )
+    far = q_furthest_supplier(spark, sf_dir).select(
+        F.lit("far").alias("side"), "key", "neighbor_key", "dist2", "rn"
+    )
+    return near.unionByName(far)
+
+
+def q_polyline_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest + furthest polyline per order point, side-tagged
+    (consolidates s2_closest_polyline / s2_furthest_polyline)."""
+    closest = q_closest_polyline(spark, sf_dir).select(
+        F.lit("closest").alias("side"), "key", "line_id", "dist2"
+    )
+    furthest = q_furthest_polyline(spark, sf_dir).select(
+        F.lit("furthest").alias("side"), "key", "line_id", "dist2"
+    )
+    return closest.unionByName(furthest)
+
+
+def q_polyline_measures_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polyline measures + conservative S2LatLngRectBounder bounds,
+    column-joined on line_id over the same vertex table (consolidates
+    s2_polyline_measures / s2_rect_bounder)."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.polyline_measure_vertices(),
+        columns=["line_id", "vtx_idx", "x", "y", "z"],
+    )
+    df = spark.createDataFrame(pdf)
+    return MO.polyline_measures(df).join(MO.rect_bounds(df), "line_id")
+
+
+def q_polyline_pair_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW alignment (exact + windowed) and Intersects/NearlyCovers/
+    Subsample relations over the same deterministic line pairs, joined
+    on line_id (consolidates s2_dtw_alignment / s2_polyline_relations)."""
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.dtw_pair_vertices(),
+        columns=["line_id", "which", "vtx_idx", "x", "y", "z"],
+    )
+    df = spark.createDataFrame(pdf)
+    return MO.dtw_align_pairs(df).join(MO.polyline_relations(df), "line_id")
+
+
+def q_cell_distance_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell↔cell min/max distances + uv geometry (bounds, expansion,
+    MaximumTile) on the same sampled key set, column-joined
+    (consolidates s2_cell_distance / s2_cell_geometry)."""
+    return q_s2_cell_distance(spark, sf_dir).join(
+        q_s2_cell_geometry(spark, sf_dir), "key"
+    )
+
+
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis profile: token/quality stats,
+    language id, exact+min fingerprints, simhash — one wide row per
+    doc (consolidates doc_token_stats / doc_lang_id / doc_fingerprints
+    / doc_simhash)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import textops as TX
+
+    docs = _docs(spark, sf_dir)
+    return (
+        TX.token_stats(docs)
+        .join(TX.lang_id(docs), "doc_id")
+        .join(TX.fingerprints(docs), "doc_id")
+        .join(TX.simhash(docs), "doc_id")
+    )
+
+
+def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile histogram + raster->vector tile extents joined on tile_id
+    (consolidates s2_image_tile_counts / s2_tile_extents)."""
+    return q_image_tile_counts(spark, sf_dir).join(
+        q_tile_extents(spark, sf_dir), "tile_id"
+    )
+
+
+def q_boolean_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise boolean ops + N-way winding operations, family-tagged
+    (consolidates s2_region_boolean / s2_winding_groups)."""
+    pairs = q_region_boolean(spark, sf_dir).select(
+        F.lit("pair").alias("family"),
+        F.col("pair_id").alias("case_id"),
+        "op",
+        "n_rings",
+        "area",
+    )
+    winding = q_winding_groups(spark, sf_dir).select(
+        F.lit("winding").alias("family"),
+        F.col("group_id").alias("case_id"),
+        F.col("rule").alias("op"),
+        "n_rings",
+        "area",
+    )
+    return pairs.unionByName(winding)
+
+
+def q_builder_graph_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2Builder graph assembly + snap/simplify_edge_chains builder,
+    family-tagged under a common (case_id, sub_id, mode, sig, n) shape
+    (consolidates s2_graph_assembly / s2_builder_simplify)."""
+    graph = q_graph_assembly(spark, sf_dir).select(
+        F.lit("graph").alias("family"),
+        "case_id",
+        F.col("chain_idx").alias("sub_id"),
+        "mode",
+        F.col("chain_sig").alias("sig"),
+        F.col("n_edges").alias("n"),
+    )
+    simp = q_builder_simplify(spark, sf_dir).select(
+        F.lit("simplify").alias("family"),
+        "case_id",
+        F.col("layer_id").alias("sub_id"),
+        F.lit("simplify").alias("mode"),
+        F.col("verts").alias("sig"),
+        F.col("n_vertices").alias("n"),
+    )
+    return graph.unionByName(simp)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tile_assign(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry, risk-first: never-driver-verified queries lead, then
+    the families only green in r02, then the consolidated families,
+    then the long-stable r03-green queries.  The driver's correctness
+    gate checks the first 50 entries; the registry holds <= 50 so
+    EVERY query gets a CORRECTNESS row each round."""
     return {
-        "s2_cellid_leaf": q_cellid_leaf,
+        # --- never driver-verified before round 4 ---
+        "s2_shape_nesting": q_shape_nesting,
+        "audio_features": q_audio_features,
+        "video_frame_stats": q_video_frame_stats,
+        "embed_near_dup": q_embed_near_dup,
+        "embed_ann_ivf": q_embed_ann_ivf,
+        # --- green in r02 only (outside r03's window) ---
+        "s2_region_boolean": q_boolean_ops,
+        "s2_loop_measures": q_loop_measures,
+        "s2_polyline_measures": q_polyline_measures_bounds,
+        "s2_polyline_pair_ops": q_polyline_pair_ops,
+        "s2_buffer_loops": q_buffer_loops,
+        "doc_profile": q_doc_profile,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_near_dup": q_doc_near_dup,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_ann_lsh": q_embed_ann_lsh,
+        # --- consolidated families (each arm r03-green standalone) ---
+        "s2_builder_graph_ops": q_builder_graph_ops,
+        "s2_cellid_props": q_cellid_props,
+        "s2_pip_cap_family": q_pip_cap_family,
+        "s2_pip_refine_family": q_pip_refine_family,
+        "s2_pip_semi_anti": q_pip_semi_anti,
+        "s2_knn_supplier": q_knn_supplier_family,
+        "s2_polyline_proximity": q_polyline_proximity,
+        "s2_cell_distance_geometry": q_cell_distance_geometry,
+        "s2_image_tiles": q_image_tiles,
+        # --- stable r03-green queries ---
         "s2_tile_assign": q_tile_assign,
-        "s2_cell_hierarchy": q_cell_hierarchy,
         "s2_cellid_nav": q_cellid_nav,
         "s2_cellunion_ops": q_cellunion_ops,
         "s2_covering": q_s2_covering,
-        "s2_cell_distance": q_s2_cell_distance,
         "s2_closest_cell": q_s2_closest_cell,
         "s2_predicates": q_s2_predicates,
         "s2_loop_relations": q_s2_loop_relations,
         "s2_edgeclip": q_s2_edgeclip,
-        "s2_rect_bounder": q_s2_rect_bounder,
         "s2_earth_metrics": q_s2_earth_metrics,
         "s2_textformat": q_s2_textformat,
-        "s2_pip_semi": q_pip_semi,
-        "s2_pip_anti": q_pip_anti,
         "s2_triangle_measures": q_s2_triangle_measures,
         "s2_polygon_area": q_s2_polygon_area,
-        "s2_cell_geometry": q_s2_cell_geometry,
-        "s2_term_index_join": q_term_index_join,
         "img_near_dup": q_img_near_dup,
-        "s2_cell_token": q_cell_token,
-        "s2_pip_cap_join": q_pip_cap_join,
-        "s2_pip_cap_count": q_pip_cap_count,
-        "s2_pip_loop_join": q_pip_loop_join,
-        "s2_pip_loop_count": q_pip_loop_count,
-        "s2_pip_polygon_join": q_pip_polygon_join,
-        "s2_pip_index_join": q_pip_index_join,
-        "s2_knn_supplier": q_knn_supplier,
-        "s2_furthest_supplier": q_furthest_supplier,
-        "s2_furthest_polyline": q_furthest_polyline,
         "s2_hausdorff_nation": q_hausdorff_nation,
-        "s2_closest_polyline": q_closest_polyline,
         "s2_crossing_edges": q_crossing_edges,
         "s2_convex_hull_tile": q_convex_hull_tile,
-        "s2_dtw_alignment": q_dtw_alignment,
         "s2_polyline_simplify": q_polyline_simplify,
         "s2_shape_measures": q_shape_measures,
         "s2_polygon_boundaries": q_polygon_boundaries,
-        "s2_graph_assembly": q_graph_assembly,
         "s2_mixed_boolean": q_mixed_boolean,
         "s2_polygon_validate": q_polygon_validate,
-        "s2_builder_simplify": q_builder_simplify,
         "s2_near_loop_join": q_near_loop_join,
-        "s2_range_join": q_range_join,
-        "s2_cell_index_labels": q_cell_index_labels,
-        "s2_image_tile_counts": q_image_tile_counts,
         "s2_tile_mosaic": q_tile_mosaic,
-        "s2_tile_extents": q_tile_extents,
         "img_features": q_image_features,
-        "s2_region_boolean": q_region_boolean,
-        "s2_polyline_measures": q_polyline_measures,
-        "s2_polyline_relations": q_polyline_relations,
-        "s2_loop_measures": q_loop_measures,
-        "s2_buffer_loops": q_buffer_loops,
-        "s2_winding_groups": q_winding_groups,
-        "s2_shape_nesting": q_shape_nesting,
-        "audio_features": q_audio_features,
-        "video_frame_stats": q_video_frame_stats,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_lang_id": q_doc_lang_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "doc_dedup_exact": q_doc_dedup_exact,
-        "doc_simhash": q_doc_simhash,
-        "doc_near_dup": q_doc_near_dup,
-        "embed_cosine_topk": q_embed_cosine_topk,
-        "embed_ann_lsh": q_embed_ann_lsh,
-        "embed_near_dup": q_embed_near_dup,
-        "embed_ann_ivf": q_embed_ann_ivf,
     }
 
 
@@ -1401,128 +1616,191 @@ def oracle_sql() -> dict[str, str]:
         P.xyz_grp_sql_cte("customer", "c_custkey", "c_nationkey", name="apts"),
         P.xyz_grp_sql_cte("supplier", "s_suppkey", "s_nationkey", name="bpts"),
     )
+    # component SQLs that feed the consolidated entries
+    rmin_off = (1 << (2 * (30 - 12))) - 1
+    cellid_props_sql = (
+        base
+        + "\nSELECT key, cell_id, "
+        + O.parent_sql("cell_id", 4)
+        + " AS parent4, "
+        + O.parent_sql("cell_id", 16)
+        + " AS parent16, "
+        + O.parent_sql("cell_id", 12)
+        + f" - {rmin_off} AS rmin12, "
+        + O.parent_sql("cell_id", 12)
+        + f" + {rmin_off} AS rmax12, "
+        + "xor(cell_id, CAST('-9223372036854775808' AS BIGINT)) AS biased, "
+        + O.token_sql(O.parent_sql("cell_id", 12))
+        + " AS token12 FROM cells"
+    )
+    pip_semi_sql = "SELECT DISTINCT key FROM (" + pip_base + ") t"
+    pip_anti_sql = (
+        "WITH "
+        + P.xyz_sql_cte("orders", "o_orderkey", name="allpts")
+        + " SELECT key FROM allpts EXCEPT SELECT key FROM ("
+        + pip_base
+        + ") t"
+    )
+    pip_polygon_sql = O.pip_loop_sql(
+        pts, R.loop_edges_sql_values(R.synthetic_polygons(range(25)))
+    )
+    # shape-index join must equal the brute-force all-edges result
+    pip_index_sql = O.pip_loop_sql(
+        P.xyz_sql_cte("customer", "c_custkey"),
+        R.loop_edges_sql_values(_fractal_loops_cached()),
+    )
     return {
-        "s2_cellid_leaf": base + "\nSELECT key, cell_id FROM cells",
+        # --- never driver-verified before round 4 ---
+        "s2_shape_nesting": LO.shape_nesting_sql(),
+        "audio_features": LO.audio_features_sql(),
+        "video_frame_stats": LO.video_frame_stats_sql(),
+        "embed_near_dup": SIM.embed_near_dup_sql(EMBED_DUP_TAU),
+        "embed_ann_ivf": SIM.ann_ivf_topk_sql(EMBED_K, LO.oracle_sf_dir()),
+        # --- green in r02 only (outside r03's window) ---
+        "s2_region_boolean": (
+            "SELECT 'pair' AS family, pair_id AS case_id, op, n_rings,"
+            " area FROM (" + LO.region_boolean_sql() + ") rb"
+            " UNION ALL "
+            "SELECT 'winding' AS family, group_id AS case_id,"
+            " rule AS op, n_rings, area FROM ("
+            + LO.winding_groups_sql()
+            + ") wg"
+        ),
+        "s2_loop_measures": LO.loop_measures_sql(),
+        "s2_polyline_measures": (
+            "SELECT * FROM ("
+            + LO.polyline_measures_sql()
+            + ") pm JOIN ("
+            + LO.rect_bounds_sql()
+            + ") rb USING (line_id)"
+        ),
+        "s2_polyline_pair_ops": (
+            "SELECT * FROM ("
+            + LO.dtw_alignment_sql()
+            + ") da JOIN ("
+            + LO.polyline_relations_sql()
+            + ") pr USING (line_id)"
+        ),
+        "s2_buffer_loops": LO.buffer_loops_sql(),
+        "doc_profile": (
+            "SELECT * FROM ("
+            + TX.token_stats_sql()
+            + ") ts JOIN ("
+            + TX.lang_id_sql()
+            + ") li USING (doc_id) JOIN ("
+            + TX.fingerprints_sql()
+            + ") fp USING (doc_id) JOIN ("
+            + TX.simhash_sql()
+            + ") sh USING (doc_id)"
+        ),
+        "doc_dedup_exact": TX.dedup_exact_sql(),
+        "doc_near_dup": TX.near_dup_pairs_sql(),
+        "embed_cosine_topk": SIM.cosine_topk_sql(EMBED_K),
+        "embed_ann_lsh": SIM.ann_lsh_topk_sql(EMBED_K),
+        # --- consolidated families ---
+        "s2_builder_graph_ops": (
+            "SELECT 'graph' AS family, case_id, chain_idx AS sub_id,"
+            " mode, chain_sig AS sig, n_edges AS n FROM ("
+            + LO.graph_assembly_sql()
+            + ") ga UNION ALL "
+            "SELECT 'simplify' AS family, case_id, layer_id AS sub_id,"
+            " 'simplify' AS mode, verts AS sig, n_vertices AS n FROM ("
+            + LO.builder_simplify_sql()
+            + ") bs"
+        ),
+        "s2_cellid_props": cellid_props_sql,
+        "s2_pip_cap_family": (
+            "SELECT 'cover' AS via, key, region_id FROM ("
+            + pip_base
+            + ") c UNION ALL "
+            "SELECT 'range' AS via, key, region_id FROM ("
+            + pip_base
+            + ") r UNION ALL "
+            "SELECT 'term' AS via, key, region_id FROM ("
+            + pip_base
+            + ") t WHERE key % 5 = 0 UNION ALL "
+            "SELECT 'lrange' AS via, key, label AS region_id FROM ("
+            + _cell_index_oracle_sql(base)
+            + ") lr"
+        ),
+        "s2_pip_refine_family": (
+            "SELECT 'loop' AS via, key, region_id FROM ("
+            + pip_loop
+            + ") l UNION ALL "
+            "SELECT 'polygon' AS via, key, region_id FROM ("
+            + pip_polygon_sql
+            + ") p UNION ALL "
+            "SELECT 'shapeindex' AS via, key, region_id FROM ("
+            + pip_index_sql
+            + ") s"
+        ),
+        "s2_pip_semi_anti": (
+            "SELECT 'in' AS side, key FROM ("
+            + pip_semi_sql
+            + ") si UNION ALL SELECT 'out' AS side, key FROM ("
+            + pip_anti_sql
+            + ") sa"
+        ),
+        "s2_knn_supplier": (
+            "SELECT 'near' AS side, * FROM ("
+            + knn_sql
+            + ") kn UNION ALL SELECT 'far' AS side, * FROM ("
+            + furthest_sql
+            + ") kf"
+        ),
+        "s2_polyline_proximity": (
+            "SELECT 'closest' AS side, * FROM ("
+            + closest_poly_sql
+            + ") pc UNION ALL SELECT 'furthest' AS side, * FROM ("
+            + furthest_poly_sql
+            + ") pf"
+        ),
+        "s2_cell_distance_geometry": (
+            "SELECT * FROM ("
+            + LO.cell_pair_distances_sql(LO.oracle_sf_dir())
+            + ") cd JOIN ("
+            + LO.cell_geometry_sql(LO.oracle_sf_dir())
+            + ") cg USING (key)"
+        ),
+        "s2_image_tiles": (
+            "SELECT * FROM ("
+            + LO.image_tile_counts_sql(N_IMAGES, IMAGE_TILE_LEVEL)
+            + ") tc JOIN ("
+            + LO.tile_extents_sql(N_IMAGES, IMAGE_TILE_LEVEL)
+            + ") te USING (tile_id)"
+        ),
+        # --- stable r03-green queries ---
         "s2_tile_assign": (
             base
             + f"\nSELECT {O.parent_sql('cell_id', TILE_LEVEL)} AS tile_id,"
             + " COUNT(*) AS n FROM cells GROUP BY 1"
         ),
-        "s2_cell_hierarchy": (
-            base
-            + "\nSELECT key, "
-            + O.parent_sql("cell_id", 4)
-            + " AS parent4, "
-            + O.parent_sql("cell_id", 16)
-            + " AS parent16, "
-            + O.parent_sql("cell_id", 12)
-            + f" - {(1 << (2 * (30 - 12))) - 1} AS rmin12, "
-            + O.parent_sql("cell_id", 12)
-            + f" + {(1 << (2 * (30 - 12))) - 1} AS rmax12, "
-            + "xor(cell_id, CAST('-9223372036854775808' AS BIGINT)) AS biased "
-            + "FROM cells"
-        ),
         "s2_cellid_nav": O.cellid_nav_sql(base),
         "s2_cellunion_ops": O.cellunion_ops_sql(base),
-        "s2_cell_token": (
-            base
-            + "\nSELECT key, "
-            + O.token_sql(O.parent_sql("cell_id", 12))
-            + " AS token12 FROM cells"
-        ),
-        "s2_pip_cap_join": pip_base,
-        "s2_pip_cap_count": (
-            "SELECT region_id, COUNT(*) AS n_points FROM ("
-            + pip_base
-            + ") GROUP BY region_id"
-        ),
-        "s2_knn_supplier": knn_sql,
-        "s2_furthest_supplier": furthest_sql,
-        "s2_furthest_polyline": furthest_poly_sql,
-        "s2_hausdorff_nation": hausdorff_sql,
-        "s2_closest_polyline": closest_poly_sql,
-        "s2_crossing_edges": crossing_sql,
-        "s2_near_loop_join": O.near_loop_sql(
-            pts + ", " + upts, R.loop_edges_sql_values(loops), NEAR_RADIUS
-        ),
-        "s2_range_join": pip_base,
-        "s2_cell_index_labels": _cell_index_oracle_sql(base),
-        "s2_pip_polygon_join": O.pip_loop_sql(
-            pts,
-            R.loop_edges_sql_values(R.synthetic_polygons(range(25))),
-        ),
-        # shape-index join must equal the brute-force all-edges result
-        "s2_pip_index_join": O.pip_loop_sql(
-            P.xyz_sql_cte("customer", "c_custkey"),
-            R.loop_edges_sql_values(_fractal_loops_cached()),
-        ),
-        "s2_pip_loop_join": pip_loop,
-        "s2_pip_loop_count": (
-            "SELECT region_id, COUNT(*) AS n_points FROM ("
-            + pip_loop
-            + ") GROUP BY region_id"
-        ),
         # driver-precomputed literal-table oracles (see
         # s2geometry_spark/functions/literal_oracle.py for what each
         # one independently recomputes vs takes as literals)
-        "s2_loop_measures": LO.loop_measures_sql(),
         "s2_covering": LO.cap_coverings_sql(LO.oracle_sf_dir()),
-        "s2_cell_distance": LO.cell_pair_distances_sql(LO.oracle_sf_dir()),
         "s2_closest_cell": LO.closest_cell_sql(LO.oracle_sf_dir()),
         "s2_predicates": LO.predicates_sql(LO.oracle_sf_dir()),
         "s2_loop_relations": LO.loop_relations_sql(),
         "s2_edgeclip": LO.edgeclip_sql(LO.oracle_sf_dir()),
-        "s2_rect_bounder": LO.rect_bounds_sql(),
         "s2_earth_metrics": O.earth_metrics_sql(),
         "s2_textformat": LO.textformat_sql(LO.oracle_sf_dir()),
-        "s2_pip_semi": (
-            "SELECT DISTINCT key FROM (" + pip_base + ") t"
-        ),
         "s2_triangle_measures": LO.triangle_measures_sql(LO.oracle_sf_dir()),
         "s2_polygon_area": LO.polygon_areas_sql(),
-        "s2_cell_geometry": LO.cell_geometry_sql(LO.oracle_sf_dir()),
-        "s2_term_index_join": (
-            "SELECT * FROM (" + pip_base + ") t WHERE key % 5 = 0"
-        ),
-        "s2_pip_anti": (
-            "WITH "
-            + P.xyz_sql_cte("orders", "o_orderkey", name="allpts")
-            + " SELECT key FROM allpts EXCEPT SELECT key FROM ("
-            + pip_base
-            + ") t"
-        ),
-        "s2_buffer_loops": LO.buffer_loops_sql(),
-        "s2_winding_groups": LO.winding_groups_sql(),
-        "s2_shape_nesting": LO.shape_nesting_sql(),
-        "audio_features": LO.audio_features_sql(),
-        "video_frame_stats": LO.video_frame_stats_sql(),
-        "s2_polyline_measures": LO.polyline_measures_sql(),
-        "s2_polyline_relations": LO.polyline_relations_sql(),
-        "s2_region_boolean": LO.region_boolean_sql(),
-        "s2_dtw_alignment": LO.dtw_alignment_sql(),
+        "img_near_dup": LO.img_near_dup_sql(N_IMAGES),
+        "s2_hausdorff_nation": hausdorff_sql,
+        "s2_crossing_edges": crossing_sql,
+        "s2_convex_hull_tile": LO.convex_hull_sql(LO.oracle_sf_dir()),
         "s2_polyline_simplify": LO.polyline_simplify_sql(),
         "s2_shape_measures": LO.shape_measures_sql(),
         "s2_polygon_boundaries": LO.polygon_boundaries_sql(),
-        "s2_graph_assembly": LO.graph_assembly_sql(),
         "s2_mixed_boolean": LO.mixed_boolean_sql(),
         "s2_polygon_validate": LO.polygon_validate_sql(),
-        "s2_builder_simplify": LO.builder_simplify_sql(),
-        "s2_convex_hull_tile": LO.convex_hull_sql(LO.oracle_sf_dir()),
-        "s2_image_tile_counts": LO.image_tile_counts_sql(
-            N_IMAGES, IMAGE_TILE_LEVEL
+        "s2_near_loop_join": O.near_loop_sql(
+            pts + ", " + upts, R.loop_edges_sql_values(loops), NEAR_RADIUS
         ),
         "s2_tile_mosaic": LO.tile_mosaic_sql(N_IMAGES, IMAGE_TILE_LEVEL),
-        "s2_tile_extents": LO.tile_extents_sql(N_IMAGES, IMAGE_TILE_LEVEL),
         "img_features": LO.img_features_sql(N_IMAGES),
-        "img_near_dup": LO.img_near_dup_sql(N_IMAGES),
-        "doc_token_stats": TX.token_stats_sql(),
-        "doc_lang_id": TX.lang_id_sql(),
-        "doc_fingerprints": TX.fingerprints_sql(),
-        "doc_dedup_exact": TX.dedup_exact_sql(),
-        "doc_simhash": TX.simhash_sql(),
-        "doc_near_dup": TX.near_dup_pairs_sql(),
-        "embed_cosine_topk": SIM.cosine_topk_sql(EMBED_K),
-        "embed_ann_lsh": SIM.ann_lsh_topk_sql(EMBED_K),
-        "embed_near_dup": SIM.embed_near_dup_sql(EMBED_DUP_TAU),
-        "embed_ann_ivf": SIM.ann_ivf_topk_sql(EMBED_K, LO.oracle_sf_dir()),
     }
