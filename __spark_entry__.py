@@ -1071,23 +1071,29 @@ def q_shape_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_buffer_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Buffered geometry per nation loop (convex offset-curve ring)
-    plus the concave family (region_id >= 100: fractal stars, a
-    hole-pinching courtyard, a merging dumbbell) through the
-    winding-arrangement walk (S2BufferOperation semantics),
-    distributed per region; oracle = driver-precomputed literal
-    table."""
+    """Full S2BufferOperation surface, distributed per (case, mode):
+    grow (nation loops + the concave family: fractal stars, a
+    hole-pinching courtyard, a merging dumbbell), shrink (negative
+    radius / contraction via the complement walk), polyline (two-sided
+    round-cap stadium), point (disc), and multi-layer union (loop +
+    shifted copy through one winding walk).  Every case Monte-Carlo-
+    validates in the worker against the within-distance predicate;
+    oracle = driver-precomputed literal table through the same
+    kernels."""
     _ensure_pkg(spark)
-    from s2geometry_spark.functions import literal_oracle as LO
-    from s2geometry_spark.kernels.loop import Loop
-    from s2geometry_spark.operators import measures_op as MO
-    from s2geometry_spark.sources import regions_src as R
+    import pandas as pd
 
-    loops = list(_nation_loops(spark, sf_dir)) + [
-        (rid, Loop(verts)) for rid, verts in R.concave_loop_fixtures()
-    ]
-    return MO.buffer_loops(
-        MO.loops_vertex_df(spark, loops), LO.BUFFER_RADIUS
+    from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import measures_op as MO
+
+    pdf = pd.DataFrame(
+        LO.buffer_case_vertices(),
+        columns=["case_id", "mode", "which", "vtx_idx", "x", "y", "z"],
+    )
+    return MO.buffer_shapes(
+        spark.createDataFrame(pdf),
+        LO.BUFFER_RADIUS,
+        LO.BUFFER_SHRINK_RADIUS,
     )
 
 
@@ -1681,7 +1687,7 @@ def oracle_sql() -> dict[str, str]:
             + LO.polyline_relations_sql()
             + ") pr USING (line_id)"
         ),
-        "s2_buffer_loops": LO.buffer_loops_sql(),
+        "s2_buffer_loops": LO.buffer_cases_sql(),
         "doc_profile": (
             "SELECT * FROM ("
             + TX.token_stats_sql()

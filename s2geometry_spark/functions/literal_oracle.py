@@ -602,34 +602,102 @@ def polyline_relations_sql() -> str:
 
 
 BUFFER_RADIUS = 0.03
+# contraction radius, kept below the smallest fixture inradius
+# (key 0: square of circumradius 0.05 -> inradius ~0.035) so every
+# shrink case leaves a validatable region
+BUFFER_SHRINK_RADIUS = 0.02
 
 
 @lru_cache(maxsize=1)
-def buffer_loops_sql() -> str:
-    from ..kernels import buffer as BUF
-    from ..kernels import measures as M
+def buffer_case_vertices() -> list[tuple]:
+    """(case_id, mode, which, vtx_idx, x, y, z) rows covering the full
+    S2BufferOperation surface: grow (25 loops + the concave fixtures),
+    shrink (contraction), polyline (stadium), point (disc) and union
+    (loop + tangent-shifted copy through one winding walk)."""
+    from ..kernels import edges as KE
     from ..sources import regions_src as R
+
+    rows = []
+
+    def add(cid, mode, which, verts):
+        for i, v in enumerate(np.asarray(verts, dtype=np.float64)):
+            rows.append(
+                (int(cid), mode, int(which), i,
+                 float(v[0]), float(v[1]), float(v[2]))
+            )
 
     loops = [
         (rid, np.asarray(lp.verts))
         for rid, lp in R.synthetic_loops(range(25))
     ] + R.concave_loop_fixtures()
+    for rid, verts in loops:
+        add(rid, "grow", 0, verts)
+    for rid, lp in R.synthetic_loops(range(25)):
+        add(rid, "shrink", 0, np.asarray(lp.verts))
+    for key in range(25):
+        add(key, "polyline", 0, R.polyline_vertices(key))
+        cx, cy, cz, _ = R.cap_params(key)
+        add(key, "point", 0, np.array([[cx, cy, cz]]))
+        base = R.loop_vertices(key)
+        u = np.array(KE.ortho((cx, cy, cz)))
+        shifted = base + u[None, :] * (0.04 + 0.01 * (key % 3))
+        shifted = shifted / np.linalg.norm(shifted, axis=1)[:, None]
+        add(key, "union", 0, base)
+        add(key, "union", 1, shifted)
+    return rows
+
+
+@lru_cache(maxsize=1)
+def buffer_cases_sql() -> str:
+    """Driver recompute of every buffer case through the same golden-
+    and Monte-Carlo-validated kernels (literal table)."""
+    from ..kernels import buffer as BUF
+    from ..kernels import measures as M
+
+    by_case: dict[tuple[int, str], dict[int, list]] = {}
+    for cid, mode, which, _i, x, y, z in buffer_case_vertices():
+        by_case.setdefault((cid, mode), {}).setdefault(which, []).append(
+            (x, y, z)
+        )
     out = []
-    for rid, vs in loops:
-        verts = np.array([[float(v[0]), float(v[1]), float(v[2])] for v in vs])
-        rings = BUF.buffer_loop_rings(verts, BUFFER_RADIUS)
+    for (cid, mode), groups in by_case.items():
+        parts = [
+            np.asarray(groups[w], dtype=np.float64)
+            for w in sorted(groups)
+        ]
+        if mode == "grow":
+            rings = BUF.buffer_loop_rings(parts[0], BUFFER_RADIUS)
+            base = M.loop_area(parts[0])
+        elif mode == "shrink":
+            rings = BUF.buffer_polygon_rings(
+                [parts[0]], -BUFFER_SHRINK_RADIUS
+            )
+            base = M.loop_area(parts[0])
+        elif mode == "polyline":
+            rings = BUF.buffer_polyline_rings(parts[0], BUFFER_RADIUS)
+            base = 0.0
+        elif mode == "point":
+            rings = BUF.buffer_point_rings(parts[0][0], BUFFER_RADIUS)
+            base = 0.0
+        else:
+            rings = BUF.buffer_shapes_union_rings(
+                [("loop", g) for g in parts], BUFFER_RADIUS
+            )
+            base = sum(M.loop_area(g) for g in parts)
         out.append(
             (
-                rid,
+                cid,
+                mode,
                 sum(len(r) for r in rings),
-                M.loop_area(verts),
+                base,
                 sum(M.loop_signed_area(r) for r in rings),
             )
         )
     return values_sql(
         out,
         [
-            ("region_id", "BIGINT"),
+            ("case_id", "BIGINT"),
+            ("mode", "VARCHAR"),
             ("n_ring", "INT"),
             ("area_base", "DOUBLE"),
             ("area_buffered", "DOUBLE"),

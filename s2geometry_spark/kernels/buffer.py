@@ -54,14 +54,23 @@ def _is_convex(verts: np.ndarray) -> bool:
 
 
 def offset_curve(
-    verts: np.ndarray, radius: float, tolerance: float = 1e-3
+    verts: np.ndarray,
+    radius: float,
+    tolerance: float = 1e-3,
+    flat_turns: frozenset[int] | set[int] = frozenset(),
 ) -> np.ndarray:
     """Closed offset curve of a CCW loop at distance `radius`, with
     concave vertices spliced into the curve (radial edges through the
     vertex) so winding numbers stay correct —
     S2BufferOperation.BufferEdgeAndVertex / AddEdgeArc / AddVertexArc
     (S2BufferOperation.cs:517-613).  May self-intersect; feed to the
-    winding walk."""
+    winding walk.
+
+    `flat_turns`: edge indexes whose END vertex takes the splice branch
+    even when the turn is convex/degenerate — used for FLAT polyline
+    end caps (on the sphere the geodesic between the two opposite
+    offset endpoints passes exactly through the vertex, so the splice
+    IS the flat cap; S2BufferOperation.Options.EndCapStyle)."""
     verts = np.ascontiguousarray(verts, dtype=np.float64)
     n = len(verts)
     cr, sr = math.cos(radius), math.sin(radius)
@@ -87,7 +96,7 @@ def offset_curve(
         turn = E.sign(
             tuple(map(float, a)), tuple(map(float, b)), tuple(map(float, c))
         )
-        if turn >= 0:
+        if turn >= 0 and k not in flat_turns:
             # convex turn: round join sweeping CCW from axis_ab to
             # axis_bc around b, semi-open (next edge arc closes it)
             w = math.acos(
@@ -334,3 +343,393 @@ def buffered_contains(verts: np.ndarray, radius: float, points: np.ndarray,
         )
     s = math.sin(0.5 * radius)
     return inside | (min_d2 <= 4 * s * s)
+
+
+# ---------------------------------------------------------------------
+# Round-4 surface: point / polyline inputs, negative radius
+# (contraction), polygons with holes, and multi-layer union —
+# completing S2BufferOperation.cs:1-25 ("The radius can also be
+# negative ... removes all points and polylines"; "The input consists
+# of a sequence of layers ... the output is the union of the buffered
+# input layers").
+# ---------------------------------------------------------------------
+
+def circle_ring(
+    center,
+    radius: float,
+    tolerance: float = 1e-3,
+    num_segments: int | None = None,
+) -> np.ndarray:
+    """Regular CCW ring approximating the circle of `radius` around a
+    unit point (S2BufferOperation.AddPoint: "points are buffered into
+    regular polygons"; num_segments mirrors Options.CircleSegments)."""
+    if radius <= 0:
+        raise ValueError("circle_ring needs radius > 0")
+    p = _unit(np.asarray(center, dtype=np.float64))
+    ref = (
+        np.array([0.0, 0.0, 1.0])
+        if abs(p[2]) < 0.9
+        else np.array([1.0, 0.0, 0.0])
+    )
+    e1 = _unit(np.cross(ref, p))
+    e2 = np.cross(p, e1)  # (e1, e2, p) right-handed -> CCW around p
+    if num_segments is None:
+        step = 2 * math.sqrt(2 * tolerance / max(radius, tolerance))
+        num_segments = max(3, int(math.ceil(2 * math.pi / step)))
+    th = 2 * math.pi * np.arange(num_segments) / num_segments
+    cr, sr = math.cos(radius), math.sin(radius)
+    ring = (
+        cr * p[None, :]
+        + sr * (np.cos(th)[:, None] * e1[None, :]
+                + np.sin(th)[:, None] * e2[None, :])
+    )
+    return ring / np.linalg.norm(ring, axis=1)[:, None]
+
+
+def buffer_point_rings(
+    center, radius: float, tolerance: float = 1e-3, check: bool = True
+) -> list[np.ndarray]:
+    """Buffered point: a disc of `radius` (negative radius removes
+    points — S2BufferOperation.cs:8-9)."""
+    if radius <= 0:
+        return []
+    ring = circle_ring(center, radius, tolerance)
+    if check:
+        p = _unit(np.asarray(center, dtype=np.float64))
+        rng = np.random.default_rng(0)
+        P = p[None, :] + 4 * radius * rng.standard_normal((800, 3))
+        P = P / np.linalg.norm(P, axis=1)[:, None]
+        from .loop import Loop
+
+        d2 = ((P - p[None, :]) ** 2).sum(axis=1)
+        s = math.sin(0.5 * radius)
+        want = d2 <= 4 * s * s
+        got = Loop(ring).contains_points(P)
+        band = np.abs(2 * np.arcsin(np.sqrt(np.clip(d2, 0, 4)) / 2)
+                      - radius) <= 4 * tolerance
+        if (want != got)[~band].any():
+            raise ValueError("buffer_point_rings failed validation")
+    return [ring]
+
+
+def _doubled_path(verts: np.ndarray) -> np.ndarray:
+    """Polyline -> the degenerate closed path [v0..vk, v(k-1)..v1]
+    whose left side is empty; its offset curve bounds the two-sided
+    buffer (S2BufferOperation.AddPolyline buffers each side)."""
+    verts = np.ascontiguousarray(verts, dtype=np.float64)
+    if len(verts) < 2:
+        raise ValueError("polyline needs >= 2 vertices")
+    return np.concatenate([verts, verts[-2:0:-1]])
+
+
+def _polyline_min_dist2(verts: np.ndarray, P: np.ndarray) -> np.ndarray:
+    m = len(verts)
+    min_d2 = np.full(len(P), np.inf)
+    for k in range(m - 1):
+        a = tuple(float(x) for x in verts[k])
+        b = tuple(float(x) for x in verts[k + 1])
+        min_d2 = np.minimum(
+            min_d2, edge_distance2_batch(P[:, 0], P[:, 1], P[:, 2], a, b)
+        )
+    return min_d2
+
+
+def _flat_rect_contains(verts: np.ndarray, radius: float,
+                        P: np.ndarray) -> np.ndarray:
+    """FLAT-cap predicate: within `radius` of some edge's great-circle
+    arc with the perpendicular foot INSIDE the arc (union of geodesic
+    rectangles, no end discs)."""
+    got = np.zeros(len(P), dtype=bool)
+    sin_r = math.sin(radius)
+    for k in range(len(verts) - 1):
+        a, b = verts[k], verts[k + 1]
+        n = _unit(np.cross(a, b))
+        perp = P @ n
+        perp_ok = np.abs(perp) <= sin_r
+        proj = P - perp[:, None] * n[None, :]
+        nn = np.linalg.norm(proj, axis=1)
+        ok = perp_ok & (nn > 1e-12)
+        proj[ok] /= nn[ok, None]
+        in_arc = (proj @ np.cross(n, a) >= 0) & (proj @ np.cross(b, n) >= 0)
+        got |= ok & in_arc
+    return got
+
+
+def buffer_polyline_rings(
+    verts: np.ndarray,
+    radius: float,
+    tolerance: float = 1e-3,
+    end_cap: str = "round",
+    check: bool = True,
+) -> list[np.ndarray]:
+    """Two-sided polyline buffer (stadium region): the offset curve of
+    the doubled degenerate path through the winding-positive walk.
+    end_cap: 'round' (default, semicircular caps) or 'flat' (the
+    buffer ends at the perpendicular through each endpoint) —
+    S2BufferOperation.Options.EndCapStyle.  Negative radius removes
+    polylines (returns []).  One-sided buffering (PolylineSide
+    LEFT/RIGHT) is not implemented."""
+    verts = np.ascontiguousarray(verts, dtype=np.float64)
+    if radius <= 0:
+        return []
+    if end_cap not in ("round", "flat"):
+        raise ValueError(f"unknown end_cap {end_cap!r}")
+    path = _doubled_path(verts)
+    k = len(verts) - 1
+    flat = frozenset((k - 1, 2 * k - 1)) if end_cap == "flat" else frozenset()
+    curve = offset_curve(path, radius, tolerance, flat_turns=flat)
+    from .winding import RULE_POSITIVE, winding_operation
+
+    center = _unit(verts.mean(axis=0))
+    rings = winding_operation(
+        [curve], RULE_POSITIVE, ref_point=tuple(-center), ref_winding=0
+    )
+    if check:
+        rng = np.random.default_rng(0)
+        spread = 4 * (radius + float(
+            np.linalg.norm(verts - center, axis=1).max()
+        ))
+        P = center[None, :] + spread * rng.standard_normal((1500, 3))
+        P = P / np.linalg.norm(P, axis=1)[:, None]
+        min_d2 = _polyline_min_dist2(verts, P)
+        s = math.sin(0.5 * radius)
+        if end_cap == "round":
+            want = min_d2 <= 4 * s * s
+        else:
+            # flat caps affect only the two END vertices; interior
+            # vertices always get round joins, so their discs fill the
+            # wedge gaps between adjacent rectangles on convex turns
+            want = _flat_rect_contains(verts, radius, P)
+            for v in verts[1:-1]:
+                want |= ((P - v[None, :]) ** 2).sum(axis=1) <= 4 * s * s
+        got = _rings_contain(rings, P)
+        d = 2 * np.arcsin(np.sqrt(np.clip(min_d2, 0, 4)) / 2)
+        band = np.abs(d - radius) <= 4 * tolerance
+        if end_cap == "flat":
+            # also exempt the cap neighborhoods: the rect predicate
+            # flips across the perpendicular great circle at each
+            # endpoint (and along the endpoint's radius-r circle)
+            # within sampling tolerance
+            for endp in (verts[0], verts[-1]):
+                band |= np.abs(
+                    2 * np.arcsin(
+                        np.linalg.norm(P - endp[None, :], axis=1) / 2
+                    ) - radius
+                ) <= 4 * tolerance
+                t_cap = _cap_tangent(verts, endp)
+                near_plane = np.abs(P @ t_cap) <= 4 * tolerance
+                band |= near_plane & (min_d2 <= 4 * s * s + 4 * tolerance)
+        bad = (want != got) & ~band
+        if bad.any():
+            raise ValueError(
+                "buffer_polyline_rings failed validation "
+                f"({int(bad.sum())} probes disagree beyond 4*tol)"
+            )
+    return rings
+
+
+def _cap_tangent(verts: np.ndarray, endp: np.ndarray) -> np.ndarray:
+    """Forward tangent at an endpoint (unit, ⊥ endp)."""
+    if np.allclose(endp, verts[0]):
+        nxt = verts[1]
+    else:
+        nxt = verts[-2]
+    t = nxt - float(np.dot(nxt, endp)) * endp
+    return _unit(t)
+
+
+def _rings_contain(rings: list, P: np.ndarray) -> np.ndarray:
+    """Parity containment for a disjoint simple-ring set bounding a
+    0/1-winding region (CCW shells XOR CW holes)."""
+    from .loop import Loop
+    from .measures import loop_signed_area
+
+    got = np.zeros(len(P), dtype=bool)
+    for ring in rings:
+        arr = np.asarray(ring)
+        if loop_signed_area(arr) < 0:
+            arr = arr[::-1]
+        got ^= Loop(np.ascontiguousarray(arr)).contains_points(P)
+    return got
+
+
+def _rings_min_dist2(rings_in: list, P: np.ndarray) -> np.ndarray:
+    min_d2 = np.full(len(P), np.inf)
+    for ring in rings_in:
+        ring = np.asarray(ring)
+        n = len(ring)
+        for k in range(n):
+            a = tuple(float(x) for x in ring[k])
+            b = tuple(float(x) for x in ring[(k + 1) % n])
+            min_d2 = np.minimum(
+                min_d2,
+                edge_distance2_batch(P[:, 0], P[:, 1], P[:, 2], a, b),
+            )
+    return min_d2
+
+
+def buffer_polygon_rings(
+    rings_in: list,
+    radius: float,
+    tolerance: float = 1e-3,
+    check: bool = True,
+) -> list[np.ndarray]:
+    """Polygon (ring list, region on the left: CCW shells / CW holes)
+    -> buffered boundary rings.  Negative radius CONTRACTS
+    (S2BufferOperation.cs:7-9): contraction by r == complement of the
+    complement's expansion by r, and complementing a region just
+    reverses every boundary ring — so the negative path reverses the
+    input rings, expands with the SAME winding walk anchored at
+    ref_winding=1 (the anchor antipode lies inside the complement),
+    and reverses the output.  A contraction that empties the polygon
+    returns []."""
+    rings_in = [
+        np.ascontiguousarray(r, dtype=np.float64) for r in rings_in
+    ]
+    if not rings_in:
+        return []
+    if radius == 0.0:
+        return rings_in
+    from .winding import RULE_POSITIVE, winding_operation
+
+    allv = np.concatenate(rings_in)
+    center = _unit(allv.mean(axis=0))
+    if radius > 0:
+        curves = [offset_curve(r, radius, tolerance) for r in rings_in]
+        rings = winding_operation(
+            curves, RULE_POSITIVE, ref_point=tuple(-center), ref_winding=0
+        )
+    else:
+        comp = [np.ascontiguousarray(r[::-1]) for r in rings_in]
+        curves = [offset_curve(r, -radius, tolerance) for r in comp]
+        rings_c = winding_operation(
+            curves, RULE_POSITIVE, ref_point=tuple(-center), ref_winding=1
+        )
+        rings = [np.ascontiguousarray(r[::-1]) for r in rings_c]
+    if check:
+        rng = np.random.default_rng(0)
+        spread = 4 * (abs(radius) + float(
+            np.linalg.norm(allv - center, axis=1).max()
+        ))
+        P = center[None, :] + spread * rng.standard_normal((1500, 3))
+        P = P / np.linalg.norm(P, axis=1)[:, None]
+        inside = _rings_contain(rings_in, P)
+        min_d2 = _rings_min_dist2(rings_in, P)
+        s = math.sin(0.5 * abs(radius))
+        if radius > 0:
+            want = inside | (min_d2 <= 4 * s * s)
+        else:
+            want = inside & (min_d2 > 4 * s * s)
+        got = _rings_contain(rings, P)
+        d = 2 * np.arcsin(np.sqrt(np.clip(min_d2, 0, 4)) / 2)
+        bad = (want != got) & (np.abs(d - abs(radius)) > 4 * tolerance)
+        if bad.any():
+            raise ValueError(
+                "buffer_polygon_rings failed validation "
+                f"({int(bad.sum())} probes disagree beyond 4*tol)"
+            )
+    return rings
+
+
+def buffer_shapes_union_rings(
+    shapes: list,
+    radius: float,
+    tolerance: float = 1e-3,
+    check: bool = True,
+) -> list[np.ndarray]:
+    """Multi-layer buffered UNION (S2BufferOperation.cs:11-19): every
+    shape's offset curve feeds ONE winding-positive walk, so
+    overlapping buffered regions (winding >= 1) merge in a single
+    arrangement — the reference's "union ... using a single snapping
+    operation".  `shapes`: (kind, data) pairs with kind 'point' (unit
+    vector), 'polyline' ((m,3) vertices), 'loop' ((m,3) CCW ring) or
+    'polygon' (ring list).  radius == 0 computes the polygon union
+    (degenerate point/polyline output is dropped, a documented
+    divergence from the reference's degeneracy-preserving layers);
+    radius < 0 removes points/polylines and allows at most one
+    polygon (FAILED_PRECONDITION otherwise)."""
+    if radius < 0:
+        polys = [s for s in shapes if s[0] in ("loop", "polygon")]
+        if len(polys) > 1:
+            raise ValueError(
+                "FAILED_PRECONDITION: negative buffer radius allows at "
+                "most one polygon layer (S2BufferOperation.cs:15-16)"
+            )
+        if not polys:
+            return []
+        kind, data = polys[0]
+        rings_in = list(data) if kind == "polygon" else [data]
+        return buffer_polygon_rings(rings_in, radius, tolerance, check)
+
+    curves: list[np.ndarray] = []
+    vert_blocks: list[np.ndarray] = []
+    for kind, data in shapes:
+        if kind == "point":
+            p = _unit(np.asarray(data, dtype=np.float64))
+            vert_blocks.append(p[None, :])
+            if radius > 0:
+                curves.append(circle_ring(p, radius, tolerance))
+        elif kind == "polyline":
+            v = np.ascontiguousarray(data, dtype=np.float64)
+            vert_blocks.append(v)
+            if radius > 0:
+                curves.append(
+                    offset_curve(_doubled_path(v), radius, tolerance)
+                )
+        elif kind == "loop":
+            v = np.ascontiguousarray(data, dtype=np.float64)
+            vert_blocks.append(v)
+            curves.append(offset_curve(v, radius, tolerance))
+        elif kind == "polygon":
+            for r in data:
+                v = np.ascontiguousarray(r, dtype=np.float64)
+                vert_blocks.append(v)
+                curves.append(offset_curve(v, radius, tolerance))
+        else:
+            raise ValueError(f"unknown shape kind {kind!r}")
+    if not curves:
+        return []
+    from .winding import RULE_POSITIVE, winding_operation
+
+    allv = np.concatenate(vert_blocks)
+    center = _unit(allv.mean(axis=0))
+    rings = winding_operation(
+        curves, RULE_POSITIVE, ref_point=tuple(-center), ref_winding=0
+    )
+    if check:
+        rng = np.random.default_rng(0)
+        spread = 4 * (radius + float(
+            np.linalg.norm(allv - center, axis=1).max()
+        ))
+        P = center[None, :] + spread * rng.standard_normal((1500, 3))
+        P = P / np.linalg.norm(P, axis=1)[:, None]
+        s = math.sin(0.5 * radius)
+        want = np.zeros(len(P), dtype=bool)
+        band = np.zeros(len(P), dtype=bool)
+        for kind, data in shapes:
+            if kind == "point":
+                p = _unit(np.asarray(data, dtype=np.float64))
+                d2 = ((P - p[None, :]) ** 2).sum(axis=1)
+            elif kind == "polyline":
+                d2 = _polyline_min_dist2(
+                    np.asarray(data, dtype=np.float64), P
+                )
+            else:
+                rl = (
+                    [np.asarray(r) for r in data]
+                    if kind == "polygon"
+                    else [np.asarray(data)]
+                )
+                d2 = _rings_min_dist2(rl, P)
+                want |= _rings_contain(rl, P)
+            want |= d2 <= 4 * s * s
+            d = 2 * np.arcsin(np.sqrt(np.clip(d2, 0, 4)) / 2)
+            band |= np.abs(d - radius) <= 4 * tolerance
+        got = _rings_contain(rings, P)
+        bad = (want != got) & ~band
+        if bad.any():
+            raise ValueError(
+                "buffer_shapes_union_rings failed validation "
+                f"({int(bad.sum())} probes disagree beyond 4*tol)"
+            )
+    return rings

@@ -341,6 +341,88 @@ def buffer_loops(vertex_df: DataFrame, radius: float) -> DataFrame:
     )
 
 
+BUFFER_CASE_SCHEMA = T.StructType(
+    [
+        T.StructField("case_id", T.LongType(), False),
+        T.StructField("mode", T.StringType(), False),
+        T.StructField("n_ring", T.IntegerType(), False),
+        T.StructField("area_base", T.DoubleType(), False),
+        T.StructField("area_buffered", T.DoubleType(), False),
+    ]
+)
+
+
+def buffer_shapes(vertex_df: DataFrame, radius: float,
+                  shrink_radius: float) -> DataFrame:
+    """Full S2BufferOperation surface, distributed per (case_id, mode):
+    input rows (case_id, mode, which, vtx_idx, x, y, z) where mode
+    selects the path —
+
+      grow      loop expanded by +radius (convex fast path or the
+                spliced-offset winding walk)
+      shrink    polygon CONTRACTED by shrink_radius (complement walk,
+                S2BufferOperation.cs:7-9; may empty)
+      polyline  two-sided round-cap stadium of the vertex chain
+      point     disc around the single vertex
+      union     multi-layer union: every `which` loop's offset curve
+                through ONE winding-positive walk
+                (S2BufferOperation.cs:11-19)
+
+    Emits ring vertex counts and base/buffered signed-area sums per
+    case; area_base is the input region area (0 for the measure-zero
+    point/polyline inputs, the sum of member areas for union)."""
+
+    def compute(key, pdf: pd.DataFrame):
+        from ..kernels import buffer as BUF
+        from ..kernels import measures as M
+
+        cid, mode = int(key[0]), str(key[1])
+        pdf = pdf.sort_values(["which", "vtx_idx"])
+        groups = [
+            grp[["x", "y", "z"]].to_numpy()
+            for _, grp in pdf.groupby("which")
+        ]
+        if mode == "grow":
+            (verts,) = groups
+            rings = BUF.buffer_loop_rings(verts, radius)
+            base = M.loop_area(verts)
+        elif mode == "shrink":
+            (verts,) = groups
+            rings = BUF.buffer_polygon_rings([verts], -shrink_radius)
+            base = M.loop_area(verts)
+        elif mode == "polyline":
+            (verts,) = groups
+            rings = BUF.buffer_polyline_rings(verts, radius)
+            base = 0.0
+        elif mode == "point":
+            (verts,) = groups
+            rings = BUF.buffer_point_rings(verts[0], radius)
+            base = 0.0
+        elif mode == "union":
+            shapes = [("loop", g) for g in groups]
+            rings = BUF.buffer_shapes_union_rings(shapes, radius)
+            base = sum(M.loop_area(g) for g in groups)
+        else:
+            raise ValueError(f"unknown buffer mode {mode!r}")
+        return pd.DataFrame(
+            [
+                {
+                    "case_id": cid,
+                    "mode": mode,
+                    "n_ring": sum(len(r) for r in rings),
+                    "area_base": base,
+                    "area_buffered": sum(
+                        M.loop_signed_area(r) for r in rings
+                    ),
+                }
+            ]
+        )
+
+    return vertex_df.groupBy("case_id", "mode").applyInPandas(
+        compute, schema=BUFFER_CASE_SCHEMA
+    )
+
+
 WINDING_SCHEMA = T.StructType(
     [
         T.StructField("group_id", T.LongType(), False),

@@ -1,0 +1,241 @@
+"""Round-4 S2BufferOperation surface: point / polyline inputs,
+negative radius (contraction), polygons with holes, and multi-layer
+union — golden cases ported from S2GeometryTests/S2BufferOperationTests.cs
+(TestSignedBuffer / PointsAndPolylinesAreRemoved /
+NegativeBufferRadiusMultipleLayers / BufferedPointsAreSymmetric /
+SetCircleSegments / ZigZagPolyline).  Every constructive call runs
+with check=True, so each case is additionally Monte-Carlo-validated
+against the within-distance predicate inside the kernel itself."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from s2geometry_spark.kernels import buffer as B
+from s2geometry_spark.kernels import measures as M
+
+DEG = math.pi / 180.0
+
+
+def ll(lat: float, lng: float) -> np.ndarray:
+    """Reference test notation 'lat:lng' in degrees -> unit vector."""
+    phi, th = lat * DEG, lng * DEG
+    return np.array(
+        [
+            math.cos(phi) * math.cos(th),
+            math.cos(phi) * math.sin(th),
+            math.sin(phi),
+        ]
+    )
+
+
+def loop_of(*latlngs) -> np.ndarray:
+    return np.stack([ll(*p) for p in latlngs])
+
+
+SQUARE = loop_of((-3, -3), (-3, 3), (3, 3), (3, -3))
+# hole ring of the reference HollowSquare case, given CW so the polygon
+# interior (between the squares) is on its left
+HOLE_CW = loop_of((2, 2), (-2, 2), (-2, -2), (2, -2))
+ZIGZAG_LOOP = loop_of(
+    (0, 0), (0, 7), (5, 3), (5, 10), (6, 10), (6, 1), (1, 5), (1, 0)
+)
+ZIGZAG_LINE = loop_of((0, 0), (0, 7), (5, 3), (5, 10))
+
+
+# --- points -----------------------------------------------------------
+
+def test_buffered_points_are_symmetric():
+    """S2BufferOperationTests.BufferedPointsAreSymmetric: points buffer
+    into regular polygons (all edge lengths equal)."""
+    ring = B.circle_ring(np.array([1.0, 0.0, 0.0]), 5 * DEG, 0.001234567)
+    nxt = np.roll(ring, -1, axis=0)
+    edge_len = 2 * np.arcsin(np.linalg.norm(nxt - ring, axis=1) / 2)
+    assert np.abs(edge_len - edge_len[0]).max() <= 1e-14
+
+
+@pytest.mark.parametrize("segments", range(3, 21))
+def test_set_circle_segments(segments):
+    """S2BufferOperationTests.SetCircleSegments: a buffered point has
+    exactly circle_segments edges (tiny radius)."""
+    ring = B.circle_ring(
+        np.array([1.0, 0.0, 0.0]), 1e-12, num_segments=segments
+    )
+    assert len(ring) == segments
+
+
+def test_point_shell_signed():
+    """S2BufferOperationTests.PointShell (TestSignedBuffer at pi/2):
+    positive radius gives the hemisphere disc, negative removes the
+    point.  At exactly pi/2 the ring is a great circle, whose signed
+    area is orientation-ambiguous (+-2*pi) — assert the magnitude, and
+    check the exact disc-area formula at 80 deg where it is not."""
+    p = ll(0, 0)
+    rings = B.buffer_point_rings(p, math.pi / 2, tolerance=5e-3)
+    assert len(rings) == 1
+    assert abs(abs(M.loop_signed_area(rings[0])) - 2 * math.pi) < 0.05
+    (r80,) = B.buffer_point_rings(p, 80 * DEG, tolerance=5e-3)
+    want = 2 * math.pi * (1 - math.cos(80 * DEG))
+    assert abs(M.loop_signed_area(r80) - want) < 0.01
+    assert B.buffer_point_rings(p, -1 * DEG) == []
+
+
+# --- polylines --------------------------------------------------------
+
+@pytest.mark.parametrize("end_cap", ["round", "flat"])
+def test_zigzag_polyline(end_cap):
+    """S2BufferOperationTests.ZigZagPolyline (two-sided, round + flat
+    caps) — internal Monte-Carlo validation is the assertion."""
+    rings = B.buffer_polyline_rings(
+        ZIGZAG_LINE, 1 * DEG, end_cap=end_cap, check=True
+    )
+    assert len(rings) >= 1
+    area = sum(M.loop_signed_area(r) for r in rings)
+    # stadium area ~ 2*r*len + pi*r^2 (round); flat is strictly smaller
+    assert area > 0
+    if end_cap == "flat":
+        round_area = sum(
+            M.loop_signed_area(r)
+            for r in B.buffer_polyline_rings(
+                ZIGZAG_LINE, 1 * DEG, end_cap="round", check=False
+            )
+        )
+        assert area < round_area
+
+
+def test_polyline_second_reference_case():
+    """Second ZigZagPolyline fixture ('10:0, 0:0, 5:1') — a sharp
+    reversal angle at 0:0."""
+    line = loop_of((10, 0), (0, 0), (5, 1))
+    for end_cap in ("round", "flat"):
+        rings = B.buffer_polyline_rings(line, 1 * DEG, end_cap=end_cap)
+        assert len(rings) >= 1
+
+
+def test_polyline_negative_radius_removed():
+    """S2BufferOperationTests.PointsAndPolylinesAreRemoved."""
+    assert B.buffer_polyline_rings(ZIGZAG_LINE, -1 * DEG) == []
+
+
+# --- polygons: signed buffering --------------------------------------
+
+def test_square_signed():
+    """S2BufferOperationTests.Square (TestSignedBuffer at 1 deg):
+    expansion grows the area, contraction shrinks it, both validated
+    against the exact predicate inside the kernel."""
+    base = M.loop_signed_area(SQUARE)
+    grown = B.buffer_polygon_rings([SQUARE], 1 * DEG)
+    shrunk = B.buffer_polygon_rings([SQUARE], -1 * DEG)
+    assert sum(M.loop_signed_area(r) for r in grown) > base
+    assert 0 < sum(M.loop_signed_area(r) for r in shrunk) < base
+
+
+def test_hollow_square_signed():
+    """S2BufferOperationTests.HollowSquare: shell + hole, both signs.
+    Expanding by 1 deg swallows the 1-deg-wide annulus hole; the
+    contraction keeps both rings."""
+    rings_in = [SQUARE, HOLE_CW]
+    base = sum(M.loop_signed_area(r) for r in rings_in)
+    grown = B.buffer_polygon_rings(rings_in, 1 * DEG)
+    shrunk = B.buffer_polygon_rings(rings_in, -0.2 * DEG)
+    assert sum(M.loop_signed_area(r) for r in grown) > base
+    a_shrunk = sum(M.loop_signed_area(r) for r in shrunk)
+    assert 0 < a_shrunk < base
+    assert len(shrunk) == 2  # annulus survives a small contraction
+
+
+def test_zigzag_loop_signed():
+    """S2BufferOperationTests.ZigZagLoop (TestSignedBuffer at 0.2 deg)."""
+    base = M.loop_signed_area(ZIGZAG_LOOP)
+    grown = B.buffer_polygon_rings([ZIGZAG_LOOP], 0.2 * DEG)
+    shrunk = B.buffer_polygon_rings([ZIGZAG_LOOP], -0.2 * DEG)
+    assert sum(M.loop_signed_area(r) for r in grown) > base
+    assert 0 <= sum(M.loop_signed_area(r) for r in shrunk) < base
+
+
+def test_contraction_to_empty():
+    """Contracting past the inradius empties the polygon (reference
+    TestRadiiAndErrorFractions covers radii beyond the shape size)."""
+    assert B.buffer_polygon_rings([SQUARE], -10 * DEG) == []
+
+
+def test_zero_radius_identity():
+    rings = B.buffer_polygon_rings([SQUARE], 0.0)
+    assert len(rings) == 1
+    assert np.allclose(rings[0], SQUARE)
+
+
+# --- multi-layer union ------------------------------------------------
+
+def test_union_two_overlapping_loops():
+    """Two overlapping squares buffered in one winding operation merge
+    into a single shell (S2BufferOperation multi-layer union)."""
+    sq2 = loop_of((-3, 2), (-3, 8), (3, 8), (3, 2))
+    rings = B.buffer_shapes_union_rings(
+        [("loop", SQUARE), ("loop", sq2)], 0.5 * DEG
+    )
+    assert len(rings) == 1
+    a = sum(M.loop_signed_area(r) for r in rings)
+    assert a < (
+        sum(M.loop_signed_area(r)
+            for r in B.buffer_polygon_rings([SQUARE], 0.5 * DEG))
+        + sum(M.loop_signed_area(r)
+              for r in B.buffer_polygon_rings([sq2], 0.5 * DEG))
+    )
+
+
+def test_union_disjoint_shapes_stay_separate():
+    far = loop_of((20, 20), (20, 26), (26, 26), (26, 20))
+    rings = B.buffer_shapes_union_rings(
+        [("loop", SQUARE), ("loop", far)], 0.5 * DEG
+    )
+    assert len(rings) == 2
+
+
+def test_union_mixed_modalities():
+    """Point + polyline + polygon layers in one union."""
+    rings = B.buffer_shapes_union_rings(
+        [
+            ("point", ll(10, 10)),
+            ("polyline", loop_of((8, 0), (8, 5))),
+            ("loop", SQUARE),
+        ],
+        0.8 * DEG,
+    )
+    assert len(rings) >= 2  # the far point stays its own disc
+    a = sum(M.loop_signed_area(r) for r in rings)
+    assert a > 0
+
+
+def test_union_zero_radius_polygon_union():
+    """Radius 0 computes the polygon union (S2BufferOperation.cs:18-19)."""
+    sq2 = loop_of((-3, 2), (-3, 8), (3, 8), (3, 2))
+    rings = B.buffer_shapes_union_rings(
+        [("loop", SQUARE), ("loop", sq2)], 0.0
+    )
+    assert len(rings) == 1
+    a = sum(M.loop_signed_area(r) for r in rings)
+    a1, a2 = M.loop_signed_area(SQUARE), M.loop_signed_area(sq2)
+    assert max(a1, a2) < a < a1 + a2
+
+
+def test_negative_radius_multiple_layers_rejected():
+    """S2BufferOperationTests.NegativeBufferRadiusMultipleLayers:
+    FAILED_PRECONDITION with more than one polygon layer."""
+    sq2 = loop_of((20, 20), (20, 26), (26, 26), (26, 20))
+    with pytest.raises(ValueError, match="FAILED_PRECONDITION"):
+        B.buffer_shapes_union_rings(
+            [("loop", SQUARE), ("loop", sq2)], -1 * DEG
+        )
+
+
+def test_negative_radius_points_and_lines_removed():
+    """Negative radius with only points/polylines -> empty output."""
+    out = B.buffer_shapes_union_rings(
+        [("point", ll(0, 0)), ("polyline", loop_of((2, 2), (2, 3)))],
+        -1 * DEG,
+    )
+    assert out == []
