@@ -834,8 +834,9 @@ def q_closest_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hausdorff_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed Hausdorff distance per nation: customers -> suppliers
-    (max over customers of min supplier distance)."""
+    """Hausdorff distance per nation, directed (customers -> suppliers:
+    max over customers of min supplier distance) AND undirected (the
+    max of both directed passes, S2HausdorffDistanceQuery.cs:18-52)."""
     _ensure_pkg(spark)
     from s2geometry_spark.operators import knn as KNN
     from s2geometry_spark.sources import points as P
@@ -852,7 +853,7 @@ def q_hausdorff_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_suppkey").alias("key"), F.col("s_nationkey").alias("grp")
         )
     )
-    return KNN.hausdorff_directed(a, b)
+    return KNN.hausdorff_undirected(a, b)
 
 
 def q_pip_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1604,7 +1605,9 @@ def oracle_sql() -> dict[str, str]:
         pts + ", " + upts_anti,
         R.polyline_edges_sql_values(R.polyline_edges(range(25)), "loop_edges"),
     )
-    from s2geometry_spark.operators.knn import hausdorff_oracle_sql
+    from s2geometry_spark.operators.knn import (
+        hausdorff_undirected_oracle_sql,
+    )
 
     from s2geometry_spark.operators.knn import closest_polyline_oracle_sql
 
@@ -1618,7 +1621,7 @@ def oracle_sql() -> dict[str, str]:
         R.polyline_edges_sql_values(R.polyline_edges(range(25), 0), "ea"),
         R.polyline_edges_sql_values(R.polyline_edges(range(25), 2), "eb"),
     )
-    hausdorff_sql = hausdorff_oracle_sql(
+    hausdorff_sql = hausdorff_undirected_oracle_sql(
         P.xyz_grp_sql_cte("customer", "c_custkey", "c_nationkey", name="apts"),
         P.xyz_grp_sql_cte("supplier", "s_suppkey", "s_nationkey", name="bpts"),
     )

@@ -381,6 +381,35 @@ def hausdorff_directed(
     )
 
 
+def hausdorff_undirected(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    group_col: str = "grp",
+    spark: SparkSession | None = None,
+    knn_threshold: int = HAUSDORFF_KNN_THRESHOLD,
+) -> DataFrame:
+    """Undirected Hausdorff distance per group
+    (S2HausdorffDistanceQuery.cs:18-52: the max of the two directed
+    passes).  Each pass reuses hausdorff_directed's size-based plan
+    switch (broadcast per-group pairs vs per-group kNN-round
+    composition), so the undirected form inherits the scale path.
+    Output: (group_col, hausdorff2 = directed a->b, undirected2)."""
+    fwd = hausdorff_directed(
+        a_df, b_df, group_col, spark, knn_threshold
+    ).withColumnRenamed("hausdorff2", "h_ab2")
+    bwd = hausdorff_directed(
+        b_df, a_df, group_col, spark, knn_threshold
+    ).withColumnRenamed("hausdorff2", "h_ba2")
+    return (
+        fwd.join(bwd, group_col)
+        .select(
+            group_col,
+            F.col("h_ab2").alias("hausdorff2"),
+            F.greatest("h_ab2", "h_ba2").alias("undirected2"),
+        )
+    )
+
+
 def closest_polyline(
     points: DataFrame,
     polylines: list,
@@ -505,6 +534,36 @@ mins AS (
   GROUP BY a.key, a.grp
 )
 SELECT grp AS {group_col}, MAX(min_d2) AS hausdorff2 FROM mins GROUP BY grp"""
+
+
+def hausdorff_undirected_oracle_sql(
+    a_pts_cte: str, b_pts_cte: str, group_col: str = "grp"
+) -> str:
+    """DuckDB mirror of hausdorff_undirected: both directed maxes plus
+    their greatest, joined per group."""
+    d2_ab = (
+        "((a.ux-b.ux)*(a.ux-b.ux) + (a.uy-b.uy)*(a.uy-b.uy)) "
+        "+ (a.uz-b.uz)*(a.uz-b.uz)"
+    )
+    return f"""WITH {a_pts_cte},
+{b_pts_cte},
+ua AS (SELECT key, grp, x/r AS ux, y/r AS uy, z/r AS uz FROM
+       (SELECT key, grp, x, y, z, sqrt(x*x + y*y + z*z) AS r FROM apts)),
+ub AS (SELECT key, grp, x/r AS ux, y/r AS uy, z/r AS uz FROM
+       (SELECT key, grp, x, y, z, sqrt(x*x + y*y + z*z) AS r FROM bpts)),
+mins_ab AS (
+  SELECT a.key, a.grp, MIN({d2_ab}) AS min_d2
+  FROM ua a JOIN ub b ON a.grp = b.grp GROUP BY a.key, a.grp
+),
+mins_ba AS (
+  SELECT b.key, b.grp, MIN({d2_ab}) AS min_d2
+  FROM ub b JOIN ua a ON a.grp = b.grp GROUP BY b.key, b.grp
+),
+h_ab AS (SELECT grp, MAX(min_d2) AS h2 FROM mins_ab GROUP BY grp),
+h_ba AS (SELECT grp, MAX(min_d2) AS h2 FROM mins_ba GROUP BY grp)
+SELECT h_ab.grp AS {group_col}, h_ab.h2 AS hausdorff2,
+       greatest(h_ab.h2, h_ba.h2) AS undirected2
+FROM h_ab JOIN h_ba ON h_ab.grp = h_ba.grp"""
 
 
 def knn_oracle_sql(
