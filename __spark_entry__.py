@@ -856,6 +856,18 @@ def q_hausdorff_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KNN.hausdorff_undirected(a, b)
 
 
+def q_closest_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest polygon per order point with the interior shortcut:
+    points inside a loop return dist2 = 0 without touching edge
+    distances (S2ClosestEdgeQueryBase.cs:224-238
+    VisitContainingShapes)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import knn as KNN
+
+    pts = _orders_points(spark, sf_dir)
+    return KNN.closest_polygon(pts, _nation_loops(spark, sf_dir))
+
+
 def q_pip_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon-with-holes join: winding parity over every
     ring's edges (S2Polygon loop-hierarchy semantics)."""
@@ -1450,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": q_video_frame_stats,
         "embed_near_dup": q_embed_near_dup,
         "embed_ann_ivf": q_embed_ann_ivf,
+        # --- new in round 4 ---
+        "s2_closest_polygon": q_closest_polygon,
         # --- green in r02 only (outside r03's window) ---
         "s2_region_boolean": q_boolean_ops,
         "s2_loop_measures": q_loop_measures,
@@ -1609,7 +1623,10 @@ def oracle_sql() -> dict[str, str]:
         hausdorff_undirected_oracle_sql,
     )
 
-    from s2geometry_spark.operators.knn import closest_polyline_oracle_sql
+    from s2geometry_spark.operators.knn import (
+        closest_polygon_oracle_sql,
+        closest_polyline_oracle_sql,
+    )
 
     closest_poly_sql = closest_polyline_oracle_sql(
         pts + ", " + upts,
@@ -1800,6 +1817,9 @@ def oracle_sql() -> dict[str, str]:
         "s2_polygon_area": LO.polygon_areas_sql(),
         "img_near_dup": LO.img_near_dup_sql(N_IMAGES),
         "s2_hausdorff_nation": hausdorff_sql,
+        "s2_closest_polygon": closest_polygon_oracle_sql(
+            pts, upts, R.loop_edges_sql_values(loops)
+        ),
         "s2_crossing_edges": crossing_sql,
         "s2_convex_hull_tile": LO.convex_hull_sql(LO.oracle_sf_dir()),
         "s2_polyline_simplify": LO.polyline_simplify_sql(),

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -467,6 +468,150 @@ def closest_polyline(
         F.col("best.line_id").alias("line_id"),
         F.col("best.dist2").alias("dist2"),
     )
+
+
+def closest_polygon(
+    points: DataFrame,
+    polygons: list,
+) -> DataFrame:
+    """Nearest polygon per point with the INTERIOR SHORTCUT
+    (S2ClosestEdgeQueryBase.cs:224-238 VisitContainingShapes): a point
+    inside an indexed polygon is at distance 0 immediately, so the
+    crossing-parity containment test runs FIRST and only exterior
+    points pay the per-edge distance scan.  The dim-sized polygon side
+    broadcasts and evaluates vectorized (the resolved plan of
+    closest_polyline); at scale the same shortcut composes as the
+    covering-term PIP join emitting dist2=0 rows before ring
+    expansion.
+
+    ``polygons``: [(region_id, Loop)].  Output (key, region_id, dist2)
+    with ties broken by (dist2, region_id)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    polys = sorted(
+        (int(rid), np.asarray(lp.verts), bool(lp.origin_inside))
+        for rid, lp in polygons
+    )
+
+    @pandas_udf(
+        StructType(
+            [
+                StructField("region_id", LongType(), False),
+                StructField("dist2", DoubleType(), False),
+            ]
+        )
+    )
+    def _closest(ux: pd.Series, uy: pd.Series, uz: pd.Series) -> pd.DataFrame:
+        from ..kernels import edges as KE
+        from ..kernels import polyline as PL
+
+        px, py, pz = ux.to_numpy(), uy.to_numpy(), uz.to_numpy()
+        best_d2 = np.full(len(px), np.inf)
+        best_id = np.full(len(px), -1, dtype=np.int64)
+        for rid, verts, oi in polys:
+            inside = (
+                KE.crossing_parity_fast(verts, px, py, pz) ^ int(oi)
+            ).astype(bool)
+            d2 = np.zeros(len(px))
+            out = ~inside
+            if out.any():
+                # the shortcut: edge distances only for exterior points
+                ox, oy, oz = px[out], py[out], pz[out]
+                dd = np.full(out.sum(), np.inf)
+                n = len(verts)
+                for k in range(n):
+                    a = tuple(float(x) for x in verts[k])
+                    b = tuple(float(x) for x in verts[(k + 1) % n])
+                    dd = np.minimum(
+                        dd, PL.edge_distance2_batch(ox, oy, oz, a, b)
+                    )
+                d2[out] = dd
+            better = d2 < best_d2  # strict: smaller region_id wins ties
+            best_d2 = np.where(better, d2, best_d2)
+            best_id = np.where(better, rid, best_id)
+        return pd.DataFrame({"region_id": best_id, "dist2": best_d2})
+
+    out = normalized_cols(points).withColumn(
+        "best", _closest(F.col("ux"), F.col("uy"), F.col("uz"))
+    )
+    return out.select(
+        "key",
+        F.col("best.region_id").alias("region_id"),
+        F.col("best.dist2").alias("dist2"),
+    )
+
+
+def closest_polygon_oracle_sql(
+    pts_cte: str, upts_cte: str, loop_edges_cte: str
+) -> str:
+    """DuckDB mirror of closest_polygon: the pip_loop parity pipeline
+    decides containment (dist2 = 0), exterior points take the exact
+    per-edge min squared-chord distance (same IEEE expression as
+    closest_polyline_oracle_sql), argmin per key with (dist2,
+    region_id) tie order.  ``pts_cte`` supplies pts(key, x, y, z) raw
+    directions; ``upts_cte`` the normalized upts on top of it;
+    ``loop_edges_cte`` supplies loop_edges(region_id, cx..cz, dx..dz,
+    origin_inside) literal vertices."""
+    from ..functions.duckdb_oracle import pip_loop_sql
+
+    eps1 = repr(4.75 * 2.220446049250313e-16)
+    eps2 = repr(8 * 2.220446049250313e-16 * 2.220446049250313e-16)
+    ins = pip_loop_sql(pts_cte, loop_edges_cte)
+    return f"""WITH {pts_cte},
+{upts_cte},
+{loop_edges_cte},
+ins AS ({ins}),
+ed AS (
+  SELECT region_id, cx AS ax, cy AS ay, cz AS az,
+         dx AS bx, dy AS by, dz AS bz,
+         (cy-dy)*(cz+dz) - (cz-dz)*(cy+dy) AS scx,
+         (cz-dz)*(cx+dx) - (cx-dx)*(cz+dz) AS scy,
+         (cx-dx)*(cy+dy) - (cy-dy)*(cx+dx) AS scz,
+         ((cx-dx)*(cx-dx) + (cy-dy)*(cy-dy)) + (cz-dz)*(cz-dz) AS ab2
+  FROM loop_edges
+),
+ed2 AS (SELECT *, ((scx*scx + scy*scy) + scz*scz) AS c2 FROM ed),
+pair AS (
+  SELECT p.key, e.region_id,
+    ((p.ux-e.ax)*(p.ux-e.ax) + (p.uy-e.ay)*(p.uy-e.ay)) + (p.uz-e.az)*(p.uz-e.az) AS xa2,
+    ((p.ux-e.bx)*(p.ux-e.bx) + (p.uy-e.by)*(p.uy-e.by)) + (p.uz-e.bz)*(p.uz-e.bz) AS xb2,
+    ((p.ux*e.scx + p.uy*e.scy) + p.uz*e.scz) AS x_dot_c,
+    e.scy*p.uz - e.scz*p.uy AS cxx,
+    e.scz*p.ux - e.scx*p.uz AS cxy,
+    e.scx*p.uy - e.scy*p.ux AS cxz,
+    e.ax - p.ux AS dax, e.ay - p.uy AS day, e.az - p.uz AS daz,
+    e.bx - p.ux AS dbx, e.by - p.uy AS dby, e.bz - p.uz AS dbz,
+    e.ab2, e.c2
+  FROM upts p CROSS JOIN ed2 e
+),
+de AS (
+  SELECT key, region_id,
+    CASE WHEN abs(xa2 - xb2) < ab2 + (CAST('{eps1}' AS DOUBLE)*((xa2 + xb2) + ab2) + CAST('{eps2}' AS DOUBLE))
+              AND ((dax*cxx + day*cxy) + daz*cxz) < 0
+              AND ((dbx*cxx + dby*cxy) + dbz*cxz) > 0
+         THEN (x_dot_c*x_dot_c/c2) + (1 - sqrt(((cxx*cxx + cxy*cxy) + cxz*cxz)/c2))*(1 - sqrt(((cxx*cxx + cxy*cxy) + cxz*cxz)/c2))
+         ELSE least(xa2, xb2) END AS d2
+  FROM pair
+),
+mind AS (SELECT key, region_id, MIN(d2) AS min_d2 FROM de GROUP BY key, region_id),
+alld AS (
+  SELECT m.key, m.region_id,
+         CASE WHEN i.key IS NOT NULL THEN 0.0 ELSE m.min_d2 END AS d2
+  FROM mind m LEFT JOIN ins i
+    ON m.key = i.key AND m.region_id = i.region_id
+)
+SELECT key, region_id, dist2 FROM (
+  SELECT key, region_id, d2 AS dist2,
+         row_number() OVER (PARTITION BY key ORDER BY d2, region_id) AS rn
+  FROM alld
+) WHERE rn = 1"""
 
 
 def closest_polyline_oracle_sql(upts_cte: str, edges_cte: str) -> str:

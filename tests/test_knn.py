@@ -203,3 +203,72 @@ class TestCheckpointedRounds:
             for r in KNN.knn_join(spark, q_df, idx_df, k).collect()
         )
         assert got == want
+
+
+def test_closest_polygon_interior_shortcut(spark):
+    """S2ClosestEdgeQueryBase.cs:224-238 (VisitContainingShapes): a
+    query point inside an indexed polygon is at distance 0 exactly;
+    exterior points get the brute-force min edge distance."""
+    import numpy as np
+    import pandas as pd
+
+    from s2geometry_spark.kernels import edges as KE
+    from s2geometry_spark.kernels import polyline as PL
+    from s2geometry_spark.operators.knn import closest_polygon
+    from s2geometry_spark.sources import regions_src as R
+
+    loops = R.synthetic_loops(range(6))
+    # probe points: each loop's center (interior) + far-away points
+    probes = []
+    for rid, lp in loops:
+        c = np.asarray(lp.verts).mean(axis=0)
+        probes.append((100 + rid, c / np.linalg.norm(c)))
+    rng = np.random.default_rng(7)
+    for j in range(20):
+        v = rng.standard_normal(3)
+        probes.append((200 + j, v / np.linalg.norm(v)))
+    pdf = pd.DataFrame(
+        [(k, float(p[0]), float(p[1]), float(p[2])) for k, p in probes],
+        columns=["key", "x", "y", "z"],
+    )
+    got = {
+        r["key"]: (r["region_id"], r["dist2"])
+        for r in closest_polygon(
+            spark.createDataFrame(pdf), loops
+        ).collect()
+    }
+    for key, p in probes:
+        # brute force with the same kernels, after mirroring
+        # normalized_cols' exact IEEE expression (x / sqrt(x*x+y*y+z*z)
+        # left-to-right) so no cross-path ulp skew enters
+        import math as _math
+
+        x, y, z = (float(v) for v in p)
+        r = _math.sqrt(x * x + y * y + z * z)
+        best = (np.inf, -1)
+        px, py, pz = (np.array([v / r]) for v in (x, y, z))
+        for rid, lp in loops:
+            verts = np.asarray(lp.verts)
+            inside = bool(
+                (KE.crossing_parity_fast(verts, px, py, pz)
+                 ^ int(lp.origin_inside))[0]
+            )
+            if inside:
+                d2 = 0.0
+            else:
+                d2 = np.inf
+                n = len(verts)
+                for k in range(n):
+                    a = tuple(map(float, verts[k]))
+                    b = tuple(map(float, verts[(k + 1) % n]))
+                    d2 = min(d2, float(
+                        PL.edge_distance2_batch(px, py, pz, a, b)[0]
+                    ))
+            if (d2, rid) < best:
+                best = (d2, rid)
+        want = (best[1], best[0])
+        assert got[key][0] == want[0], key
+        assert got[key][1] == want[1], key
+    # the loop centers must all be exact zeros (interior shortcut)
+    for rid, _ in loops:
+        assert got[100 + rid] == (rid, 0.0)
