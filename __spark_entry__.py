@@ -547,6 +547,20 @@ def q_near_loop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_polyline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance join against polyline dim geometry ("points
+    within d of a route"): distance-callback buffered-polyline
+    covering candidates + exact min-edge-distance refine."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.sources import regions_src as R
+
+    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    lines = [(k, R.polyline_vertices(k)) for k in range(25)]
+    return SJ.point_near_polyline_join(spark, pts, lines, NEAR_RADIUS)
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-cap join via the S2CellIndex leaf-range pattern
     (broadcast range predicate on biased ids) — row-identical to
@@ -1464,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_ivf": q_embed_ann_ivf,
         # --- new in round 4 ---
         "s2_closest_polygon": q_closest_polygon,
+        "s2_near_polyline_join": q_near_polyline_join,
         # --- green in r02 only (outside r03's window) ---
         "s2_region_boolean": q_boolean_ops,
         "s2_loop_measures": q_loop_measures,
@@ -1516,6 +1531,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------
 # Oracles (DuckDB side)
 # ---------------------------------------------------------------------
+
+def _near_chord2(radius_rad: float) -> float:
+    """The identical squared-chord bound point_near_polyline_join
+    computes (same IEEE expression, so the SQL literal round-trips)."""
+    import math
+
+    s = math.sin(0.5 * min(radius_rad, math.pi))
+    return min(4.0, 4 * s * s)
+
 
 def _cell_index_oracle_sql(base_ctes: str) -> str:
     """Literal disjoint (lo, hi, label) biased leaf ranges (swept on
@@ -1626,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
     from s2geometry_spark.operators.knn import (
         closest_polygon_oracle_sql,
         closest_polyline_oracle_sql,
+        near_polyline_oracle_sql,
     )
 
     closest_poly_sql = closest_polyline_oracle_sql(
@@ -1829,6 +1854,13 @@ def oracle_sql() -> dict[str, str]:
         "s2_polygon_validate": LO.polygon_validate_sql(),
         "s2_near_loop_join": O.near_loop_sql(
             pts + ", " + upts, R.loop_edges_sql_values(loops), NEAR_RADIUS
+        ),
+        "s2_near_polyline_join": near_polyline_oracle_sql(
+            pts + ", " + upts,
+            R.polyline_edges_sql_values(
+                R.polyline_edges(range(25)), "loop_edges"
+            ),
+            _near_chord2(NEAR_RADIUS),
         ),
         "s2_tile_mosaic": LO.tile_mosaic_sql(N_IMAGES, IMAGE_TILE_LEVEL),
         "img_features": LO.img_features_sql(N_IMAGES),

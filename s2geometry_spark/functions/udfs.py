@@ -176,6 +176,42 @@ def loop_near_udf(loops_by_id: dict, radius_chord2: float):
     return _near
 
 
+def polyline_near_udf(lines_by_id: dict, radius_chord2: float):
+    """UDF factory for the within-distance-of-a-polyline join refine:
+    true iff the point is within `radius_chord2` (squared chord) of
+    some edge of the candidate line — the 1-dimensional twin of
+    loop_near_udf (no interior, no parity term).
+
+    Rows must carry unit coordinates; ``lines_by_id``:
+    {line_id: verts (m,3)}."""
+    from pyspark.sql.types import BooleanType
+
+    from ..kernels import polyline as PL
+
+    @pandas_udf(BooleanType())
+    def _near(lid: pd.Series, ux: pd.Series, uy: pd.Series, uz: pd.Series) -> pd.Series:
+        lids = lid.to_numpy()
+        px, py, pz = ux.to_numpy(), uy.to_numpy(), uz.to_numpy()
+        out = np.zeros(len(lids), dtype=bool)
+        order = np.argsort(lids, kind="stable")
+        srt = lids[order]
+        starts = np.flatnonzero(np.r_[True, srt[1:] != srt[:-1]])
+        bounds = np.r_[starts, len(srt)]
+        for si, ei in zip(bounds[:-1], bounds[1:]):
+            idx = order[si:ei]
+            verts = lines_by_id[srt[si]]
+            min_d2 = np.full(len(idx), np.inf)
+            for k in range(len(verts) - 1):
+                a = tuple(float(v) for v in verts[k])
+                b = tuple(float(v) for v in verts[k + 1])
+                d2 = PL.edge_distance2_batch(px[idx], py[idx], pz[idx], a, b)
+                min_d2 = np.minimum(min_d2, d2)
+            out[idx] = min_d2 <= radius_chord2
+        return pd.Series(out)
+
+    return _near
+
+
 def ancestors_array(levels: list[int]):
     """UDF factory: array of ancestor cell ids at the given levels —
     the probe-side covering terms for the term equi-join (SURVEY §2.4).

@@ -19,7 +19,12 @@ import math
 
 import numpy as np
 
-from .cell_dist import cell_distance_to_edges_min, point_to_edges_distance2
+from .cell_dist import (
+    cell_distance_to_edges_min,
+    cell_distance_to_points,
+    point_to_edges_distance2,
+    points_to_edges_min,
+)
 from .geom import Cap, Cell, Region
 
 
@@ -114,3 +119,110 @@ def buffered_loop_covering(
 
     rc = RegionCoverer(options)
     return rc.get_covering(BufferedLoopRegion(loop, radius_rad))
+
+
+class BufferedPolylineRegion(Region):
+    """All points within `radius_rad` of an open polyline (no
+    interior) as a coverable Region — the S2ShapeIndexBufferedRegion
+    pattern with a 1-dimensional "index"
+    (S2Region/S2ShapeIndexBufferedRegion.cs:96-178), closing the
+    "within d of a route" join shape."""
+
+    def __init__(self, verts: np.ndarray, radius_rad: float):
+        from .loop import RectBounder
+
+        verts = np.ascontiguousarray(verts, dtype=np.float64)
+        assert verts.ndim == 2 and verts.shape[1] == 3 and len(verts) >= 2
+        self.verts = verts
+        self.radius_rad = float(radius_rad)
+        self._radius2 = _chord2(self.radius_rad) * (1 + 4e-16) + 5e-324
+        self._av = verts[:-1]
+        self._bv = verts[1:]
+        # per-edge conservative rect bounds (open chain)
+        lat_lo, lat_hi, lng_lo, lng_hi = [], [], [], []
+        for k in range(len(verts) - 1):
+            rb = RectBounder()
+            for v in (verts[k], verts[k + 1]):
+                rb.add_point((float(v[0]), float(v[1]), float(v[2])))
+            b = rb.get_bound()
+            lat_lo.append(b.lat.lo)
+            lat_hi.append(b.lat.hi)
+            lng_lo.append(b.lng.lo)
+            lng_hi.append(b.lng.hi)
+        self._eb = (
+            np.array(lat_lo), np.array(lat_hi),
+            np.array(lng_lo), np.array(lng_hi),
+        )
+
+    def _edges_intersect_rect(self, rect) -> bool:
+        lat_lo, lat_hi, lng_lo, lng_hi = self._eb
+        if rect.is_empty():
+            return False
+        lat_ok = (lat_lo <= rect.lat.hi) & (rect.lat.lo <= lat_hi)
+        inv_x = lng_lo > lng_hi
+        ylo, yhi = rect.lng.lo, rect.lng.hi
+        overlap = (ylo <= lng_hi) | (yhi >= lng_lo)
+        if ylo > yhi:
+            lng_ok = overlap | inv_x
+        else:
+            lng_ok = np.where(
+                inv_x, overlap, (ylo <= lng_hi) & (yhi >= lng_lo)
+            )
+        return bool((lat_ok & lng_ok).any())
+
+    def _dist2_to_point(self, p) -> float:
+        return float(
+            point_to_edges_distance2(p, self._av, self._bv).min()
+        )
+
+    def _dist2_to_cell(self, cell: Cell) -> float:
+        if self._edges_intersect_rect(cell.get_rect_bound()):
+            return 0.0  # conservative: an edge may pass through
+        # no edge touches the cell: min(vertex distances,
+        # corner-to-edge) is the exact cell<->chain distance (every
+        # edge endpoint is a chain vertex)
+        best = float(cell_distance_to_points(cell, self.verts).min())
+        if best == 0.0:
+            return 0.0
+        corners = np.asarray(
+            [tuple(float(c) for c in cell.vertex(k)) for k in range(4)]
+        )
+        return min(best, points_to_edges_min(corners, self._av, self._bv))
+
+    # -- Region interface ----------------------------------------------
+
+    def get_cap_bound(self) -> Cap:
+        center = self.verts.mean(axis=0)
+        center = center / np.linalg.norm(center)
+        d2 = ((self.verts - center[None, :]) ** 2).sum(axis=1)
+        ang = 2.0 * math.asin(0.5 * math.sqrt(float(d2.max())))
+        return Cap(
+            tuple(float(c) for c in center),
+            _chord2(ang + self.radius_rad),
+        )
+
+    def contains_point(self, p) -> bool:
+        return self._dist2_to_point(tuple(map(float, p))) <= self._radius2
+
+    def contains_cell(self, cell: Cell) -> bool:
+        cap = cell.get_cap_bound()
+        cap_ang = _angle(cap.radius2)
+        if self.radius_rad < cap_ang:
+            return False
+        center = cell.center_raw()
+        d2 = self._dist2_to_point(tuple(map(float, center)))
+        return d2 <= _chord2(self.radius_rad - cap_ang) * (1 + 4e-16)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return self._dist2_to_cell(cell) <= self._radius2
+
+
+def buffered_polyline_covering(
+    verts, radius_rad: float, options=None
+) -> list[int]:
+    """Tight covering of polyline-plus-radius via the distance
+    callbacks (no stadium polygon is ever built)."""
+    from .coverer import RegionCoverer
+
+    rc = RegionCoverer(options)
+    return rc.get_covering(BufferedPolylineRegion(verts, radius_rad))

@@ -658,6 +658,52 @@ SELECT key, line_id, dist2 FROM (
 ) WHERE rn = 1"""
 
 
+def near_polyline_oracle_sql(
+    upts_cte: str, edges_cte: str, radius_chord2: float
+) -> str:
+    """DuckDB mirror of point_near_polyline_join: per (point, line)
+    the exact min edge squared-chord distance (same IEEE expression as
+    closest_polyline_oracle_sql), kept when <= radius_chord2."""
+    eps1 = repr(4.75 * 2.220446049250313e-16)
+    eps2 = repr(8 * 2.220446049250313e-16 * 2.220446049250313e-16)
+    return f"""WITH {upts_cte},
+{edges_cte},
+ed AS (
+  SELECT line_id, ax, ay, az, bx, by, bz,
+         (ay-by)*(az+bz) - (az-bz)*(ay+by) AS scx,
+         (az-bz)*(ax+bx) - (ax-bx)*(az+bz) AS scy,
+         (ax-bx)*(ay+by) - (ay-by)*(ax+bx) AS scz,
+         ((ax-bx)*(ax-bx) + (ay-by)*(ay-by)) + (az-bz)*(az-bz) AS ab2
+  FROM loop_edges
+),
+ed2 AS (SELECT *, ((scx*scx + scy*scy) + scz*scz) AS c2 FROM ed),
+pair AS (
+  SELECT p.key, e.line_id,
+    ((p.ux-e.ax)*(p.ux-e.ax) + (p.uy-e.ay)*(p.uy-e.ay)) + (p.uz-e.az)*(p.uz-e.az) AS xa2,
+    ((p.ux-e.bx)*(p.ux-e.bx) + (p.uy-e.by)*(p.uy-e.by)) + (p.uz-e.bz)*(p.uz-e.bz) AS xb2,
+    ((p.ux*e.scx + p.uy*e.scy) + p.uz*e.scz) AS x_dot_c,
+    e.scy*p.uz - e.scz*p.uy AS cxx,
+    e.scz*p.ux - e.scx*p.uz AS cxy,
+    e.scx*p.uy - e.scy*p.ux AS cxz,
+    e.ax - p.ux AS dax, e.ay - p.uy AS day, e.az - p.uz AS daz,
+    e.bx - p.ux AS dbx, e.by - p.uy AS dby, e.bz - p.uz AS dbz,
+    e.ab2, e.c2
+  FROM upts p CROSS JOIN ed2 e
+),
+de AS (
+  SELECT key, line_id,
+    CASE WHEN abs(xa2 - xb2) < ab2 + (CAST('{eps1}' AS DOUBLE)*((xa2 + xb2) + ab2) + CAST('{eps2}' AS DOUBLE))
+              AND ((dax*cxx + day*cxy) + daz*cxz) < 0
+              AND ((dbx*cxx + dby*cxy) + dbz*cxz) > 0
+         THEN (x_dot_c*x_dot_c/c2) + (1 - sqrt(((cxx*cxx + cxy*cxy) + cxz*cxz)/c2))*(1 - sqrt(((cxx*cxx + cxy*cxy) + cxz*cxz)/c2))
+         ELSE least(xa2, xb2) END AS d2
+  FROM pair
+)
+SELECT key, line_id FROM (
+  SELECT key, line_id, MIN(d2) AS m FROM de GROUP BY key, line_id
+) WHERE m <= CAST('{radius_chord2!r}' AS DOUBLE)"""
+
+
 def hausdorff_oracle_sql(
     a_pts_cte: str, b_pts_cte: str, group_col: str = "grp"
 ) -> str:

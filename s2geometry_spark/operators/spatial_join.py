@@ -306,6 +306,60 @@ def point_near_loop_join(
     return refined.select(F.col(point_key), F.col("region_id"))
 
 
+def point_near_polyline_join(
+    spark: SparkSession,
+    points: DataFrame,
+    polylines: list,
+    radius_rad: float,
+    options: CovererOptions | None = None,
+    point_key: str = "key",
+) -> DataFrame:
+    """Within-distance join against POLYLINE dim geometry ("points
+    within d of a route"): candidates from the distance-callback
+    buffered-polyline covering (kernels.buffered_region — cell-to-edge
+    distances drive the coverer, no stadium polygon is built), refined
+    by the exact vectorized min-edge-distance predicate.
+
+    ``polylines``: [(line_id, verts (m,3))].  Output (key, line_id)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import udfs as U
+    from ..kernels import cellid as CI
+    from ..kernels import cellunion as CU
+    from ..kernels.buffered_region import buffered_polyline_covering
+
+    rows = []
+    for lid, verts in polylines:
+        cov = CU.normalize(
+            buffered_polyline_covering(verts, radius_rad, options)
+        )
+        for cid in cov:
+            rows.append(
+                (lid, int(CI.as_i64(np.array([cid], np.uint64))[0]),
+                 CU._level(cid))
+            )
+    cov_pdf = pd.DataFrame(rows, columns=["line_id", "cov_cell", "level"])
+    levels = sorted(cov_pdf["level"].unique().tolist())
+    cov = spark.createDataFrame(cov_pdf)
+    probe = explode_ancestors(normalized_cols(points), levels)
+    # normalized coverings are disjoint per line, so each (point,
+    # line) candidate appears once — no dedup shuffle
+    joined = probe.join(
+        F.broadcast(cov), probe["anc_cell"] == cov["cov_cell"], "inner"
+    )
+    s = math.sin(0.5 * min(radius_rad, math.pi))
+    radius_chord2 = min(4.0, 4 * s * s)
+    lines_by_id = {lid: np.asarray(v, dtype=float) for lid, v in polylines}
+    near = U.polyline_near_udf(lines_by_id, radius_chord2)
+    refined = joined.where(
+        near(F.col("line_id"), F.col("ux"), F.col("uy"), F.col("uz"))
+    )
+    return refined.select(F.col(point_key), F.col("line_id"))
+
+
 def point_in_cap_semi(
     spark: SparkSession,
     points: DataFrame,
