@@ -457,11 +457,29 @@ class Region:
 
 
 def boolean_operation(a: Geometry, b: Geometry, op: str,
-                      options: Options | None = None) -> dict:
+                      options: Options | None = None,
+                      edge_budget: int = 10_000) -> dict:
     """S2BooleanOperation over two mixed-dimension regions; returns
     {0: [points], 1: [directed edges], 2: [directed edges]} multisets
     (IndexMatchingLayer's comparison representation)."""
     options = options or Options()
+    n_edges = sum(
+        len(lp)
+        for g in (a, b)
+        for poly in g.polygons
+        for lp in poly
+        if lp != "full"
+    ) + sum(
+        max(len(ch) - 1, 1) for g in (a, b) for ch in g.chains
+    ) + sum(len(g.points) for g in (a, b))
+    if n_edges > edge_budget:
+        raise ValueError(
+            f"boolean_operation: {n_edges} input edges/points exceed "
+            f"the driver-side budget of {edge_budget} (the mixed-"
+            "dimension kernel is O(edges^2) by design for dim-sized "
+            "geometry; distribute per case via measures_op."
+            "mixed_boolean_rows, or raise edge_budget explicitly)"
+        )
     a = _snap_geometry(a, options)
     b = _snap_geometry(b, options)
     a_ev = _all_edges_and_vertices(a)

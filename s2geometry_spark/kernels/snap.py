@@ -311,7 +311,15 @@ class Builder:
         intersection_tolerance: float = 0.0,
         idempotent: bool = True,
         simplify_edge_chains: bool = False,
+        edge_budget: int = 20_000,
     ):
+        # Driver-side contract: site lookup is brute-force O(sites)
+        # per vertex and crossing detection O(edges^2) — the right
+        # trade for DIM-SIZED geometry (snapping is a per-group kernel
+        # in the distributed plans).  The budget fails fast with an
+        # actionable message instead of a silent quadratic hour when
+        # someone feeds a 10M-vertex coastline.
+        self.edge_budget = int(edge_budget)
         self.snap_function = snap_function or IdentitySnapFunction(0.0)
         self.split_crossing_edges = split_crossing_edges
         # simplify_edge_chains implies idempotent=False
@@ -862,6 +870,15 @@ class Builder:
 
     def build(self) -> None:
         assert not self._built
+        if len(self.input_edges) > self.edge_budget:
+            raise ValueError(
+                f"S2Builder: {len(self.input_edges)} input edges exceed "
+                f"the driver-side budget of {self.edge_budget} (site "
+                "lookup is O(sites) per vertex by design — this kernel "
+                "is for dim-sized geometry; split the input per group "
+                "and snap inside the distributed per-group kernels, or "
+                "raise edge_budget explicitly if you accept the cost)"
+            )
         self._built = True
         self._site_set: set = set()
         if self.split_crossing_edges:

@@ -92,7 +92,8 @@ def winding_number(
 
 
 def winding_operation(
-    loops: list, rule="positive", ref_point=None, ref_winding=None
+    loops: list, rule="positive", ref_point=None, ref_winding=None,
+    edge_budget: int = 8_000,
 ) -> list[np.ndarray]:
     """Boundary rings of the region {P : rule(w(P))} for general-
     position loops (every crossing interior, no coincident geometry).
@@ -102,6 +103,15 @@ def winding_operation(
     loop_list = [
         [tuple(map(float, v)) for v in np.asarray(verts)] for verts in loops
     ]
+    total_edges = sum(len(vt) for vt in loop_list)
+    if total_edges > edge_budget:
+        raise ValueError(
+            f"winding_operation: {total_edges} curve edges exceed the "
+            f"driver-side budget of {edge_budget} (crossing detection "
+            "is O(edges^2) by design for dim-sized arrangements; run "
+            "the operation per group inside the distributed kernels, "
+            "or raise edge_budget explicitly if you accept the cost)"
+        )
     rule_f = _rule_fn(rule, len(loop_list))
 
     # 1. all crossings: between loops and within each loop
