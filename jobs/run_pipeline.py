@@ -91,6 +91,31 @@ def main() -> None:
         params={"regions": 25},
     )
 
+    def route_near(df):
+        from pyspark.sql import functions as F
+
+        from s2geometry_spark.operators import spatial_join as SJ
+        from s2geometry_spark.sources import regions_src as R
+
+        lat = F.radians(F.col("lat"))
+        lon = F.radians(F.col("lon"))
+        pts = df.select(
+            F.col("image_id").alias("key"),
+            "cell_id",
+            (F.cos(lon) * F.cos(lat)).alias("x"),
+            (F.sin(lon) * F.cos(lat)).alias("y"),
+            F.sin(lat).alias("z"),
+        )
+        lines = [(k, R.polyline_vertices(k)) for k in range(25)]
+        return SJ.point_near_polyline_join(spark, pts, lines, 0.08)
+
+    near_routes = pipe.stage(
+        "route_near",
+        route_near,
+        inputs=(tiled,),
+        params={"routes": 25, "radius": 0.08},
+    )
+
     def near_dup(df):
         from s2geometry_spark.operators.image_dedup import phash_near_dup
 
@@ -111,6 +136,7 @@ def main() -> None:
         "tiles": {"rows": tiled.rows, "resumed": tiled.resumed},
         "tile_counts": {"rows": counts.rows, "resumed": counts.resumed},
         "region_join": {"rows": joined.rows, "resumed": joined.resumed},
+        "route_near": {"rows": near_routes.rows, "resumed": near_routes.resumed},
         "near_dup": {"rows": dups.rows, "resumed": dups.resumed},
     }
     if args.mosaic:
