@@ -1262,10 +1262,17 @@ def q_cellid_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pip_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi + anti join forms, side-tagged (consolidates s2_pip_semi /
     s2_pip_anti; oracles stay the independent EXISTS/EXCEPT SQL)."""
-    semi = q_pip_semi(spark, sf_dir).select(
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.operators import tile as T
+
+    # both arms consume the same encoded point table — encode once
+    pts = T.assign_cellids(_orders_points(spark, sf_dir)).localCheckpoint()
+    caps = _nation_caps(spark, sf_dir)
+    semi = SJ.point_in_cap_semi(spark, pts, caps).select(
         F.lit("in").alias("side"), "key"
     )
-    anti = q_pip_anti(spark, sf_dir).select(
+    anti = SJ.point_in_cap_semi(spark, pts, caps, anti=True).select(
         F.lit("out").alias("side"), "key"
     )
     return semi.unionByName(anti)
@@ -1282,7 +1289,10 @@ def q_pip_cap_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators import term_join as TJ
     from s2geometry_spark.operators import tile as T
 
-    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    # four arms consume the same encoded point table; materialize the
+    # Arrow encode once instead of re-running it per union branch (a
+    # cluster job would checkpoint the stage; plans/checkpoint.py)
+    pts = T.assign_cellids(_orders_points(spark, sf_dir)).localCheckpoint()
     caps = _nation_caps(spark, sf_dir)
 
     def tag(df: DataFrame, via: str) -> DataFrame:
@@ -1310,12 +1320,24 @@ def q_pip_refine_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     with-holes winding parity, and the distributed shape-index refine —
     unioned under `via` (consolidates s2_pip_loop_join /
     s2_pip_polygon_join / s2_pip_index_join)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.sources import regions_src as R
+
     def tag(df: DataFrame, via: str) -> DataFrame:
         return df.select(F.lit(via).alias("via"), "key", "region_id")
 
+    # the loop and polygon arms share the orders point table —
+    # materialize its Arrow encode once (shapeindex probes customers)
+    pts = T.assign_cellids(_orders_points(spark, sf_dir)).localCheckpoint()
+    loop_arm = SJ.point_in_loop_join(spark, pts, _nation_loops(spark, sf_dir))
+    poly_arm = SJ.point_in_loop_join(
+        spark, pts, R.synthetic_polygons(range(25))
+    )
     return (
-        tag(q_pip_loop_join(spark, sf_dir), "loop")
-        .unionByName(tag(q_pip_polygon_join(spark, sf_dir), "polygon"))
+        tag(loop_arm, "loop")
+        .unionByName(tag(poly_arm, "polygon"))
         .unionByName(tag(q_pip_index_join(spark, sf_dir), "shapeindex"))
     )
 

@@ -666,22 +666,22 @@ def buffer_cases_sql() -> str:
             for w in sorted(groups)
         ]
         if mode == "grow":
-            rings = BUF.buffer_loop_rings(parts[0], BUFFER_RADIUS)
+            rings = BUF.buffer_loop_rings(parts[0], BUFFER_RADIUS, check=False)
             base = M.loop_area(parts[0])
         elif mode == "shrink":
             rings = BUF.buffer_polygon_rings(
-                [parts[0]], -BUFFER_SHRINK_RADIUS
+                [parts[0]], -BUFFER_SHRINK_RADIUS, check=False
             )
             base = M.loop_area(parts[0])
         elif mode == "polyline":
-            rings = BUF.buffer_polyline_rings(parts[0], BUFFER_RADIUS)
+            rings = BUF.buffer_polyline_rings(parts[0], BUFFER_RADIUS, check=False)
             base = 0.0
         elif mode == "point":
-            rings = BUF.buffer_point_rings(parts[0][0], BUFFER_RADIUS)
+            rings = BUF.buffer_point_rings(parts[0][0], BUFFER_RADIUS, check=False)
             base = 0.0
         else:
             rings = BUF.buffer_shapes_union_rings(
-                [("loop", g) for g in parts], BUFFER_RADIUS
+                [("loop", g) for g in parts], BUFFER_RADIUS, check=False
             )
             base = sum(M.loop_area(g) for g in parts)
         out.append(

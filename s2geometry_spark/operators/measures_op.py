@@ -353,7 +353,7 @@ BUFFER_CASE_SCHEMA = T.StructType(
 
 
 def buffer_shapes(vertex_df: DataFrame, radius: float,
-                  shrink_radius: float) -> DataFrame:
+                  shrink_radius: float, check: bool = False) -> DataFrame:
     """Full S2BufferOperation surface, distributed per (case_id, mode):
     input rows (case_id, mode, which, vtx_idx, x, y, z) where mode
     selects the path —
@@ -370,7 +370,12 @@ def buffer_shapes(vertex_df: DataFrame, radius: float,
 
     Emits ring vertex counts and base/buffered signed-area sums per
     case; area_base is the input region area (0 for the measure-zero
-    point/polyline inputs, the sum of member areas for union)."""
+    point/polyline inputs, the sum of member areas for union).
+
+    ``check=True`` additionally Monte-Carlo-validates every case
+    against the exact within-distance predicate inside the worker
+    (~4x cost); the golden tests run with it on, the product query
+    relies on the oracle gate + goldens instead."""
 
     def compute(key, pdf: pd.DataFrame):
         from ..kernels import buffer as BUF
@@ -384,23 +389,27 @@ def buffer_shapes(vertex_df: DataFrame, radius: float,
         ]
         if mode == "grow":
             (verts,) = groups
-            rings = BUF.buffer_loop_rings(verts, radius)
+            rings = BUF.buffer_loop_rings(verts, radius, check=check)
             base = M.loop_area(verts)
         elif mode == "shrink":
             (verts,) = groups
-            rings = BUF.buffer_polygon_rings([verts], -shrink_radius)
+            rings = BUF.buffer_polygon_rings(
+                [verts], -shrink_radius, check=check
+            )
             base = M.loop_area(verts)
         elif mode == "polyline":
             (verts,) = groups
-            rings = BUF.buffer_polyline_rings(verts, radius)
+            rings = BUF.buffer_polyline_rings(verts, radius, check=check)
             base = 0.0
         elif mode == "point":
             (verts,) = groups
-            rings = BUF.buffer_point_rings(verts[0], radius)
+            rings = BUF.buffer_point_rings(verts[0], radius, check=check)
             base = 0.0
         elif mode == "union":
             shapes = [("loop", g) for g in groups]
-            rings = BUF.buffer_shapes_union_rings(shapes, radius)
+            rings = BUF.buffer_shapes_union_rings(
+                shapes, radius, check=check
+            )
             base = sum(M.loop_area(g) for g in groups)
         else:
             raise ValueError(f"unknown buffer mode {mode!r}")
