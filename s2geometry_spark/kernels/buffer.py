@@ -144,6 +144,9 @@ def buffer_loop_rings(
     # with its sweep-edge ref_winding bookkeeping)
     center = verts.mean(axis=0)
     ref = tuple(-center / np.linalg.norm(center))
+    _check_anchor(
+        verts, center / np.linalg.norm(center), radius, "buffer_loop_rings"
+    )
     rings = winding_operation(
         [curve], RULE_POSITIVE, ref_point=ref, ref_winding=0
     )
@@ -481,6 +484,7 @@ def buffer_polyline_rings(
     from .winding import RULE_POSITIVE, winding_operation
 
     center = _unit(verts.mean(axis=0))
+    _check_anchor(verts, center, radius, "buffer_polyline_rings")
     rings = winding_operation(
         [curve], RULE_POSITIVE, ref_point=tuple(-center), ref_winding=0
     )
@@ -536,6 +540,27 @@ def _cap_tangent(verts: np.ndarray, endp: np.ndarray) -> np.ndarray:
         nxt = verts[-2]
     t = nxt - float(np.dot(nxt, endp)) * endp
     return _unit(t)
+
+
+def _check_anchor(verts: np.ndarray, center: np.ndarray,
+                  radius: float, who: str) -> None:
+    """The winding walks anchor ref_winding at the ANTIPODE of the
+    geometry's center; that is only sound when the buffered region
+    cannot reach it.  Fail loudly instead of returning a wrong region
+    when radius + geometry extent crosses the hemisphere bound
+    (S2BufferOperation instead tracks ref_winding with its sweep edge,
+    which has no such limit — a documented divergence)."""
+    d2 = ((verts - center[None, :]) ** 2).sum(axis=1)
+    extent = 2.0 * math.asin(0.5 * math.sqrt(float(d2.max())))
+    margin = math.pi - extent - abs(radius)
+    if margin <= 1e-6:
+        raise ValueError(
+            f"{who}: radius {radius:.4f} + geometry extent "
+            f"{extent:.4f} rad reaches the antipodal anchor of the "
+            "winding walk; this construction supports buffered "
+            "regions strictly inside the anchor's hemisphere "
+            "complement"
+        )
 
 
 def _rings_contain(rings: list, P: np.ndarray) -> np.ndarray:
@@ -594,6 +619,7 @@ def buffer_polygon_rings(
 
     allv = np.concatenate(rings_in)
     center = _unit(allv.mean(axis=0))
+    _check_anchor(allv, center, radius, "buffer_polygon_rings")
     if radius > 0:
         curves = [offset_curve(r, radius, tolerance) for r in rings_in]
         rings = winding_operation(
@@ -693,6 +719,7 @@ def buffer_shapes_union_rings(
 
     allv = np.concatenate(vert_blocks)
     center = _unit(allv.mean(axis=0))
+    _check_anchor(allv, center, radius, "buffer_shapes_union_rings")
     rings = winding_operation(
         curves, RULE_POSITIVE, ref_point=tuple(-center), ref_winding=0
     )

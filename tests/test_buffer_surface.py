@@ -239,3 +239,14 @@ def test_negative_radius_points_and_lines_removed():
         -1 * DEG,
     )
     assert out == []
+
+
+def test_anchor_precondition_raises_for_huge_radius():
+    """The winding walk anchors ref_winding at the geometry's
+    antipode; a radius that reaches it must raise loudly (the
+    reference's sweep-edge bookkeeping has no such limit — documented
+    divergence), not return a wrong region."""
+    with pytest.raises(ValueError, match="anchor"):
+        B.buffer_polyline_rings(ZIGZAG_LINE, 178 * DEG)
+    with pytest.raises(ValueError, match="anchor"):
+        B.buffer_shapes_union_rings([("loop", SQUARE)], 178 * DEG)
