@@ -458,29 +458,126 @@ def _flat_rect_contains(verts: np.ndarray, radius: float,
     return got
 
 
+def _one_sided_curve(
+    verts: np.ndarray, radius: float, tolerance: float, end_cap: str
+) -> np.ndarray:
+    """RIGHT-side offset path of an open polyline, closed by the
+    reversed polyline itself (S2BufferOperation.AddPolyline one-sided
+    branch + AddStartCap/AddEndCap quarter-circle caps,
+    S2BufferOperation.cs:288-316,616-674)."""
+    n = len(verts)
+    cr, sr = math.cos(radius), math.sin(radius)
+    step = 2 * math.sqrt(2 * tolerance / max(radius, tolerance))
+    pts: list[np.ndarray] = []
+
+    def axis_of(a, b):
+        return _unit(np.cross(b, a))  # right side of travel a->b
+
+    def vertex_arc(v, start, end, close):
+        # semi-open CCW sweep of the offset around v from `start` to
+        # `end` directions (reference AddVertexArc)
+        w = math.acos(float(np.clip(np.dot(start, end), -1, 1)))
+        rot = _unit(np.cross(v, start))
+        m = max(1, int(math.ceil(w / step)))
+        for s in np.arange(m) / m:
+            d = math.cos(s * w) * start + math.sin(s * w) * rot
+            pts.append(_unit(cr * v + sr * d))
+        if close:
+            pts.append(_unit(cr * v + sr * end))
+
+    def edge_arc(a, b):
+        ax = axis_of(a, b)
+        ang = math.atan2(
+            np.linalg.norm(np.cross(a, b)), float(np.dot(a, b))
+        )
+        m = max(1, int(math.ceil(ang / step)))
+        for t in np.arange(m) / m:
+            if ang < 1e-12:
+                p = a
+            else:
+                p = (
+                    math.sin((1 - t) * ang) * a + math.sin(t * ang) * b
+                ) / math.sin(ang)
+            pts.append(_unit(cr * p + sr * ax))
+
+    def fwd_tangent(a, b):
+        return _unit(b - float(np.dot(a, b)) * a)
+
+    a0, a1 = verts[0], verts[1]
+    ax01 = axis_of(a0, a1)
+    if end_cap == "round":
+        # quarter circle from the backward tangent to the right normal
+        vertex_arc(a0, -fwd_tangent(a0, a1), ax01, close=False)
+    for i in range(n - 2):
+        a, b, c = verts[i], verts[i + 1], verts[i + 2]
+        edge_arc(a, b)
+        ax_ab, ax_bc = axis_of(a, b), axis_of(b, c)
+        turn = E.sign(
+            tuple(map(float, a)), tuple(map(float, b)), tuple(map(float, c))
+        )
+        if turn >= 0:
+            vertex_arc(b, ax_ab, ax_bc, close=False)
+        else:
+            # concave: close this arc at b and splice b itself
+            pts.append(_unit(cr * b + sr * ax_ab))
+            pts.append(b.copy())
+    edge_arc(verts[n - 2], verts[n - 1])
+    b = verts[n - 1]
+    ax_last = axis_of(verts[n - 2], b)
+    if end_cap == "flat":
+        pts.append(_unit(cr * b + sr * ax_last))  # close the edge arc
+    else:
+        # quarter circle from the right normal to the forward tangent
+        vertex_arc(b, ax_last, _unit(np.cross(b, ax_last)), close=True)
+    # the opposite boundary is the polyline itself, reversed
+    for v in verts[::-1]:
+        pts.append(v.copy())
+    out = np.stack(pts)
+    keep = (
+        np.linalg.norm(np.diff(out, axis=0, append=out[:1]), axis=1)
+        > 1e-14
+    )
+    return out[keep]
+
+
 def buffer_polyline_rings(
     verts: np.ndarray,
     radius: float,
     tolerance: float = 1e-3,
     end_cap: str = "round",
+    side: str = "both",
     check: bool = True,
 ) -> list[np.ndarray]:
-    """Two-sided polyline buffer (stadium region): the offset curve of
-    the doubled degenerate path through the winding-positive walk.
+    """Polyline buffer through the winding-positive walk.
     end_cap: 'round' (default, semicircular caps) or 'flat' (the
     buffer ends at the perpendicular through each endpoint) —
-    S2BufferOperation.Options.EndCapStyle.  Negative radius removes
-    polylines (returns []).  One-sided buffering (PolylineSide
-    LEFT/RIGHT) is not implemented."""
+    S2BufferOperation.Options.EndCapStyle.  side: 'both' (default,
+    stadium region from the doubled degenerate path), 'left' or
+    'right' (one-sided: the offset path on that side closed by the
+    polyline itself; LEFT buffers the reversed line's right —
+    S2BufferOperation.Options.PolylineSide).  Negative radius removes
+    polylines (returns [])."""
     verts = np.ascontiguousarray(verts, dtype=np.float64)
     if radius <= 0:
         return []
     if end_cap not in ("round", "flat"):
         raise ValueError(f"unknown end_cap {end_cap!r}")
-    path = _doubled_path(verts)
-    k = len(verts) - 1
-    flat = frozenset((k - 1, 2 * k - 1)) if end_cap == "flat" else frozenset()
-    curve = offset_curve(path, radius, tolerance, flat_turns=flat)
+    if side not in ("both", "left", "right"):
+        raise ValueError(f"unknown side {side!r}")
+    if side == "both":
+        path = _doubled_path(verts)
+        k = len(verts) - 1
+        flat = (
+            frozenset((k - 1, 2 * k - 1))
+            if end_cap == "flat"
+            else frozenset()
+        )
+        curve = offset_curve(path, radius, tolerance, flat_turns=flat)
+    else:
+        oriented = verts[::-1] if side == "left" else verts
+        curve = _one_sided_curve(
+            np.ascontiguousarray(oriented), radius, tolerance, end_cap
+        )
     from .winding import RULE_POSITIVE, winding_operation
 
     center = _unit(verts.mean(axis=0))
@@ -497,6 +594,22 @@ def buffer_polyline_rings(
         P = P / np.linalg.norm(P, axis=1)[:, None]
         min_d2 = _polyline_min_dist2(verts, P)
         s = math.sin(0.5 * radius)
+        if side != "both":
+            # one-sided: the region must be a SUBSET of the two-sided
+            # within-distance set (the golden tests additionally assert
+            # left ∪ right == both and left ∩ right == ∅, which pins
+            # the side split exactly)
+            got = _rings_contain(rings, P)
+            d = 2 * np.arcsin(np.sqrt(np.clip(min_d2, 0, 4)) / 2)
+            band = np.abs(d - radius) <= 4 * tolerance
+            bad = got & (min_d2 > 4 * s * s) & ~band
+            if bad.any():
+                raise ValueError(
+                    "buffer_polyline_rings (one-sided) failed "
+                    f"validation ({int(bad.sum())} probes outside the "
+                    "within-distance set)"
+                )
+            return rings
         if end_cap == "round":
             want = min_d2 <= 4 * s * s
         else:

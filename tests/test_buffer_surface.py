@@ -250,3 +250,73 @@ def test_anchor_precondition_raises_for_huge_radius():
         B.buffer_polyline_rings(ZIGZAG_LINE, 178 * DEG)
     with pytest.raises(ValueError, match="anchor"):
         B.buffer_shapes_union_rings([("loop", SQUARE)], 178 * DEG)
+
+
+# --- one-sided polyline buffering (PolylineSide LEFT/RIGHT) ------------
+
+def _mc_probes(verts, radius, n=2500):
+    rng = np.random.default_rng(1)
+    center = np.asarray(verts).mean(axis=0)
+    center = center / np.linalg.norm(center)
+    spread = 4 * (radius + float(
+        np.linalg.norm(np.asarray(verts) - center, axis=1).max()
+    ))
+    P = center[None, :] + spread * rng.standard_normal((n, 3))
+    return P / np.linalg.norm(P, axis=1)[:, None]
+
+
+@pytest.mark.parametrize("end_cap", ["round", "flat"])
+@pytest.mark.parametrize(
+    "line", [ZIGZAG_LINE, loop_of((10, 0), (0, 0), (5, 1))],
+    ids=["zigzag", "reversal"],
+)
+def test_one_sided_split_is_exact(line, end_cap):
+    """S2BufferOperationTests.ZigZagPolyline LEFT/RIGHT cases: the two
+    one-sided regions partition the two-sided region — left ∪ right ==
+    both (band-exempt) and left ∩ right == ∅ (the polyline itself is
+    the shared measure-zero boundary)."""
+    r = 1 * DEG
+    both = B.buffer_polyline_rings(line, r, end_cap=end_cap, check=False)
+    left = B.buffer_polyline_rings(
+        line, r, end_cap=end_cap, side="left"
+    )
+    right = B.buffer_polyline_rings(
+        line, r, end_cap=end_cap, side="right"
+    )
+    P = _mc_probes(line, r)
+    in_both = B._rings_contain(both, P)
+    in_l = B._rings_contain(left, P)
+    in_r = B._rings_contain(right, P)
+    d2 = B._polyline_min_dist2(np.asarray(line), P)
+    d = 2 * np.arcsin(np.sqrt(np.clip(d2, 0, 4)) / 2)
+    # exempt the boundary bands: the r-offset circle AND the polyline
+    # itself (the one-sided boundary runs along it)
+    tol = 4e-3
+    band = (np.abs(d - r) <= 4 * tol) | (d <= 4 * tol)
+    if end_cap == "flat":
+        for endp in (np.asarray(line)[0], np.asarray(line)[-1]):
+            band |= np.abs(
+                2 * np.arcsin(np.linalg.norm(P - endp[None, :], axis=1) / 2)
+                - r
+            ) <= 4 * tol
+            t_cap = B._cap_tangent(np.asarray(line), endp)
+            band |= (np.abs(P @ t_cap) <= 4 * tol) & (d <= r + 4 * tol)
+    union_bad = ((in_l | in_r) != in_both) & ~band
+    inter_bad = (in_l & in_r) & ~band
+    assert not union_bad.any(), int(union_bad.sum())
+    assert not inter_bad.any(), int(inter_bad.sum())
+
+
+def test_one_sided_side_orientation():
+    """A probe just left of a west-to-east equatorial segment (i.e. to
+    the north) is in the LEFT buffer only; its mirror in the RIGHT."""
+    line = loop_of((0, 0), (0, 10))
+    r = 2 * DEG
+    left = B.buffer_polyline_rings(line, r, side="left")
+    right = B.buffer_polyline_rings(line, r, side="right")
+    north = ll(1, 5)[None, :]   # left of west->east travel
+    south = ll(-1, 5)[None, :]
+    assert B._rings_contain(left, north)[0]
+    assert not B._rings_contain(left, south)[0]
+    assert B._rings_contain(right, south)[0]
+    assert not B._rings_contain(right, north)[0]
