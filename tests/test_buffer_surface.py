@@ -320,3 +320,117 @@ def test_one_sided_side_orientation():
     assert not B._rings_contain(left, south)[0]
     assert B._rings_contain(right, south)[0]
     assert not B._rings_contain(right, north)[0]
+
+
+# --- randomized sweeps (every constructive call self-validates) --------
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_contraction_random_polygons(seed):
+    """Random star-ish polygons contracted by random radii: the
+    complement walk must either empty the polygon or pass the exact
+    Monte-Carlo predicate (check=True raises otherwise)."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal(3)
+    c = c / np.linalg.norm(c)
+    import s2geometry_spark.kernels.edges as KE
+
+    u = np.array(KE.ortho(tuple(c)))
+    v = np.cross(c, u)
+    n = int(rng.integers(5, 11))
+    th = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rad = rng.uniform(0.05, 0.15, n)
+    verts = (
+        np.cos(rad)[:, None] * c[None, :]
+        + np.sin(rad)[:, None]
+        * (np.cos(th)[:, None] * u[None, :] + np.sin(th)[:, None] * v[None, :])
+    )
+    verts = verts / np.linalg.norm(verts, axis=1)[:, None]
+    shrink = float(rng.uniform(0.005, 0.04))
+    rings = B.buffer_polygon_rings([verts], -shrink, check=True)
+    base = M.loop_area(verts)
+    got = sum(M.loop_signed_area(r) for r in rings)
+    assert got < base + 1e-9
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_one_sided_random_polylines(seed):
+    """Random polylines, random side/cap: the one-sided region must be
+    a subset of the within-distance set (kernel check) and the two
+    sides must partition the two-sided region."""
+    rng = np.random.default_rng(100 + seed)
+    c = rng.standard_normal(3)
+    c = c / np.linalg.norm(c)
+    import s2geometry_spark.kernels.edges as KE
+
+    u = np.array(KE.ortho(tuple(c)))
+    v = np.cross(c, u)
+    n = int(rng.integers(3, 7))
+    walk = np.cumsum(rng.uniform(-0.06, 0.06, (n, 2)), axis=0)
+    verts = (
+        c[None, :]
+        + walk[:, 0:1] * u[None, :]
+        + walk[:, 1:2] * v[None, :]
+    )
+    verts = verts / np.linalg.norm(verts, axis=1)[:, None]
+    r = float(rng.uniform(0.01, 0.05))
+    cap = "round" if seed % 2 == 0 else "flat"
+    both = B.buffer_polyline_rings(verts, r, end_cap=cap, check=False)
+    left = B.buffer_polyline_rings(verts, r, end_cap=cap, side="left")
+    right = B.buffer_polyline_rings(verts, r, end_cap=cap, side="right")
+    P = _mc_probes(verts, r, n=1200)
+    in_b = B._rings_contain(both, P)
+    in_l = B._rings_contain(left, P)
+    in_r = B._rings_contain(right, P)
+    d2 = B._polyline_min_dist2(verts, P)
+    d = 2 * np.arcsin(np.sqrt(np.clip(d2, 0, 4)) / 2)
+    tol = 4e-3
+    band = (np.abs(d - r) <= 4 * tol) | (d <= 4 * tol)
+    if cap == "flat":
+        for endp in (verts[0], verts[-1]):
+            band |= np.abs(
+                2 * np.arcsin(np.linalg.norm(P - endp[None, :], axis=1) / 2)
+                - r
+            ) <= 4 * tol
+            t_cap = B._cap_tangent(verts, endp)
+            band |= (np.abs(P @ t_cap) <= 4 * tol) & (d <= r + 4 * tol)
+    assert not (((in_l | in_r) != in_b) & ~band).any(), seed
+    assert not ((in_l & in_r) & ~band).any(), seed
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_union_random_layers(seed):
+    """Random multi-layer unions (2-4 shapes of mixed kinds): the
+    single winding walk must pass the exact union predicate
+    (check=True raises otherwise)."""
+    rng = np.random.default_rng(200 + seed)
+    import s2geometry_spark.kernels.edges as KE
+
+    shapes = []
+    for j in range(int(rng.integers(2, 5))):
+        c = rng.standard_normal(3)
+        c = c / np.linalg.norm(c)
+        # keep layers in one neighborhood so the anchor margin holds
+        c = (ll(10, 10) * 4 + c) / np.linalg.norm(ll(10, 10) * 4 + c)
+        kind = ["point", "polyline", "loop"][int(rng.integers(0, 3))]
+        if kind == "point":
+            shapes.append(("point", c))
+            continue
+        u = np.array(KE.ortho(tuple(c)))
+        v = np.cross(c, u)
+        if kind == "polyline":
+            walk = np.cumsum(rng.uniform(-0.05, 0.05, (4, 2)), axis=0)
+            verts = c[None, :] + walk[:, 0:1] * u + walk[:, 1:2] * v
+        else:
+            n = int(rng.integers(4, 8))
+            th = np.sort(rng.uniform(0, 2 * np.pi, n))
+            rad = rng.uniform(0.03, 0.1, n)
+            verts = (
+                np.cos(rad)[:, None] * c[None, :]
+                + np.sin(rad)[:, None]
+                * (np.cos(th)[:, None] * u + np.sin(th)[:, None] * v)
+            )
+        verts = verts / np.linalg.norm(verts, axis=1)[:, None]
+        shapes.append((kind, verts))
+    r = float(rng.uniform(0.01, 0.05))
+    rings = B.buffer_shapes_union_rings(shapes, r, check=True)
+    assert sum(M.loop_signed_area(rg) for rg in rings) > 0
