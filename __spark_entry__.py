@@ -48,13 +48,6 @@ def _ensure_pkg(spark: SparkSession) -> None:
 # Queries (Spark side)
 # ---------------------------------------------------------------------
 
-def q_cellid_leaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row leaf cell-id assignment (flagship kernel)."""
-    _ensure_pkg(spark)
-    from s2geometry_spark.operators import tile as T
-
-    return T.assign_cellids(_orders_points(spark, sf_dir)).select("key", "cell_id")
-
 
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile (level-8 ancestor) counts — the mosaic histogram."""
@@ -63,36 +56,6 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = T.assign_cellids(_orders_points(spark, sf_dir))
     return T.tile_counts(df, TILE_LEVEL).select("tile_id", "n")
-
-
-def q_cell_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Level / parent / range bit ops on derived leaf cells (pure JVM)."""
-    _ensure_pkg(spark)
-    from s2geometry_spark.functions import sparkfns as S
-    from s2geometry_spark.operators import tile as T
-
-    df = T.assign_cellids(_orders_points(spark, sf_dir))
-    return df.select(
-        "key",
-        S.cell_parent(F.col("cell_id"), 4).alias("parent4"),
-        S.cell_parent(F.col("cell_id"), 16).alias("parent16"),
-        S.cell_range_min(F.col("cell_id"), 12).alias("rmin12"),
-        S.cell_range_max(F.col("cell_id"), 12).alias("rmax12"),
-        S.cell_bias(F.col("cell_id")).alias("biased"),
-    )
-
-
-def q_cell_token(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token codec on level-12 ancestors (JVM string ops)."""
-    _ensure_pkg(spark)
-    from s2geometry_spark.functions import sparkfns as S
-    from s2geometry_spark.operators import tile as T
-
-    df = T.assign_cellids(_orders_points(spark, sf_dir))
-    return df.select(
-        "key",
-        S.cell_token(S.cell_parent(F.col("cell_id"), 12)).alias("token12"),
-    )
 
 
 def q_cellid_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,64 +406,6 @@ def _nation_caps(spark: SparkSession, sf_dir: str):
     return R.synthetic_caps(sorted(keys))
 
 
-def q_pip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-join form: keys of points inside ANY cap (left_semi against
-    the covering join result).  Oracle: DISTINCT keys of the brute-force
-    SQL pip join — fully independent."""
-    _ensure_pkg(spark)
-    from s2geometry_spark.operators import spatial_join as SJ
-    from s2geometry_spark.operators import tile as T
-
-    pts = T.assign_cellids(_orders_points(spark, sf_dir))
-    return SJ.point_in_cap_semi(
-        spark, pts, _nation_caps(spark, sf_dir)
-    ).select("key")
-
-
-def q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join form: keys of points outside EVERY cap."""
-    _ensure_pkg(spark)
-    from s2geometry_spark.operators import spatial_join as SJ
-    from s2geometry_spark.operators import tile as T
-
-    pts = T.assign_cellids(_orders_points(spark, sf_dir))
-    return SJ.point_in_cap_semi(
-        spark, pts, _nation_caps(spark, sf_dir), anti=True
-    ).select("key")
-
-
-def q_term_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2RegionTermIndexer retrieval: points indexed under ancestor
-    string terms, caps expanded to query terms, string equi-join +
-    exact refine.  Oracle: the brute-force SQL cap join — fully
-    independent, so a missed candidate (indexer bug) fails the gate."""
-    _ensure_pkg(spark)
-    from s2geometry_spark.operators import term_join as TJ
-    from s2geometry_spark.operators import tile as T
-
-    pts = T.assign_cellids(
-        _orders_points(spark, sf_dir).where(F.col("key") % 5 == 0)
-    )
-    return TJ.term_index_cap_join(spark, pts, _nation_caps(spark, sf_dir))
-
-
-def q_pip_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-cap spatial join: covering-term broadcast equi-join +
-    exact chord refine; output identical to brute force."""
-    _ensure_pkg(spark)
-    from s2geometry_spark.operators import spatial_join as SJ
-    from s2geometry_spark.operators import tile as T
-
-    pts = T.assign_cellids(_orders_points(spark, sf_dir))
-    return SJ.point_in_cap_join(spark, pts, _nation_caps(spark, sf_dir))
-
-
-def q_pip_cap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Images per region — join + aggregate."""
-    pairs = q_pip_cap_join(spark, sf_dir)
-    return pairs.groupBy("region_id").agg(F.count(F.lit(1)).alias("n_points"))
-
-
 def _nation_loops(spark: SparkSession, sf_dir: str):
     from s2geometry_spark.sources import regions_src as R
 
@@ -511,22 +416,6 @@ def _nation_loops(spark: SparkSession, sf_dir: str):
         .collect()
     ]
     return R.synthetic_loops(sorted(keys))
-
-
-def q_pip_loop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-polygon (S2Loop) spatial join: covering-term broadcast
-    equi-join + crossing-number parity refine (S2Loop.cs Contains)."""
-    _ensure_pkg(spark)
-    from s2geometry_spark.operators import spatial_join as SJ
-    from s2geometry_spark.operators import tile as T
-
-    pts = T.assign_cellids(_orders_points(spark, sf_dir))
-    return SJ.point_in_loop_join(spark, pts, _nation_loops(spark, sf_dir))
-
-
-def q_pip_loop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_pip_loop_join(spark, sf_dir)
-    return pairs.groupBy("region_id").agg(F.count(F.lit(1)).alias("n_points"))
 
 
 KNN_K = 3
@@ -559,34 +448,6 @@ def q_near_polyline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = T.assign_cellids(_orders_points(spark, sf_dir))
     lines = [(k, R.polyline_vertices(k)) for k in range(25)]
     return SJ.point_near_polyline_join(spark, pts, lines, NEAR_RADIUS)
-
-
-def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-cap join via the S2CellIndex leaf-range pattern
-    (broadcast range predicate on biased ids) — row-identical to
-    s2_pip_cap_join."""
-    _ensure_pkg(spark)
-    from s2geometry_spark.operators import spatial_join as SJ
-    from s2geometry_spark.operators import tile as T
-
-    pts = T.assign_cellids(_orders_points(spark, sf_dir))
-    return SJ.point_in_cap_range_join(spark, pts, _nation_caps(spark, sf_dir))
-
-
-def q_polyline_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-polyline length/interpolate/project measures via grouped
-    Arrow kernel; oracle = driver-precomputed literal table."""
-    _ensure_pkg(spark)
-    import pandas as pd
-
-    from s2geometry_spark.functions import literal_oracle as LO
-    from s2geometry_spark.operators import measures_op as MO
-
-    pdf = pd.DataFrame(
-        LO.polyline_measure_vertices(),
-        columns=["line_id", "vtx_idx", "x", "y", "z"],
-    )
-    return MO.polyline_measures(spark.createDataFrame(pdf))
 
 
 def q_region_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,23 +504,6 @@ def q_img_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("phash").bitwiseXOR(mask).alias("phash"),
     )
     return ID.phash_near_dup(base.unionByName(perturbed))
-
-
-def q_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DTW vertex alignment between each deterministic polyline and its
-    perpendicular twin (grouped Arrow DP kernel; oracle = driver-
-    precomputed literal table)."""
-    _ensure_pkg(spark)
-    import pandas as pd
-
-    from s2geometry_spark.functions import literal_oracle as LO
-    from s2geometry_spark.operators import measures_op as MO
-
-    pdf = pd.DataFrame(
-        LO.dtw_pair_vertices(),
-        columns=["line_id", "which", "vtx_idx", "x", "y", "z"],
-    )
-    return MO.dtw_align_pairs(spark.createDataFrame(pdf))
 
 
 def q_polyline_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,23 +628,6 @@ def q_mixed_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MO.mixed_boolean_rows(spark.createDataFrame(pdf))
 
 
-def q_polyline_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polyline Intersects / NearlyCovers / SubsampleVertices relations
-    per deterministic line pair (grouped Arrow kernel; oracle =
-    driver-precomputed literal table)."""
-    _ensure_pkg(spark)
-    import pandas as pd
-
-    from s2geometry_spark.functions import literal_oracle as LO
-    from s2geometry_spark.operators import measures_op as MO
-
-    pdf = pd.DataFrame(
-        LO.dtw_pair_vertices(),
-        columns=["line_id", "which", "vtx_idx", "x", "y", "z"],
-    )
-    return MO.polyline_relations(spark.createDataFrame(pdf))
-
-
 def q_convex_hull_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile (level-1 cell) spherical convex hull of customer points
     (grouped monotone-chain kernel; rows-only check — robust-predicate
@@ -880,18 +707,6 @@ def q_closest_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _orders_points(spark, sf_dir)
     return KNN.closest_polygon(pts, _nation_loops(spark, sf_dir))
-
-
-def q_pip_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-polygon-with-holes join: winding parity over every
-    ring's edges (S2Polygon loop-hierarchy semantics)."""
-    _ensure_pkg(spark)
-    from s2geometry_spark.operators import spatial_join as SJ
-    from s2geometry_spark.operators import tile as T
-    from s2geometry_spark.sources import regions_src as R
-
-    pts = T.assign_cellids(_orders_points(spark, sf_dir))
-    return SJ.point_in_loop_join(spark, pts, R.synthetic_polygons(range(25)))
 
 
 FRACTAL_REGIONS = 8
@@ -978,18 +793,6 @@ def _cap_cover_entries():
         return tuple(entries)
 
     return list(build())
-
-
-def q_cell_index_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """General S2CellIndex lookup: orders points against a labeled
-    (cell_id, label) index (cap coverings labeled by region) via the
-    disjoint leaf-range sweep + broadcast range join."""
-    _ensure_pkg(spark)
-    from s2geometry_spark.operators import spatial_join as SJ
-    from s2geometry_spark.operators import tile as T
-
-    pts = T.assign_cellids(_orders_points(spark, sf_dir))
-    return SJ.label_range_join(spark, pts, _cap_cover_entries())
 
 
 def q_knn_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,10 +906,12 @@ def q_buffer_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     hole-pinching courtyard, a merging dumbbell), shrink (negative
     radius / contraction via the complement walk), polyline (two-sided
     round-cap stadium), point (disc), and multi-layer union (loop +
-    shifted copy through one winding walk).  Every case Monte-Carlo-
-    validates in the worker against the within-distance predicate;
-    oracle = driver-precomputed literal table through the same
-    kernels."""
+    shifted copy through one winding walk).  Correctness is carried
+    by the oracle gate plus the golden tests, which run every
+    constructive path with the worker-side Monte-Carlo validation
+    enabled (tests/test_buffer_surface.py; the product query runs
+    check=False — ~4x cheaper); oracle = driver-precomputed literal
+    table through the same kernels."""
     _ensure_pkg(spark)
     import pandas as pd
 
@@ -1135,29 +940,9 @@ def q_loop_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MO.loop_measures(MO.loops_vertex_df(spark, loops))
 
 
-def q_doc_token_stats(spark, sf_dir):
-    from s2geometry_spark.operators import textops as TX
-    return TX.token_stats(_docs(spark, sf_dir))
-
-
-def q_doc_lang_id(spark, sf_dir):
-    from s2geometry_spark.operators import textops as TX
-    return TX.lang_id(_docs(spark, sf_dir))
-
-
-def q_doc_fingerprints(spark, sf_dir):
-    from s2geometry_spark.operators import textops as TX
-    return TX.fingerprints(_docs(spark, sf_dir))
-
-
 def q_doc_dedup_exact(spark, sf_dir):
     from s2geometry_spark.operators import textops as TX
     return TX.dedup_exact(_docs(spark, sf_dir))
-
-
-def q_doc_simhash(spark, sf_dir):
-    from s2geometry_spark.operators import textops as TX
-    return TX.simhash(_docs(spark, sf_dir))
 
 
 def q_doc_near_dup(spark, sf_dir):
@@ -1554,15 +1339,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Oracles (DuckDB side)
 # ---------------------------------------------------------------------
 
-def _near_chord2(radius_rad: float) -> float:
-    """The identical squared-chord bound point_near_polyline_join
-    computes (same IEEE expression, so the SQL literal round-trips)."""
-    import math
-
-    s = math.sin(0.5 * min(radius_rad, math.pi))
-    return min(4.0, 4 * s * s)
-
-
 def _cell_index_oracle_sql(base_ctes: str) -> str:
     """Literal disjoint (lo, hi, label) biased leaf ranges (swept on
     the driver from the same index entries) joined against leaf cells
@@ -1640,6 +1416,9 @@ def oracle_sql() -> dict[str, str]:
     from s2geometry_spark.operators import similarity as SIM
     from s2geometry_spark.operators import textops as TX
     from s2geometry_spark.operators.knn import knn_oracle_sql
+    from s2geometry_spark.operators.spatial_join import (
+        near_chord2 as SJ_near_chord2,
+    )
 
     knn_sql = knn_oracle_sql(
         P.xyz_sql_cte("orders", "o_orderkey", name="qpts"),
@@ -1882,7 +1661,7 @@ def oracle_sql() -> dict[str, str]:
             R.polyline_edges_sql_values(
                 R.polyline_edges(range(25)), "loop_edges"
             ),
-            _near_chord2(NEAR_RADIUS),
+            SJ_near_chord2(NEAR_RADIUS),
         ),
         "s2_tile_mosaic": LO.tile_mosaic_sql(N_IMAGES, IMAGE_TILE_LEVEL),
         "img_features": LO.img_features_sql(N_IMAGES),

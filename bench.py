@@ -106,8 +106,9 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, int]:
         # outlier re-run: this host is multi-tenant and a single
         # neighbor burst can double a query's wall time (BENCH.md
         # protocol notes; r03 recorded doc_near_dup at 16.7s vs
-        # 8.9-10.9s quiet).  A second run whose time drops by >35%
-        # proves the first was contention, not the plan — keep the min.
+        # 8.9-10.9s quiet).  Heavy queries record the min of two runs
+        # (best-of-2), so a one-off burst on either run cannot enter
+        # the artifact; sustained load still shows in the probe field.
         if elapsed > _outlier_threshold(sf_dir):
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))

@@ -170,6 +170,9 @@ def buffer_loop(
     # strided pandas column view can take a different BLAS path with
     # different rounding than the contiguous case
     verts = np.ascontiguousarray(verts, dtype=np.float64)
+    # the convex trim construction is just as invalid as the winding
+    # walk once radius + extent reaches the antipode — guard BOTH paths
+    _check_anchor(verts, _unit(verts.mean(axis=0)), radius, "buffer_loop")
     if not _is_convex(verts):
         rings = buffer_loop_rings(verts, radius, tolerance, check)
         if len(rings) != 1:

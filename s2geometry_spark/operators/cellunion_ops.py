@@ -137,22 +137,28 @@ def union_intersection(
     cell = F.col("cell")
 
     # Precondition (fails loudly, not via the oracle gate): the two
-    # equi-joins only generate ancestor terms at `levels`, so an
-    # overlapping pair is found iff the SHALLOWER cell of the pair has
-    # its level inside the window.  Guarantee that by requiring every
-    # input cell's level to be within min(levels)..max(levels); a
-    # level-6 cell with a (7,8,9,10) window would silently emit no
-    # intersection rows otherwise.
-    lo, hi = min(levels), max(levels)
-    in_window = (
-        cell.bitwiseAND(F.lit(2 * S.lsb_for_level(lo) - 1)) != 0
-    ) & (cell.bitwiseAND(F.lit(S.lsb_for_level(hi) - 1)) == 0)
-    checked = F.when(in_window, cell).otherwise(
+    # equi-joins only generate ancestor terms at EXACTLY the levels in
+    # `levels`, so an overlapping pair is found iff the SHALLOWER
+    # cell's level is a member of the tuple — a gap level (e.g. 8 with
+    # levels (7, 9, 10)) or any level outside the window would
+    # silently emit no intersection rows.  Require exact membership.
+    import functools
+    import operator
+
+    is_member = functools.reduce(
+        operator.or_,
+        [
+            cell.bitwiseAND(F.lit(2 * S.lsb_for_level(lv) - 1))
+            == F.lit(S.lsb_for_level(lv))
+            for lv in levels
+        ],
+    )
+    checked = F.when(is_member, cell).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
-                    "union_intersection: input cell level outside the "
-                    f"term window [{lo}, {hi}]: cell_id="
+                        "union_intersection: input cell level not in "
+                        f"the term levels {sorted(levels)}: cell_id="
                 ),
                 cell.cast("string"),
             )

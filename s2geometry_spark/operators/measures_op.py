@@ -296,51 +296,6 @@ def polyline_relations(vertex_df: DataFrame) -> DataFrame:
     )
 
 
-BUFFER_SCHEMA = T.StructType(
-    [
-        T.StructField("region_id", T.LongType(), False),
-        T.StructField("n_ring", T.IntegerType(), False),
-        T.StructField("area_base", T.DoubleType(), False),
-        T.StructField("area_buffered", T.DoubleType(), False),
-    ]
-)
-
-
-def buffer_loops(vertex_df: DataFrame, radius: float) -> DataFrame:
-    """Per-loop buffered geometry (kernels.buffer, S2BufferOperation
-    semantics): emits the buffered ring size and the base/buffered
-    areas; distributed per region.  Convex loops take the
-    parameter-ordered single-ring path; concave loops (region_id >=
-    CONCAVE_REGION_BASE) run the spliced offset curve through the
-    winding-arrangement walk and may emit multiple rings (n_ring sums
-    vertices, area sums signed ring areas so holes subtract)."""
-
-    def compute(key, pdf: pd.DataFrame):
-        from ..kernels import buffer as BUF
-        from ..kernels import measures as M
-
-        (rid,) = key
-        pdf = pdf.sort_values("vtx_idx")
-        verts = pdf[["x", "y", "z"]].to_numpy()
-        rings = BUF.buffer_loop_rings(verts, radius)
-        return pd.DataFrame(
-            [
-                {
-                    "region_id": int(rid),
-                    "n_ring": sum(len(r) for r in rings),
-                    "area_base": M.loop_area(verts),
-                    "area_buffered": sum(
-                        M.loop_signed_area(r) for r in rings
-                    ),
-                }
-            ]
-        )
-
-    return vertex_df.groupBy("region_id").applyInPandas(
-        compute, schema=BUFFER_SCHEMA
-    )
-
-
 BUFFER_CASE_SCHEMA = T.StructType(
     [
         T.StructField("case_id", T.LongType(), False),

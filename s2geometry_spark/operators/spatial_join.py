@@ -306,6 +306,18 @@ def point_near_loop_join(
     return refined.select(F.col(point_key), F.col("region_id"))
 
 
+def near_chord2(radius_rad: float) -> float:
+    """radius (radians) -> the squared-chord bound used by the
+    within-distance refines.  ONE definition shared by the Spark
+    predicates and the DuckDB oracle literals — the exact IEEE
+    expression must match on both sides or boundary-distance rows
+    diverge."""
+    import math
+
+    s = math.sin(0.5 * min(radius_rad, math.pi))
+    return min(4.0, 4 * s * s)
+
+
 def point_near_polyline_join(
     spark: SparkSession,
     points: DataFrame,
@@ -350,8 +362,7 @@ def point_near_polyline_join(
     joined = probe.join(
         F.broadcast(cov), probe["anc_cell"] == cov["cov_cell"], "inner"
     )
-    s = math.sin(0.5 * min(radius_rad, math.pi))
-    radius_chord2 = min(4.0, 4 * s * s)
+    radius_chord2 = near_chord2(radius_rad)
     lines_by_id = {lid: np.asarray(v, dtype=float) for lid, v in polylines}
     near = U.polyline_near_udf(lines_by_id, radius_chord2)
     refined = joined.where(

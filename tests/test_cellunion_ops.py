@@ -139,7 +139,7 @@ def test_round_chain_random_level_sets(spark, seed):
 
 
 def test_union_intersection_rejects_out_of_window_levels(spark):
-    """A cell whose level falls outside the ancestor-term window must
+    """A cell whose level is not among the ancestor-term levels must
     raise loudly in the operator (ADVICE r3: a level-6 merge would
     otherwise silently emit no intersection rows)."""
     import pandas as pd
@@ -154,7 +154,29 @@ def test_union_intersection_rejects_out_of_window_levels(spark):
     )
     norm = spark.createDataFrame(pdf)
     out = CUO.union_intersection(norm, (F.col("g") + 1) % 2)
-    with pytest.raises(Exception, match="term window"):
+    with pytest.raises(Exception, match="term levels"):
+        out.collect()
+
+
+def test_union_intersection_rejects_gap_levels(spark):
+    """Exact membership, not a [min, max] window: a level-8 cell with
+    levels (7, 9, 10) would silently miss overlaps (no term ever
+    equals it), so it must raise (round-4 review finding)."""
+    import pandas as pd
+
+    face = C.xyz_to_cellid(
+        np.array([1.0]), np.array([0.1]), np.array([0.1])
+    )
+    lv8 = int(C.parent(face, 8)[0])
+    lv9 = int(C.parent(face, 9)[0])
+    pdf = pd.DataFrame(
+        {"g": [0, 1], "cell": np.array([lv8, lv9], dtype=np.uint64).view(np.int64)}
+    )
+    norm = spark.createDataFrame(pdf)
+    out = CUO.union_intersection(
+        norm, (F.col("g") + 1) % 2, levels=(7, 9, 10)
+    )
+    with pytest.raises(Exception, match="term levels"):
         out.collect()
 
 
