@@ -306,6 +306,33 @@ def point_near_loop_join(
     return refined.select(F.col(point_key), F.col("region_id"))
 
 
+def polyline_covering_rows(
+    polylines: list, radius_rad: float, options=None
+):
+    """(line_id, cov_cell, level) pandas frame of normalized buffered-
+    polyline covering cells — the broadcast index side shared by the
+    batch join below and the stream-static route matcher
+    (streaming/route_stream.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels import cellid as CI
+    from ..kernels import cellunion as CU
+    from ..kernels.buffered_region import buffered_polyline_covering
+
+    rows = []
+    for lid, verts in polylines:
+        cov = CU.normalize(
+            buffered_polyline_covering(verts, radius_rad, options)
+        )
+        for cid in cov:
+            rows.append(
+                (lid, int(CI.as_i64(np.array([cid], np.uint64))[0]),
+                 CU._level(cid))
+            )
+    return pd.DataFrame(rows, columns=["line_id", "cov_cell", "level"])
+
+
 def near_chord2(radius_rad: float) -> float:
     """radius (radians) -> the squared-chord bound used by the
     within-distance refines.  ONE definition shared by the Spark
@@ -343,17 +370,7 @@ def point_near_polyline_join(
     from ..kernels import cellunion as CU
     from ..kernels.buffered_region import buffered_polyline_covering
 
-    rows = []
-    for lid, verts in polylines:
-        cov = CU.normalize(
-            buffered_polyline_covering(verts, radius_rad, options)
-        )
-        for cid in cov:
-            rows.append(
-                (lid, int(CI.as_i64(np.array([cid], np.uint64))[0]),
-                 CU._level(cid))
-            )
-    cov_pdf = pd.DataFrame(rows, columns=["line_id", "cov_cell", "level"])
+    cov_pdf = polyline_covering_rows(polylines, radius_rad, options)
     levels = sorted(cov_pdf["level"].unique().tolist())
     cov = spark.createDataFrame(cov_pdf)
     probe = explode_ancestors(normalized_cols(points), levels)

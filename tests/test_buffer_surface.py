@@ -434,3 +434,24 @@ def test_fuzz_union_random_layers(seed):
     r = float(rng.uniform(0.01, 0.05))
     rings = B.buffer_shapes_union_rings(shapes, r, check=True)
     assert sum(M.loop_signed_area(rg) for rg in rings) > 0
+
+
+@pytest.mark.parametrize("radius_deg", [0.01, 0.1, 1.0, 5.0, 20.0])
+@pytest.mark.parametrize("tolerance", [1e-2, 1e-3])
+def test_radii_and_error_fractions(radius_deg, tolerance):
+    """S2BufferOperationTests.TestRadiiAndErrorFractions analog: a
+    representative shape across four decades of radius and two
+    tolerance (error-fraction) settings, expansion AND contraction,
+    every case Monte-Carlo-validated inside the kernel."""
+    r = radius_deg * DEG
+    grown = B.buffer_polygon_rings([SQUARE], r, tolerance=tolerance)
+    assert sum(M.loop_signed_area(rg) for rg in grown) > M.loop_signed_area(
+        SQUARE
+    )
+    shrunk = B.buffer_polygon_rings([SQUARE], -r, tolerance=tolerance)
+    if radius_deg >= 5.0:
+        assert shrunk == []  # contraction past the ~3-deg inradius
+    else:
+        assert 0 < sum(
+            M.loop_signed_area(rg) for rg in shrunk
+        ) < M.loop_signed_area(SQUARE)
