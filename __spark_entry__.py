@@ -743,26 +743,6 @@ def q_pip_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SI.point_in_loop_index_join(spark, pts, _fractal_loops_cached())
 
 
-def q_furthest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k furthest supplier points per order point (S2FurthestEdgeQuery
-    semantics): the antipodal min-distance run through the same
-    ring-expansion kNN machinery, dist2 = 4 - antipodal chord2."""
-    _ensure_pkg(spark)
-    from s2geometry_spark.operators import knn as KNN
-    from s2geometry_spark.operators import tile as T
-    from s2geometry_spark.sources import points as P
-
-    import pyarrow.parquet as pq
-
-    q = T.assign_cellids(_orders_points(spark, sf_dir))
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    idx = T.assign_cellids(
-        P.with_xyz(sup.select(F.col("s_suppkey").alias("key")))
-    )
-    n_idx = pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata.num_rows
-    return KNN.furthest_join(spark, q, idx, KNN_K, index_count=n_idx)
-
-
 def q_furthest_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Furthest polyline per order point (max distance over the edge
     collection, antipodal closest-edge trick)."""
@@ -793,27 +773,6 @@ def _cap_cover_entries():
         return tuple(entries)
 
     return list(build())
-
-
-def q_knn_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k nearest supplier points per order point — cell-ring-expansion
-    kNN join (S2ClosestPointQuery semantics)."""
-    _ensure_pkg(spark)
-    from s2geometry_spark.operators import knn as KNN
-    from s2geometry_spark.operators import tile as T
-    from s2geometry_spark.sources import points as P
-
-    import pyarrow.parquet as pq
-
-    q = T.assign_cellids(_orders_points(spark, sf_dir))
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    idx = T.assign_cellids(
-        P.with_xyz(sup.select(F.col("s_suppkey").alias("key")))
-    )
-    # seed level from parquet metadata (log-scale accuracy suffices) —
-    # skips the sampled-count action over the pUDF-encoded index
-    n_idx = pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata.num_rows
-    return KNN.knn_join(spark, q, idx, KNN_K, index_count=n_idx)
 
 
 N_IMAGES = 2000
@@ -1130,11 +1089,28 @@ def q_pip_refine_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_supplier_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k nearest + k furthest supplier points per order point through
     the same ring-expansion machinery, side-tagged (consolidates
-    s2_knn_supplier / s2_furthest_supplier)."""
-    near = q_knn_supplier(spark, sf_dir).select(
+    s2_knn_supplier / s2_furthest_supplier).  The two arms share ONE
+    materialized Arrow encode of each input (the furthest arm re-
+    encodes the antipodal index internally)."""
+    _ensure_pkg(spark)
+    import pyarrow.parquet as pq
+
+    from s2geometry_spark.operators import knn as KNN
+    from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.sources import points as P
+
+    q = T.assign_cellids(_orders_points(spark, sf_dir)).localCheckpoint()
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    idx = T.assign_cellids(
+        P.with_xyz(sup.select(F.col("s_suppkey").alias("key")))
+    ).localCheckpoint()
+    n_idx = pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata.num_rows
+    near = KNN.knn_join(spark, q, idx, KNN_K, index_count=n_idx).select(
         F.lit("near").alias("side"), "key", "neighbor_key", "dist2", "rn"
     )
-    far = q_furthest_supplier(spark, sf_dir).select(
+    far = KNN.furthest_join(
+        spark, q, idx, KNN_K, index_count=n_idx
+    ).select(
         F.lit("far").alias("side"), "key", "neighbor_key", "dist2", "rn"
     )
     return near.unionByName(far)
