@@ -113,3 +113,31 @@ def test_doc_near_dup_shuffles_slim_rows_only(spark, sf_dir):
             assert ctype != "array", (
                 f"array column {cname!r} crosses a shuffle ({part})"
             )
+
+
+def test_near_polyline_join_broadcasts_and_never_shuffles_facts(
+    spark, sf_dir, pts
+):
+    """The round-4 within-distance-of-a-route join keeps the same
+    scale shape as the cap join: broadcast covering index, zero
+    shuffles on the fact side."""
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.sources import regions_src as R
+
+    lines = [(k, R.polyline_vertices(k)) for k in range(25)]
+    j = SJ.point_near_polyline_join(spark, pts, lines, 0.08)
+    names = [n for n, _ in _walk_plan(j)]
+    assert "BroadcastHashJoinExec" in names
+    assert "ShuffleExchangeExec" not in names
+
+
+def test_closest_polygon_is_shuffle_free(spark, sf_dir, pts):
+    """closest_polygon is a broadcast-evaluate projection: one Arrow
+    pass, no join, no shuffle."""
+    from s2geometry_spark.operators.knn import closest_polygon
+    from s2geometry_spark.sources import regions_src as R
+
+    j = closest_polygon(pts, R.synthetic_loops(range(25)))
+    names = [n for n, _ in _walk_plan(j)]
+    assert "ShuffleExchangeExec" not in names
+    assert "CartesianProductExec" not in names
