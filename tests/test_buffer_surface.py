@@ -455,3 +455,21 @@ def test_radii_and_error_fractions(radius_deg, tolerance):
         assert 0 < sum(
             M.loop_signed_area(rg) for rg in shrunk
         ) < M.loop_signed_area(SQUARE)
+
+
+@pytest.mark.parametrize("rid", range(4))
+def test_fractal_buffering(rid):
+    """S2BufferOperationTests.Fractals analog: highly concave fractal
+    coastlines (the repo's deterministic Koch-style fixtures) buffered
+    at 0.4 deg, expansion and contraction, Monte-Carlo-validated
+    inside the kernel."""
+    from s2geometry_spark.sources import regions_src as R
+
+    loops = R.fractal_loops(range(4), 96)
+    verts = np.asarray(loops[rid][1].verts)
+    r = 0.4 * DEG
+    grown = B.buffer_polygon_rings([verts], r, check=True)
+    base = M.loop_area(verts)
+    assert sum(M.loop_signed_area(rg) for rg in grown) > base
+    shrunk = B.buffer_polygon_rings([verts], -r, check=True)
+    assert 0 <= sum(M.loop_signed_area(rg) for rg in shrunk) < base
