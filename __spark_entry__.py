@@ -209,11 +209,15 @@ def q_s2_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_s2_loop_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Loop↔loop Contains/Intersects/CompareBoundary/ContainsNested
-    over the 25×25 synthetic-loop pair matrix (self-pairs hit every
-    shared-vertex wedge branch).  Oracle: driver recompute through the
-    same kernels — exact bool/int equality."""
+    """family='loop': loop↔loop Contains/Intersects/CompareBoundary/
+    ContainsNested over the 25×25 synthetic-loop pair matrix
+    (self-pairs hit every shared-vertex wedge branch).  family='poly':
+    polygon-with-holes Contains/Intersects via signed winding over the
+    annulus fixtures (in-hole disc / in-flesh ring / crossing copy).
+    Oracle: driver recompute through the same kernels — exact bool/int
+    equality."""
     _ensure_pkg(spark)
+    from s2geometry_spark.functions import literal_oracle as LO
     from s2geometry_spark.operators import loop_relations_op as LR
     from s2geometry_spark.sources import regions_src as R
 
@@ -235,7 +239,35 @@ def q_s2_loop_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ids.crossJoin(ids.select(F.col("a_id").alias("b_id"))).repartition(
         8
     )
-    return LR.loop_relations(pairs, loops)
+    loop_arm = LR.loop_relations(pairs, loops).select(
+        F.lit("loop").alias("family"),
+        "a_id",
+        "b_id",
+        "contains",
+        "intersects",
+        "cmp_boundary",
+        "nested",
+    )
+    import pandas as pd
+
+    cases = LO.poly_relation_cases()
+    case_pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(a, cid) for a, cid, _ar, _br in cases],
+            columns=["a_id", "b_id"],
+        )
+    )
+    cases_by_key = {(a, cid): (ar, br) for a, cid, ar, br in cases}
+    poly_arm = LR.poly_relations(case_pairs, cases_by_key).select(
+        F.lit("poly").alias("family"),
+        "a_id",
+        "b_id",
+        "contains",
+        "intersects",
+        F.lit(0).cast("int").alias("cmp_boundary"),
+        F.lit(False).alias("nested"),
+    )
+    return loop_arm.unionByName(poly_arm)
 
 
 def q_s2_edgeclip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1726,13 +1726,51 @@ def predicates_sql(sf_dir: str, modulus: int = 10) -> str:
 
 
 @lru_cache(maxsize=1)
+def poly_relation_cases() -> list[tuple]:
+    """(a_id, case_id, a_rings, b_rings) polygon-with-holes relation
+    fixtures: each region's annulus A = [outer CCW, half-shrunk CW
+    hole] against (case 0) a disc strictly inside the hole — disjoint
+    despite being inside A's outer ring, (case 1) a ring inside A's
+    flesh — contained, (case 2) a tangent-shifted copy of the outer
+    ring — crossing.  Drives kernels/winding.polygon_contains/
+    polygon_intersects (S2Polygon.Contains/Intersects semantics) from
+    the driver gate."""
+    from ..kernels import edges as KE
+    from ..sources import regions_src as R
+
+    cases = []
+    for key in range(25):
+        outer = np.asarray(R.loop_vertices(key))
+        cx, cy, cz, _r = R.cap_params(key)
+        c = np.array([cx, cy, cz])
+
+        def shrink(f):
+            v = c[None, :] + f * (outer - c[None, :])
+            return v / np.linalg.norm(v, axis=1)[:, None]
+
+        a_rings = (outer, shrink(0.5)[::-1])  # CCW shell + CW hole
+        in_hole = (shrink(0.25),)
+        flesh = (shrink(0.85), shrink(0.65)[::-1])
+        u = np.array(KE.ortho((cx, cy, cz)))
+        shifted = outer + u[None, :] * 0.04
+        shifted = shifted / np.linalg.norm(shifted, axis=1)[:, None]
+        cases.append((key, 0, a_rings, in_hole))
+        cases.append((key, 1, a_rings, flesh))
+        cases.append((key, 2, a_rings, (shifted,)))
+    return cases
+
+
+@lru_cache(maxsize=1)
 def loop_relations_sql() -> str:
-    """Expected loop↔loop relations for q_s2_loop_relations
-    (S2Loop.Contains/Intersects/CompareBoundary/ContainsNested),
-    recomputed on the driver over the same 25×25 synthetic-loop pairs
-    (self-pairs exercise every shared-vertex wedge branch).  All
-    outcomes are bools/ints — exact equality."""
-    from ..operators.loop_relations_op import relation_row
+    """Expected relation rows for q_s2_loop_relations, recomputed on
+    the driver: family='loop' — S2Loop Contains/Intersects/
+    CompareBoundary/ContainsNested over the 25×25 synthetic-loop pairs
+    (self-pairs exercise every shared-vertex wedge branch); family=
+    'poly' — polygon-with-holes Contains/Intersects via signed winding
+    over the annulus fixtures (cmp_boundary/nested are 0/False
+    placeholders for that family).  All outcomes are bools/ints —
+    exact equality."""
+    from ..operators.loop_relations_op import poly_relation_row, relation_row
     from ..sources import regions_src as R
 
     loops = dict(R.synthetic_loops(range(25)))
@@ -1740,10 +1778,14 @@ def loop_relations_sql() -> str:
     for a_id in range(25):
         for b_id in range(25):
             c, x, cb, n = relation_row(loops[a_id], loops[b_id])
-            rows.append((a_id, b_id, c, x, cb, n))
+            rows.append(("loop", a_id, b_id, c, x, cb, n))
+    for a_id, case_id, a_rings, b_rings in poly_relation_cases():
+        c, x = poly_relation_row(a_rings, b_rings)
+        rows.append(("poly", a_id, case_id, c, x, 0, False))
     return values_sql(
         rows,
         [
+            ("family", "VARCHAR"),
             ("a_id", "BIGINT"),
             ("b_id", "BIGINT"),
             ("contains", "BOOLEAN"),

@@ -79,3 +79,48 @@ def loop_relations(pairs: DataFrame, loops_by_id: dict) -> DataFrame:
         r.getField("cmp_boundary").alias("cmp_boundary"),
         r.getField("nested").alias("nested"),
     )
+
+
+_POLY_SCHEMA = StructType(
+    [
+        StructField("contains", BooleanType(), False),
+        StructField("intersects", BooleanType(), False),
+    ]
+)
+
+
+def poly_relation_row(a_rings, b_rings) -> tuple:
+    """(contains, intersects) for multi-ring polygons via signed
+    winding (kernels/winding.polygon_contains/polygon_intersects —
+    S2Polygon.Contains/Intersects semantics)."""
+    from ..kernels.winding import polygon_contains, polygon_intersects
+
+    a = [r for r in a_rings]
+    b = [r for r in b_rings]
+    return (
+        bool(polygon_contains(a, b)),
+        bool(polygon_intersects(a, b)),
+    )
+
+
+def poly_relations(pairs: DataFrame, cases_by_key: dict) -> DataFrame:
+    """pairs(a_id, b_id) -> + polygon relation columns; the fixture
+    polygons are broadcast via the UDF closure keyed by (a_id, b_id)."""
+
+    @pandas_udf(_POLY_SCHEMA)
+    def _rel(a_id: pd.Series, b_id: pd.Series) -> pd.DataFrame:
+        out = {"contains": [], "intersects": []}
+        for ai, bi in zip(a_id.tolist(), b_id.tolist()):
+            a_rings, b_rings = cases_by_key[(ai, bi)]
+            c, x = poly_relation_row(a_rings, b_rings)
+            out["contains"].append(c)
+            out["intersects"].append(x)
+        return pd.DataFrame(out)
+
+    r = _rel(F.col("a_id"), F.col("b_id"))
+    return pairs.select(
+        "a_id",
+        "b_id",
+        r.getField("contains").alias("contains"),
+        r.getField("intersects").alias("intersects"),
+    )
