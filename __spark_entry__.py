@@ -636,7 +636,7 @@ def q_builder_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf = pd.DataFrame(
         LO.builder_simplify_vertices(),
         columns=["case_id", "chain_id", "vtx_idx", "x", "y", "z",
-                 "snap_deg", "intlatlng_e", "split"],
+                 "snap_deg", "intlatlng_e", "split", "simplify"],
     )
     return MO.builder_simplify_rows(spark.createDataFrame(pdf))
 

@@ -1445,38 +1445,51 @@ def polygon_validate_sql() -> str:
 
 
 BUILDER_SIMPLIFY_CASES = (
-    # (snap_deg, intlatlng_e, split, chains) — the reference Simplify*
-    # golden inputs (S2BuilderTests.cs:690-886)
-    (1.0, -1, False, ("0:0, 1:0.5, 2:-0.5, 3:0.5, 4:-0.5, 5:0",)),
-    (1.0, -1, False, ("0:180, 0:1e-09, 32:32",)),
-    (0.5, -1, True,
+    # (snap_deg, intlatlng_e, split, simplify, chains) — the reference
+    # Simplify* golden inputs (S2BuilderTests.cs:690-886), plus
+    # snap-ONLY cases (simplify=False) that gate the snap-rounding
+    # pipeline itself through the driver oracle.  Snap function
+    # encoding: intlatlng_e >= 0 -> IntLatLngSnapFunction(e);
+    # snap_deg < 0 -> S2CellIdSnapFunction(level=-snap_deg);
+    # else IdentitySnapFunction(radians(snap_deg)).
+    (1.0, -1, False, True, ("0:0, 1:0.5, 2:-0.5, 3:0.5, 4:-0.5, 5:0",)),
+    (1.0, -1, False, True, ("0:180, 0:1e-09, 32:32",)),
+    (0.5, -1, True, True,
      ("-2:-1, -1:0, 1:0, 2:1", "1:-2, 0:-1, 0:1, -1:2")),
-    (0.5, -1, False,
+    (0.5, -1, False, True,
      ("-4:0.83, -3:0.46, -2:0.2, -1:0.05, 0:0, 1:0.5, 2:0.2, 3:0.46, "
       "4:0.83",
       "4:.83, 3:.46, 2:.2, 1:.05, 0:0, -1:.5, -2:.2, -3:.46, -4:.83")),
-    (1.0, -1, False, ("0:-10, 0.99:0, 0:10", "-5:-5, -0.2:0, -5:5")),
-    (0.5, -1, False,
+    (1.0, -1, False, True, ("0:-10, 0.99:0, 0:10", "-5:-5, -0.2:0, -5:5")),
+    (0.5, -1, False, True,
      ("0:0, 1:0, 2:0, 3:0, 4:0, 5:0, 4:0, 3:0, 2:0, 3:0, 4:0, 5:0, "
       "6:0, 7:0",)),
-    (1.0, -1, False, ("0:0, 1:0.1, 1:2", "0:1.05, -10:1.05")),
-    (0.0, 0, False, ("-30.49:-29.51, 29.51:30.49",)),
+    (1.0, -1, False, True, ("0:0, 1:0.1, 1:2", "0:1.05, -10:1.05")),
+    (0.0, 0, False, True, ("-30.49:-29.51, 29.51:30.49",)),
+    # --- snap-only (round 4): site merging within the snap radius ---
+    (1.0, -1, False, False, ("0:0, 0:0.4, 0:1.1, 0:2.3",)),
+    # S2CellId snap at level 10: vertices snap to cell centers
+    (-10.0, -1, False, False, ("1:1, 1.3:1.7, 2:2, 3:1.2",)),
+    # IntLatLng exponent-2 grid rounding
+    (0.0, 2, False, False, ("0.004:0.004, 0.126:0.504, 0.496:0.874",)),
+    # crossing edges with split_crossing_edges: intersection sites
+    (0.1, -1, True, False, ("-1:0, 1:0", "0:-1, 0:1")),
 )
 
 
 def builder_simplify_vertices() -> list[tuple]:
     """(case_id, chain_id, vtx_idx, x, y, z, snap_deg, intlatlng_e,
-    split) rows for the snap+simplify builder query."""
+    split, simplify) rows for the snap(+simplify) builder query."""
     from ..kernels.textformat import parse_points
 
     rows = []
-    for cid, (snap_deg, e, split, chains) in enumerate(
+    for cid, (snap_deg, e, split, simplify, chains) in enumerate(
             BUILDER_SIMPLIFY_CASES):
         for ci, s in enumerate(chains):
             for i, v in enumerate(parse_points(s)):
                 rows.append(
                     (cid, ci, i, float(v[0]), float(v[1]), float(v[2]),
-                     snap_deg, e, split)
+                     snap_deg, e, split, simplify)
                 )
     return rows
 
@@ -1491,15 +1504,17 @@ def builder_simplify_sql() -> str:
     from ..kernels.textformat import parse_points
 
     out = []
-    for cid, (snap_deg, e, split, chains) in enumerate(
+    for cid, (snap_deg, e, split, simplify, chains) in enumerate(
             BUILDER_SIMPLIFY_CASES):
         if e >= 0:
             snap_fn = SNK.IntLatLngSnapFunction(e)
+        elif snap_deg < 0:
+            snap_fn = SNK.S2CellIdSnapFunction(int(-snap_deg))
         else:
             snap_fn = SNK.IdentitySnapFunction(math.radians(snap_deg))
         b = SNK.Builder(
             snap_fn, split_crossing_edges=split,
-            simplify_edge_chains=True,
+            simplify_edge_chains=simplify,
         )
         opts = GK.GraphOptions(
             GK.DIRECTED, GK.DEGENERATE_DISCARD, GK.DUPLICATE_KEEP,

@@ -765,13 +765,16 @@ def builder_simplify_rows(case_df: DataFrame) -> DataFrame:
         r = pdf.iloc[0]
         if int(r["intlatlng_e"]) >= 0:
             snap_fn = SNK.IntLatLngSnapFunction(int(r["intlatlng_e"]))
+        elif float(r["snap_deg"]) < 0:
+            # snap_deg < 0 encodes S2CellIdSnapFunction(level)
+            snap_fn = SNK.S2CellIdSnapFunction(int(-float(r["snap_deg"])))
         else:
             snap_fn = SNK.IdentitySnapFunction(
                 math.radians(float(r["snap_deg"])))
         b = SNK.Builder(
             snap_fn,
             split_crossing_edges=bool(r["split"]),
-            simplify_edge_chains=True,
+            simplify_edge_chains=bool(r["simplify"]),
         )
         opts = GK.GraphOptions(
             GK.DIRECTED, GK.DEGENERATE_DISCARD, GK.DUPLICATE_KEEP,
