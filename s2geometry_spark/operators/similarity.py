@@ -139,6 +139,78 @@ SELECT vec_id, neighbor_id, cosine, rn FROM (
 
 N_BANDS = 4
 BAND_BITS = 8
+ANN_HOT_BUCKET = 64  # band-bucket size above which salting engages
+ANN_SALT_G = 8       # partner groups a hot bucket's pairs spread over
+
+
+def _salted_band_candidates(
+    slim: DataFrame,
+    hot_bucket_threshold: int = ANN_HOT_BUCKET,
+    salt_g: int = ANN_SALT_G,
+) -> DataFrame:
+    """Directed candidate pairs (qid, nid), qid != nid, from the banded
+    (vec_id, b, bk) self-join — with the skew-aware hot-bucket salting
+    ported from ``textops.near_dup_pairs``.
+
+    Embedding tables at 100 TB are *more* skewed than text (boilerplate
+    images, zero vectors, template captions all collapse to identical
+    sign buckets), and the naive self-join sends every pair of a hot
+    bucket to one reducer — O(n_hot^2) on a single core.  Here a first
+    map-side-combinable count pass finds buckets above
+    ``hot_bucket_threshold``; only those rows replicate (left side x
+    ``salt_g`` partner groups, right side keeps its hash group ``g``),
+    so a hot bucket's pairs land on ``salt_g`` reducers.  Cold buckets
+    — the common case — join unsalted with zero replication.
+
+    Output pair SET is provably identical to the unsalted join: the
+    hot path enumerates each (qid, nid) exactly once (partner group
+    p == xxhash64(nid) % salt_g partitions the nid side).
+    """
+    slim = slim.withColumn(
+        "g", F.pmod(F.xxhash64("vec_id"), F.lit(salt_g))
+    )
+    hot = (
+        slim.groupBy("b", "bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > hot_bucket_threshold)
+        .select("b", "bk", F.lit(True).alias("hot"))
+    )
+    marked = slim.join(F.broadcast(hot), ["b", "bk"], "left")
+    cold = marked.where(F.col("hot").isNull()).drop("hot", "g")
+    hotr = marked.where(F.col("hot").isNotNull()).drop("hot")
+    cold_cand = (
+        cold.alias("a")
+        .join(
+            cold.alias("c"),
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bk") == F.col("c.bk"))
+            & (F.col("a.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("c.vec_id").alias("nid"),
+        )
+    )
+    # hot buckets: left replicates once per partner group p; the join
+    # requires p == right.g so the shuffle key (b, bk, p) splits a hot
+    # bucket's directed pairs across salt_g reducers
+    a = hotr.withColumn(
+        "p", F.explode(F.array(*[F.lit(i) for i in range(salt_g)]))
+    ).alias("a")
+    hot_cand = (
+        a.join(
+            hotr.alias("c"),
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bk") == F.col("c.bk"))
+            & (F.col("a.p") == F.col("c.g"))
+            & (F.col("a.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("c.vec_id").alias("nid"),
+        )
+    )
+    return cold_cand.unionByName(hot_cand).dropDuplicates(["qid", "nid"])
 
 
 def lsh_planes(n_planes: int = N_PLANES) -> np.ndarray:
@@ -228,6 +300,8 @@ def ann_lsh_topk(
     k: int,
     n_bands: int = N_BANDS,
     band_bits: int = BAND_BITS,
+    hot_bucket_threshold: int = ANN_HOT_BUCKET,
+    salt_g: int = ANN_SALT_G,
 ) -> DataFrame:
     """Approximate top-k via banded (OR-amplified) sign-LSH: a pair is
     a candidate when it collides in ANY of ``n_bands`` independent
@@ -236,32 +310,17 @@ def ann_lsh_topk(
     1 - (1 - s^bits)^bands for cosine-similarity angle fraction s).
 
     Scale shape mirrors the near-dup LSH join: candidate generation
-    shuffles only (vec_id, band, bucket) rows; pairs dedup before the
-    64-dim scoring components re-attach once.  Recall floors are
+    shuffles only (vec_id, band, bucket) rows through the skew-aware
+    salted self-join (hot buckets spread over ``salt_g`` reducers, see
+    ``_salted_band_candidates``); pairs dedup before the 64-dim scoring
+    components re-attach once.  Recall floors are
     measured in tests/test_similarity_recall.py (>=0.9 on clustered
     corpora; the uniform-random table's analytic limit is documented
     there — no hash family beats brute force on data with no structure).
     """
     bands = _band_planes(n_bands, band_bits)
     slim = _band_rows(emb, bands)
-    a = slim.select(
-        F.col("vec_id").alias("qid"), F.col("b"), F.col("bk")
-    )
-    c = slim.select(
-        F.col("vec_id").alias("nid"),
-        F.col("b").alias("b2"),
-        F.col("bk").alias("bk2"),
-    )
-    cand = (
-        a.join(
-            c,
-            (F.col("b") == F.col("b2"))
-            & (F.col("bk") == F.col("bk2"))
-            & (F.col("qid") != F.col("nid")),
-        )
-        .select("qid", "nid")
-        .dropDuplicates(["qid", "nid"])
-    )
+    cand = _salted_band_candidates(slim, hot_bucket_threshold, salt_g)
     qc = _components(emb, "qid", "q")
     ec = _components(emb, "nid", "e")
     pairs = cand.join(qc, on="qid").join(ec, on="nid")
@@ -326,6 +385,8 @@ def embed_near_dup(
     threshold: float = 0.92,
     n_bands: int = N_BANDS,
     band_bits: int = BAND_BITS,
+    hot_bucket_threshold: int = ANN_HOT_BUCKET,
+    salt_g: int = ANN_SALT_G,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate grouping (the embedding-space
     twin of ``textops.near_dup_pairs``): candidates from the banded
@@ -338,29 +399,17 @@ def embed_near_dup(
     ones a dedup pass would drop (root survives).
 
     Scale shape: identical to ``ann_lsh_topk`` — the self-join touches
-    only slim (vec_id, band, bucket) rows, pairs dedup before the
-    64-float components attach, and the final fold is a single
-    map-side-combinable min/count agg on vec_id.  No cross join at any
-    width; candidate volume is governed by the LSH family, not n^2.
+    only slim (vec_id, band, bucket) rows through the skew-aware salted
+    form (``_salted_band_candidates``; hot buckets of boilerplate
+    embeddings spread over ``salt_g`` reducers instead of one), pairs
+    dedup before the 64-float components attach, and the final fold is
+    a single map-side-combinable min/count agg on vec_id.  No cross
+    join at any width; candidate volume is governed by the LSH family,
+    not n^2.
     """
     bands = _band_planes(n_bands, band_bits)
     slim = _band_rows(emb, bands)
-    a = slim.select(F.col("vec_id").alias("qid"), "b", "bk")
-    c = slim.select(
-        F.col("vec_id").alias("nid"),
-        F.col("b").alias("b2"),
-        F.col("bk").alias("bk2"),
-    )
-    cand = (
-        a.join(
-            c,
-            (F.col("b") == F.col("b2"))
-            & (F.col("bk") == F.col("bk2"))
-            & (F.col("qid") != F.col("nid")),
-        )
-        .select("qid", "nid")
-        .dropDuplicates(["qid", "nid"])
-    )
+    cand = _salted_band_candidates(slim, hot_bucket_threshold, salt_g)
     qc = _components(emb, "qid", "q")
     ec = _components(emb, "nid", "e")
     cos = F.expr(f"({_scalar_dot('q', 'e')})") / (F.col("qn") * F.col("en"))

@@ -1,0 +1,94 @@
+"""Hot-bucket LSH skew for the embedding paths: a boilerplate corpus
+(hundreds of identical embeddings sharing every sign band) must engage
+the partner-group salting, spread the hot bucket's pair volume over
+``salt_g`` reducer keys, and produce the exact same pair set as the
+unsalted join.  Ports the textops skew guarantees (near_dup_pairs,
+textops.py:409-449) to ``similarity._salted_band_candidates``."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.operators import similarity as SIM
+
+
+def _emb_df(spark, n_same: int, n_rand: int):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(SIM.DIM)
+    rows = [(i, (base / np.linalg.norm(base)).tolist()) for i in range(n_same)]
+    R = rng.standard_normal((n_rand, SIM.DIM))
+    R /= np.linalg.norm(R, axis=1, keepdims=True)
+    rows += [(n_same + i, R[i].tolist()) for i in range(n_rand)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    return spark.createDataFrame(pdf).select(
+        F.col("vec_id").cast("long"),
+        F.col("embedding").cast("array<float>"),
+    )
+
+
+def test_hot_bucket_salting_preserves_pair_set(spark):
+    """Salted (salt_g=8) and unsalted (threshold so high nothing is
+    hot) candidate generation produce identical directed pair sets on
+    a corpus with one planted hot bucket."""
+    emb = _emb_df(spark, n_same=120, n_rand=40)
+    bands = SIM._band_planes(SIM.N_BANDS, SIM.BAND_BITS)
+    slim = SIM._band_rows(emb, bands)
+    salted = SIM._salted_band_candidates(
+        slim, hot_bucket_threshold=16, salt_g=8
+    )
+    unsalted = SIM._salted_band_candidates(
+        slim, hot_bucket_threshold=10**9, salt_g=8
+    )
+    got = sorted(tuple(r) for r in salted.collect())
+    want = sorted(tuple(r) for r in unsalted.collect())
+    assert got == want
+    # the planted clone block collides in every band -> 120*119 pairs
+    n_same_pairs = sum(1 for a, b in got if a < 120 and b < 120)
+    assert n_same_pairs == 120 * 119
+
+
+def test_hot_bucket_pairs_spread_over_salt_groups(spark):
+    """The skew property itself: in the salted plan, a hot bucket's
+    directed pairs carry >1 distinct shuffle key (b, bk, p==g match),
+    i.e. the pair volume lands on salt_g reducer keys instead of one.
+    Verified from the data side: partner-group keys g of the nid side
+    cover all salt_g groups for the hot block."""
+    salt_g = 8
+    emb = _emb_df(spark, n_same=120, n_rand=10)
+    bands = SIM._band_planes(SIM.N_BANDS, SIM.BAND_BITS)
+    slim = SIM._band_rows(emb, bands).withColumn(
+        "g", F.pmod(F.xxhash64("vec_id"), F.lit(salt_g))
+    )
+    hot_groups = (
+        slim.where(F.col("vec_id") < 120)
+        .select("g")
+        .distinct()
+        .count()
+    )
+    # 120 xxhash64 ids spread over 8 groups: all groups occupied, so
+    # the hot bucket's pairs shuffle under 8 distinct (b, bk, p) keys
+    assert hot_groups == salt_g
+
+
+def test_ann_and_near_dup_complete_on_boilerplate(spark):
+    """End-to-end: both gated queries complete on the skewed corpus and
+    agree between salt_g=1 and salt_g=8."""
+    emb = _emb_df(spark, n_same=150, n_rand=30)
+    for fn, kw in (
+        (SIM.ann_lsh_topk, dict(k=3)),
+        (SIM.embed_near_dup, dict(threshold=0.92)),
+    ):
+        got1 = sorted(
+            tuple(r) for r in fn(emb, salt_g=1, **kw).collect()
+        )
+        got8 = sorted(
+            tuple(r) for r in fn(emb, hot_bucket_threshold=16, salt_g=8, **kw).collect()
+        )
+        assert got1 == got8
+    # the clone block folds to one root under near-dup
+    nd = SIM.embed_near_dup(emb, 0.92, hot_bucket_threshold=16).collect()
+    roots = {r["dup_root"] for r in nd if r["vec_id"] < 150}
+    assert roots == {0}
