@@ -451,6 +451,10 @@ def _nation_loops(spark: SparkSession, sf_dir: str):
 
 
 KNN_K = 3
+# bounded-kNN arm: "k nearest within d" (Options.MaxDistance,
+# S2ClosestEdgeQueryBase.cs:69-120) — squared-chord bound chosen so a
+# meaningful share of queries return fewer than k rows
+KNN_BOUND2 = 0.05
 NEAR_RADIUS = 0.08  # radians, ~510 km
 
 
@@ -1145,19 +1149,59 @@ def q_knn_supplier_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("far").alias("side"), "key", "neighbor_key", "dist2", "rn"
     )
-    return near.unionByName(far)
+    bounded = KNN.knn_join(
+        spark, q, idx, KNN_K, index_count=n_idx, max_distance2=KNN_BOUND2
+    ).select(
+        F.lit("bounded").alias("side"), "key", "neighbor_key", "dist2", "rn"
+    )
+    return near.unionByName(far).unionByName(bounded)
+
+
+EDGE_INDEX_LEVEL = 7
 
 
 def q_polyline_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closest + furthest polyline per order point, side-tagged
-    (consolidates s2_closest_polyline / s2_furthest_polyline)."""
+    (consolidates s2_closest_polyline / s2_furthest_polyline), plus the
+    DISTRIBUTED closest-edge arm (side='dclosest'): the same answers
+    through the cell-keyed edge index + ring expansion
+    (knn.closest_edge_join) — the fact-scale path where the edge table
+    never broadcasts.  Its oracle rows are the closest arm's SQL
+    re-tagged, so the gate proves distributed == broadcast == DuckDB."""
     closest = q_closest_polyline(spark, sf_dir).select(
         F.lit("closest").alias("side"), "key", "line_id", "dist2"
     )
     furthest = q_furthest_polyline(spark, sf_dir).select(
         F.lit("furthest").alias("side"), "key", "line_id", "dist2"
     )
-    return closest.unionByName(furthest)
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.operators import knn as KNN
+    from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.sources import regions_src as R
+
+    pts = T.assign_cellids(_orders_points(spark, sf_dir))
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (lid, eid, a[0], a[1], a[2], b[0], b[1], b[2])
+                for lid, eid, a, b in R.polyline_edges(range(25))
+            ],
+            columns=[
+                "line_id", "edge_idx", "ax", "ay", "az", "bx", "by", "bz",
+            ],
+        )
+    )
+    idx = KNN.edge_covering_index(edges, EDGE_INDEX_LEVEL)
+    dclosest = (
+        KNN.closest_edge_join(
+            spark, pts, idx, index_level=EDGE_INDEX_LEVEL, k=1
+        )
+        .where(F.col("rn") == 1)
+        .select(F.lit("dclosest").alias("side"), "key", "line_id", "dist2")
+    )
+    return closest.unionByName(furthest).unionByName(dclosest)
 
 
 def q_polyline_measures_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1433,6 +1477,12 @@ def oracle_sql() -> dict[str, str]:
         P.xyz_sql_cte("supplier", "s_suppkey", name="ipts"),
         KNN_K,
     )
+    knn_bounded_sql = knn_oracle_sql(
+        P.xyz_sql_cte("orders", "o_orderkey", name="qpts"),
+        P.xyz_sql_cte("supplier", "s_suppkey", name="ipts"),
+        KNN_K,
+        max_distance2=KNN_BOUND2,
+    )
     from s2geometry_spark.operators.knn import (
         furthest_oracle_sql,
         furthest_polyline_oracle_sql,
@@ -1606,14 +1656,18 @@ def oracle_sql() -> dict[str, str]:
             + knn_sql
             + ") kn UNION ALL SELECT 'far' AS side, * FROM ("
             + furthest_sql
-            + ") kf"
+            + ") kf UNION ALL SELECT 'bounded' AS side, * FROM ("
+            + knn_bounded_sql
+            + ") kb"
         ),
         "s2_polyline_proximity": (
             "SELECT 'closest' AS side, * FROM ("
             + closest_poly_sql
             + ") pc UNION ALL SELECT 'furthest' AS side, * FROM ("
             + furthest_poly_sql
-            + ") pf"
+            + ") pf UNION ALL SELECT 'dclosest' AS side, * FROM ("
+            + closest_poly_sql
+            + ") pd"
         ),
         "s2_cell_distance_geometry": (
             "SELECT * FROM ("

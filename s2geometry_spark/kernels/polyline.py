@@ -115,6 +115,43 @@ def edge_distance2_batch(
     return np.where(near & interior, d_int, np.minimum(xa2, xb2))
 
 
+def edge_distance2_rows(
+    px: np.ndarray, py: np.ndarray, pz: np.ndarray,
+    ax: np.ndarray, ay: np.ndarray, az: np.ndarray,
+    bx: np.ndarray, by: np.ndarray, bz: np.ndarray,
+) -> np.ndarray:
+    """Row-vectorized twin of ``edge_distance2_batch``: point AND edge
+    vary per row (the candidate-row shape the distributed closest-edge
+    join produces).  Every expression is element-wise identical to the
+    scalar-edge form — numpy has no FMA contraction, so the results are
+    bit-identical double for double, which is what lets the distributed
+    arm tie-break exactly like the broadcast arm."""
+    xa2 = (px - ax) ** 2 + (py - ay) ** 2 + (pz - az) ** 2
+    xb2 = (px - bx) ** 2 + (py - by) ** 2 + (pz - bz) ** 2
+    # _norm2(_sub(a, b)) with per-row edges
+    dabx, daby, dabz = ax - bx, ay - by, az - bz
+    ab2 = dabx * dabx + daby * daby + dabz * dabz
+    # stable_cross_prod(a, b) = cross(a - b, a + b), per row
+    sabx, saby, sabz = ax + bx, ay + by, az + bz
+    c0 = daby * sabz - dabz * saby
+    c1 = dabz * sabx - dabx * sabz
+    c2_ = dabx * saby - daby * sabx
+    c2 = c0 * c0 + c1 * c1 + c2_ * c2_
+    x_dot_c = px * c0 + py * c1 + pz * c2_
+    cxx = c1 * pz - c2_ * py
+    cxy = c2_ * px - c0 * pz
+    cxz = c0 * py - c1 * px
+    inner_lo = (ax - px) * cxx + (ay - py) * cxy + (az - pz) * cxz
+    inner_hi = (bx - px) * cxx + (by - py) * cxy + (bz - pz) * cxz
+    interior = (inner_lo < 0) & (inner_hi > 0)
+    max_error = 4.75 * DBL_EPS * (xa2 + xb2 + ab2) + 8 * DBL_EPS * DBL_EPS
+    near = np.abs(xa2 - xb2) < ab2 + max_error
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qr = 1 - np.sqrt((cxx * cxx + cxy * cxy + cxz * cxz) / c2)
+        d_int = (x_dot_c * x_dot_c / c2) + qr * qr
+    return np.where(near & interior, d_int, np.minimum(xa2, xb2))
+
+
 class Polyline:
     """Vertex chain on the sphere (S2Region/S2Polyline.cs)."""
 

@@ -114,6 +114,7 @@ def knn_join(
     index_count: int | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_version: str = "v1",
+    max_distance2: float | None = None,
 ) -> DataFrame:
     """k nearest index points per query point.
 
@@ -121,6 +122,14 @@ def knn_join(
     (query_key, neighbor_key, dist2, rn) with rn in [1, k] ordered by
     (dist2, neighbor_key) — the reference's (distance, shape_id) result
     order made deterministic on ties.
+
+    ``max_distance2``: squared-chord distance bound — the reference's
+    Options.MaxDistance (S2ClosestEdgeQueryBase.cs:69-120): only
+    neighbors with dist2 <= bound are returned ("k nearest within d"),
+    a query may yield fewer than k rows, and the search SHORT-CIRCUITS:
+    once a round's ring guarantee covers the bound (guarantee >=
+    max_distance2), nothing outside the ring can qualify, so every
+    remaining query finishes that round instead of coarsening further.
 
     ``group_col``: when set (present on both sides), neighbors are
     searched within the same group only (the per-group closest-point
@@ -180,6 +189,7 @@ def knn_join(
         "k": k,
         "seed_level": seed_level,
         "group_col": group_col or "",
+        "max_distance2": repr(max_distance2),
     }
 
     def mat(name: str, fn, inputs=(), params=None) -> StageResult:
@@ -219,7 +229,7 @@ def knn_join(
             iside = idx.withColumn(
                 "jcell", S.cell_parent(F.col("icell_leaf"), level)
             )
-            return (
+            cand = (
                 probe.join(iside, on=["jcell", *gcols], how="inner")
                 .select(
                     "qk", *gcols, "ik",
@@ -228,7 +238,11 @@ def knn_join(
                         F.col("iux"), F.col("iuy"), F.col("iuz"),
                     ).alias("dist2"),
                 )
-                .withColumn("rn", F.row_number().over(w))
+            )
+            if max_distance2 is not None:
+                cand = cand.where(F.col("dist2") <= F.lit(max_distance2))
+            return (
+                cand.withColumn("rn", F.row_number().over(w))
                 .where(F.col("rn") <= k)
             )
 
@@ -242,6 +256,7 @@ def knn_join(
             .select("qk", *gcols)
         )
 
+    bound_covered = False
     for rnd in range(max_rounds):
         if level < MIN_LEVEL_FLOOR or is_empty(unfinished_st):
             break
@@ -253,6 +268,13 @@ def knn_join(
             params={"level": level},
         )
         guarantee = _chord2_from_radians(KMIN_WIDTH.get_value(level))
+        if max_distance2 is not None and guarantee >= max_distance2:
+            # the ring already covers the whole search radius: nothing
+            # outside it can pass the bound, so every remaining query is
+            # complete with whatever (<= k) candidates it found
+            finished_parts.append(ranked_st.df)
+            bound_covered = True
+            break
         done_q = done_queries(ranked_st.df, guarantee)
         finished_parts.append(
             ranked_st.df.join(done_q, on=["qk", *gcols], how="left_semi")
@@ -274,7 +296,7 @@ def knn_join(
         # satisfies guarantee(L-1) = 2x the width bound.
         level -= 1
 
-    if not is_empty(unfinished_st):
+    if not bound_covered and not is_empty(unfinished_st):
         # residual cross join (exact; tiny fraction by construction)
         unfinished = unfinished_st.df
         residual = (
@@ -282,15 +304,17 @@ def knn_join(
             if group_col
             else unfinished.crossJoin(idx)
         )
+        cand = residual.select(
+            "qk", *gcols, "ik",
+            _dist2(
+                F.col("qux"), F.col("quy"), F.col("quz"),
+                F.col("iux"), F.col("iuy"), F.col("iuz"),
+            ).alias("dist2"),
+        )
+        if max_distance2 is not None:
+            cand = cand.where(F.col("dist2") <= F.lit(max_distance2))
         ranked = (
-            residual.select(
-                "qk", *gcols, "ik",
-                _dist2(
-                    F.col("qux"), F.col("quy"), F.col("quz"),
-                    F.col("iux"), F.col("iuy"), F.col("iuz"),
-                ).alias("dist2"),
-            )
-            .withColumn("rn", F.row_number().over(w))
+            cand.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
         )
         finished_parts.append(ranked)
@@ -411,6 +435,24 @@ def hausdorff_undirected(
     )
 
 
+BROADCAST_EDGE_BUDGET = 200_000   # edges a broadcast-evaluate arm accepts
+BROADCAST_CELL_BUDGET = 100_000   # index cells closest_cell_join accepts
+
+
+def _check_edge_budget(n_edges: int, what: str, distributed_arm: str) -> None:
+    """Loud dim-side contract for the broadcast closest-* arms: past
+    the budget the per-batch scan cost stops being 'dim-sized' and the
+    caller should be on the distributed plan instead of silently
+    grinding (same policy as the driver-kernel edge budgets)."""
+    if n_edges > BROADCAST_EDGE_BUDGET:
+        raise ValueError(
+            f"{what}: {n_edges} edges exceeds the broadcast-evaluate "
+            f"budget of {BROADCAST_EDGE_BUDGET}; use {distributed_arm} "
+            "(cell-keyed edge index + ring expansion) for fact-scale "
+            "edge collections"
+        )
+
+
 def closest_polyline(
     points: DataFrame,
     polylines: list,
@@ -434,6 +476,10 @@ def closest_polyline(
     )
 
     lines = sorted(polylines, key=lambda t: t[0])
+    _check_edge_budget(
+        sum(len(e) for _, e in lines), "closest_polyline",
+        "closest_edge_join",
+    )
 
     @pandas_udf(
         StructType(
@@ -470,6 +516,219 @@ def closest_polyline(
     )
 
 
+def edge_covering_index(edges_df: DataFrame, level: int) -> DataFrame:
+    """Cell-keyed edge index: explode each edge row into one row per
+    level-``level`` covering cell it intersects (conservative supercover
+    via ``kernels.edgeclip.edge_covering_cells`` — the per-level slice
+    of the reference's S2ShapeIndex cell descent).
+
+    Input  (line_id, edge_idx, ax, ay, az, bx, by, bz) unit endpoints;
+    output adds ``cov_cell`` (int64).  This is the one-time distributed
+    index BUILD (embarrassingly parallel per edge); the query loop
+    below re-keys it per round with a pure-JVM ``parent()`` — valid for
+    any round level <= ``level``, which ``closest_edge_join`` enforces.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    lvl = int(level)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _cover(
+        ax: pd.Series, ay: pd.Series, az: pd.Series,
+        bx: pd.Series, by: pd.Series, bz: pd.Series,
+    ) -> pd.Series:
+        from ..kernels import cellid as CI
+        from ..kernels import edgeclip as EC
+
+        out = []
+        for a0, a1, a2, b0, b1, b2 in zip(ax, ay, az, bx, by, bz):
+            cells = EC.edge_covering_cells((a0, a1, a2), (b0, b1, b2), lvl)
+            out.append(
+                CI.as_i64(np.array(cells, dtype=np.uint64)).tolist()
+            )
+        return pd.Series(out)
+
+    return edges_df.withColumn(
+        "cov_cell",
+        F.explode(
+            _cover(
+                F.col("ax"), F.col("ay"), F.col("az"),
+                F.col("bx"), F.col("by"), F.col("bz"),
+            )
+        ),
+    )
+
+
+def _edge_dist2_udf():
+    """pUDF: row-vectorized point->edge squared-chord distance
+    (bit-identical to the broadcast arm's edge_distance2_batch; see
+    kernels.polyline.edge_distance2_rows)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _d2(
+        px: pd.Series, py: pd.Series, pz: pd.Series,
+        ax: pd.Series, ay: pd.Series, az: pd.Series,
+        bx: pd.Series, by: pd.Series, bz: pd.Series,
+    ) -> pd.Series:
+        from ..kernels import polyline as PL
+
+        return pd.Series(
+            PL.edge_distance2_rows(
+                px.to_numpy(), py.to_numpy(), pz.to_numpy(),
+                ax.to_numpy(), ay.to_numpy(), az.to_numpy(),
+                bx.to_numpy(), by.to_numpy(), bz.to_numpy(),
+            )
+        )
+
+    return _d2
+
+
+def ranked_edge_lines(
+    unfin: DataFrame, idx: DataFrame, level: int, k: int
+) -> DataFrame:
+    """One ring-expansion round of the distributed closest-edge query:
+    3x3 neighborhood explode on the query side, pure-JVM ``parent()``
+    re-key on the index side, shuffle equi-join on the ring cell, exact
+    row-vectorized edge distances min-folded per (query, line), then
+    the per-query (dist2, line_id) window.  Module-level so the plan
+    tests can assert the join strategy directly (the edge table must
+    never broadcast at fact scale)."""
+    d2 = _edge_dist2_udf()
+    w = Window.partitionBy("qk").orderBy("dist2", "line_id")
+    ring = _ring_udf(level)
+    probe = unfin.withColumn("jcell", F.explode(ring(F.col("qcell"))))
+    iside = idx.withColumn("jcell", S.cell_parent(F.col("cov_cell"), level))
+    # duplicates (same edge via several cov_cells under one parent, or
+    # several ring cells) are absorbed by the min-fold — cheaper than a
+    # dedup shuffle on the candidate rows
+    cand = probe.join(iside, on="jcell", how="inner").select(
+        "qk", "line_id",
+        d2(
+            F.col("qux"), F.col("quy"), F.col("quz"),
+            F.col("iax"), F.col("iay"), F.col("iaz"),
+            F.col("ibx"), F.col("iby"), F.col("ibz"),
+        ).alias("ed2"),
+    )
+    return (
+        cand.groupBy("qk", "line_id")
+        .agg(F.min("ed2").alias("dist2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+def closest_edge_join(
+    spark: SparkSession,
+    points: DataFrame,
+    edge_index: DataFrame,
+    index_level: int,
+    k: int = 1,
+    seed_level: int | None = None,
+    edge_count: int | None = None,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """k nearest edge COLLECTIONS (lines) per query point against a
+    fully distributed cell-keyed edge index — the fact-scale form of
+    ``closest_polyline`` (Query/S2ClosestEdgeQueryBase.cs:211-363 over
+    indexed edges): a 100M-edge road network never broadcasts and never
+    moves; only query-side ring rows and slim candidate rows shuffle.
+
+    round r: every unfinished query joins its 3x3 level-L_r cell
+    neighborhood against the index re-keyed by ``parent(cov_cell,
+    L_r)`` (pure JVM); candidate distances are the exact row-vectorized
+    edge kernel, min-folded per (query, line); a query finishes when
+    its k-th line distance is inside the ring guarantee chord2
+    (kMinWidth(L_r)) — valid for edges because the covering is
+    conservative: an edge with no covering cell in the ring lies
+    entirely outside it, hence at least one cell min-width away.
+
+    ``edge_index``: output of ``edge_covering_index`` built at
+    ``index_level`` (rounds only coarsen, so ``parent()`` re-keying is
+    exact).  Output (key, line_id, dist2, rn), rn in [1, k] ordered by
+    (dist2, line_id) — bit-identical distances and tie order to the
+    broadcast arm.
+    """
+    if seed_level is None:
+        if edge_count is None:
+            edge_count = edge_index.select("line_id", "edge_idx").distinct().count()
+        seed_level = default_seed_level(edge_count, k)
+    seed_level = min(int(seed_level), int(index_level))
+
+    q = (
+        normalized_cols(points)
+        .select(
+            F.col("key").alias("qk"),
+            F.col("ux").alias("qux"), F.col("uy").alias("quy"),
+            F.col("uz").alias("quz"), F.col("cell_id").alias("qcell"),
+        )
+        .localCheckpoint()
+    )
+    idx = edge_index.select(
+        "line_id", "edge_idx",
+        F.col("ax").alias("iax"), F.col("ay").alias("iay"),
+        F.col("az").alias("iaz"), F.col("bx").alias("ibx"),
+        F.col("by").alias("iby"), F.col("bz").alias("ibz"),
+        "cov_cell",
+    ).localCheckpoint()
+
+    w = Window.partitionBy("qk").orderBy("dist2", "line_id")
+    unfinished = q
+    finished_parts: list[DataFrame] = []
+    level = seed_level
+
+    for _rnd in range(max_rounds):
+        if level < MIN_LEVEL_FLOOR or unfinished.isEmpty():
+            break
+        ranked = ranked_edge_lines(unfinished, idx, level, k).localCheckpoint()
+        guarantee = _chord2_from_radians(KMIN_WIDTH.get_value(level))
+        done_q = (
+            ranked.groupBy("qk")
+            .agg(F.max("dist2").alias("kth"), F.count(F.lit(1)).alias("nk"))
+            .where((F.col("nk") >= k) & (F.col("kth") < F.lit(guarantee)))
+            .select("qk")
+        )
+        finished_parts.append(ranked.join(done_q, on="qk", how="left_semi"))
+        unfinished = unfinished.join(
+            done_q, on="qk", how="left_anti"
+        ).localCheckpoint()
+        level -= 1
+
+    if not unfinished.isEmpty():
+        # residual exact pass (tiny fraction by construction): every
+        # remaining query against the full edge table — still a join,
+        # not a broadcast/collect
+        d2 = _edge_dist2_udf()
+        cand = unfinished.crossJoin(
+            idx.dropDuplicates(["line_id", "edge_idx"]).drop("cov_cell")
+        ).select(
+            "qk", "line_id",
+            d2(
+                F.col("qux"), F.col("quy"), F.col("quz"),
+                F.col("iax"), F.col("iay"), F.col("iaz"),
+                F.col("ibx"), F.col("iby"), F.col("ibz"),
+            ).alias("ed2"),
+        )
+        finished_parts.append(
+            cand.groupBy("qk", "line_id")
+            .agg(F.min("ed2").alias("dist2"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+        )
+
+    result = finished_parts[0]
+    for part in finished_parts[1:]:
+        result = result.unionByName(part)
+    return result.select(
+        F.col("qk").alias("key"),
+        "line_id",
+        "dist2",
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
 def closest_polygon(
     points: DataFrame,
     polygons: list,
@@ -498,6 +757,10 @@ def closest_polygon(
     polys = sorted(
         (int(rid), np.asarray(lp.verts), bool(lp.origin_inside))
         for rid, lp in polygons
+    )
+    _check_edge_budget(
+        sum(len(v) for _, v, _ in polys), "closest_polygon",
+        "closest_edge_join + covering-term PIP dist2=0 rows",
     )
 
     @pandas_udf(
@@ -758,15 +1021,22 @@ FROM h_ab JOIN h_ba ON h_ab.grp = h_ba.grp"""
 
 
 def knn_oracle_sql(
-    q_pts_cte: str, i_pts_cte: str, k: int
+    q_pts_cte: str, i_pts_cte: str, k: int,
+    max_distance2: float | None = None,
 ) -> str:
     """DuckDB brute-force kNN mirroring knn_join's arithmetic:
     normalization and squared-chord distance in identical IEEE order,
     ties broken by (dist2, neighbor_key) as in the reference's result
-    ordering."""
+    ordering.  ``max_distance2`` mirrors the bounded form (Options
+    MaxDistance): pairs past the bound drop before ranking."""
     d2 = (
         "((q.ux-i.ux)*(q.ux-i.ux) + (q.uy-i.uy)*(q.uy-i.uy)) "
         "+ (q.uz-i.uz)*(q.uz-i.uz)"
+    )
+    bound = (
+        f"\nWHERE dist2 <= CAST('{max_distance2!r}' AS DOUBLE)"
+        if max_distance2 is not None
+        else ""
     )
     return f"""WITH {q_pts_cte},
 {i_pts_cte},
@@ -777,12 +1047,13 @@ ui AS (SELECT key, x/r AS ux, y/r AS uy, z/r AS uz FROM
 pairs AS (
   SELECT q.key AS key, i.key AS neighbor_key, {d2} AS dist2
   FROM uq q CROSS JOIN ui i
-)
+),
+inb AS (SELECT * FROM pairs{bound})
 SELECT key, neighbor_key, dist2, rn FROM (
   SELECT key, neighbor_key, dist2,
          row_number() OVER (PARTITION BY key
                             ORDER BY dist2, neighbor_key) AS rn
-  FROM pairs
+  FROM inb
 ) WHERE rn <= {k}"""
 
 
@@ -894,7 +1165,17 @@ def closest_cell_join(
     from ..kernels.closest_cell import cell_distance_to_points_batch
     from ..kernels.geom import Cell
 
-    ents = [(int(c), int(lab)) for c, lab in entries]
+    # pre-sort the index by the reference tie order (cell_id unsigned,
+    # label): a STABLE argsort on distance alone then yields exactly the
+    # (distance, cell_id, label) result order — no per-point Python sort
+    ents = sorted((int(c) & (2**64 - 1), int(lab)) for c, lab in entries)
+    if len(ents) > BROADCAST_CELL_BUDGET:
+        raise ValueError(
+            f"closest_cell_join: {len(ents)} index cells exceeds the "
+            f"broadcast budget of {BROADCAST_CELL_BUDGET}; pre-prune "
+            "with the ring-expansion kNN on cell centers (knn_join) "
+            "before the exact cell-distance refine"
+        )
 
     @pandas_udf(
         ArrayType(
@@ -915,21 +1196,26 @@ def closest_cell_join(
             dists[i] = cell_distance_to_points_batch(
                 Cell(np.uint64(cid).item()), px, py, pz
             )
+        # one vectorized stable sort along the cells axis for ALL
+        # points of the batch (ties keep pre-sorted (cell_id, label)
+        # index order)
+        top = np.argsort(dists, axis=0, kind="stable")[:k, :]  # (k', n)
+        cells_i64 = np.array(
+            [np.int64(np.uint64(c)).item() for c, _ in ents], dtype=np.int64
+        )
+        labels = np.array([lab for _, lab in ents], dtype=np.int64)
+        kk = top.shape[0]
         out = []
         for j in range(n):
-            # reference result order: (distance, cell_id unsigned, label)
-            scored = sorted(
-                (float(dists[i, j]), ents[i][0], ents[i][1])
-                for i in range(len(ents))
-            )[:k]
+            idx = top[:, j]
             out.append(
                 [
                     {
-                        "cell_id": np.int64(np.uint64(c)).item(),
-                        "label": lab,
-                        "dist2": d,
+                        "cell_id": cells_i64[idx[r]].item(),
+                        "label": labels[idx[r]].item(),
+                        "dist2": float(dists[idx[r], j]),
                     }
-                    for d, c, lab in scored
+                    for r in range(kk)
                 ]
             )
         return pd.Series(out)
