@@ -936,8 +936,24 @@ def q_loop_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_dedup_exact(spark, sf_dir):
+    """Exact-dedup groups + the END-TO-END curation composition
+    (jobs/curate_corpus.py's filter -> exact dedup -> LSH near-dedup
+    stages as per-stage survivor sets with md5 fingerprints),
+    stage-tagged under one (stage, doc_id, fp, n) shape — the
+    curation pipeline's driver-gate row."""
     from s2geometry_spark.operators import textops as TX
-    return TX.dedup_exact(_docs(spark, sf_dir))
+
+    docs = _docs(spark, sf_dir)
+    groups = TX.dedup_exact(docs).select(
+        F.lit("group").alias("stage"),
+        F.col("keep_id").alias("doc_id"),
+        "fp",
+        F.col("n_docs").alias("n"),
+    )
+    curate = TX.curate_survivors(docs).select(
+        "stage", "doc_id", "fp", F.lit(1).cast("long").alias("n")
+    )
+    return groups.unionByName(curate)
 
 
 def q_doc_near_dup(spark, sf_dir):
@@ -1242,10 +1258,17 @@ def q_polyline_pair_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cell_distance_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell↔cell min/max distances + uv geometry (bounds, expansion,
-    MaximumTile) on the same sampled key set, column-joined
-    (consolidates s2_cell_distance / s2_cell_geometry)."""
-    return q_s2_cell_distance(spark, sf_dir).join(
-        q_s2_cell_geometry(spark, sf_dir), "key"
+    MaximumTile) + cell / cell-union areas (Average/Approx/ExactArea,
+    LeafCellsCovered — the previously pytest-only SURVEY §2.5 areas
+    row) on the same sampled key set, column-joined (consolidates
+    s2_cell_distance / s2_cell_geometry / the areas arm)."""
+    _ensure_pkg(spark)
+    from s2geometry_spark.operators import cell_dist_op as CD
+
+    dist = q_s2_cell_distance(spark, sf_dir)
+    areas = CD.cell_pair_areas(dist.select("key", "cell_a", "cell_b"))
+    return dist.join(q_s2_cell_geometry(spark, sf_dir), "key").join(
+        areas, "key"
     )
 
 
@@ -1295,9 +1318,13 @@ def q_boolean_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_builder_graph_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2Builder graph assembly + snap/simplify_edge_chains builder,
-    family-tagged under a common (case_id, sub_id, mode, sig, n) shape
-    (consolidates s2_graph_assembly / s2_builder_simplify)."""
+    """S2Builder graph assembly + snap/simplify_edge_chains builder +
+    the builder-util families (output layers, InitOriented,
+    GetSnappedWindingDelta, ClosedSetNormalizer,
+    FindPolygonDegeneracies, LaxPolygonLayer modes), family-tagged
+    under a common (case_id, sub_id, mode, sig, n) shape (consolidates
+    s2_graph_assembly / s2_builder_simplify; the util arms gate the
+    previously pytest-only rows of SURVEY §2.7)."""
     graph = q_graph_assembly(spark, sf_dir).select(
         F.lit("graph").alias("family"),
         "case_id",
@@ -1314,7 +1341,23 @@ def q_builder_graph_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("verts").alias("sig"),
         F.col("n_vertices").alias("n"),
     )
-    return graph.unionByName(simp)
+    _ensure_pkg(spark)
+    import pandas as pd
+
+    from s2geometry_spark.operators import builder_util_op as BU
+
+    case_pdf = pd.DataFrame(
+        BU.builder_util_cases(), columns=["family", "case_id", "payload"]
+    )
+    util = BU.builder_util_rows(spark.createDataFrame(case_pdf)).select(
+        "family",
+        F.col("case_id").cast(graph.schema["case_id"].dataType),
+        F.col("sub_id").cast(graph.schema["sub_id"].dataType),
+        "mode",
+        "sig",
+        F.col("n").cast(graph.schema["n"].dataType),
+    )
+    return graph.unionByName(simp).unionByName(util)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1429,6 +1472,7 @@ def oracle_sql() -> dict[str, str]:
         sys.path.insert(0, here)
     from s2geometry_spark.functions import duckdb_oracle as O
     from s2geometry_spark.functions import literal_oracle as LO
+    from s2geometry_spark.operators import builder_util_op as BU
     from s2geometry_spark.sources import points as P
     from s2geometry_spark.sources import regions_src as R
 
@@ -1603,7 +1647,15 @@ def oracle_sql() -> dict[str, str]:
             + TX.simhash_sql()
             + ") sh USING (doc_id)"
         ),
-        "doc_dedup_exact": TX.dedup_exact_sql(),
+        "doc_dedup_exact": (
+            "SELECT 'group' AS stage, keep_id AS doc_id, fp,"
+            " n_docs AS n FROM ("
+            + TX.dedup_exact_sql()
+            + ") dg UNION ALL SELECT stage, doc_id, fp,"
+            " CAST(1 AS BIGINT) AS n FROM ("
+            + TX.curate_survivors_sql()
+            + ") cs"
+        ),
         "doc_near_dup": TX.near_dup_pairs_sql(),
         "embed_cosine_topk": SIM.cosine_topk_sql(EMBED_K),
         "embed_ann_lsh": SIM.ann_lsh_topk_sql(EMBED_K),
@@ -1616,7 +1668,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'simplify' AS family, case_id, layer_id AS sub_id,"
             " 'simplify' AS mode, verts AS sig, n_vertices AS n FROM ("
             + LO.builder_simplify_sql()
-            + ") bs"
+            + ") bs UNION ALL "
+            "SELECT family, case_id, sub_id, mode, sig, n FROM ("
+            + BU.builder_util_sql()
+            + ") bu"
         ),
         "s2_cellid_props": cellid_props_sql,
         "s2_pip_cap_family": (
@@ -1674,7 +1729,9 @@ def oracle_sql() -> dict[str, str]:
             + LO.cell_pair_distances_sql(LO.oracle_sf_dir())
             + ") cd JOIN ("
             + LO.cell_geometry_sql(LO.oracle_sf_dir())
-            + ") cg USING (key)"
+            + ") cg USING (key) JOIN ("
+            + LO.cell_union_areas_sql(LO.oracle_sf_dir())
+            + ") ca USING (key)"
         ),
         "s2_image_tiles": (
             "SELECT * FROM ("

@@ -1659,6 +1659,46 @@ def cell_pair_distances_sql(sf_dir: str, modulus: int = 25, level: int = 8) -> s
     )
 
 
+def cell_union_areas_sql(sf_dir: str, modulus: int = 25, level: int = 8) -> str:
+    """Expected cell / cell-union area columns for the areas arm of
+    q_cell_distance_geometry (S2Cell Average/Approx/ExactArea +
+    S2CellUnion LeafCellsCovered / ExactArea), recomputed on the
+    driver through the same golden-tested kernels and sampling."""
+    from ..kernels import cellid as C
+    from ..kernels import cellunion as CU
+    from ..kernels.geom import (
+        Cell, cell_approx_area, cell_average_area, cell_exact_area,
+    )
+
+    keys, leaf, _ = _sampled_leaf_cells(sf_dir, "orders", "o_orderkey", modulus)
+    par = C.parent(leaf, level)
+    rows = []
+    for i in range(len(keys) - 1):
+        ca = Cell(par[i].item())
+        un = CU.normalize([par[i].item(), par[i + 1].item()])
+        rows.append(
+            (
+                int(keys[i]),
+                cell_average_area(ca.level),
+                cell_approx_area(ca),
+                cell_exact_area(ca),
+                float(CU.leaf_cells_covered(un)),
+                sum(cell_exact_area(Cell(c)) for c in un),
+            )
+        )
+    return values_sql(
+        rows,
+        [
+            ("key", "BIGINT"),
+            ("avg_area", "DOUBLE"),
+            ("approx_area", "DOUBLE"),
+            ("exact_area", "DOUBLE"),
+            ("un_leaves", "DOUBLE"),
+            ("un_exact_area", "DOUBLE"),
+        ],
+    )
+
+
 def closest_cell_entries(sf_dir: str, modulus: int = 10, level: int = 6):
     """(cell_id uint, label) index entries for q_s2_closest_cell,
     derived from sampled supplier keys."""

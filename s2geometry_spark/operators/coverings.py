@@ -9,6 +9,7 @@ streams through a hash join with zero shuffle of the fact table.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
@@ -126,6 +127,29 @@ def covering_kind_rows(key: int, rc, rc_canon, i64) -> list[tuple]:
         (key, "rint", i, i64(c))
         for i, c in enumerate(
             rc.get_covering(RegionIntersection([cap, wide]))
+        )
+    )
+    # GetSimpleCovering: fixed-level flood fill from the cap center
+    # (S2RegionCoverer.GetSimpleCovering) at one level finer than the
+    # coarsest GetCovering cell — deterministic and bounded (~4x the
+    # adaptive covering size)
+    from ..kernels import cellid as _CI
+    from ..kernels.coverer import get_simple_covering
+
+    lvl = min(
+        30,
+        int(
+            min(
+                _CI.level(np.array([np.uint64(i64(c))], dtype=np.uint64))[0]
+                for c in cov
+            )
+        )
+        + 1,
+    )
+    rows.extend(
+        (key, "simple", i, i64(c))
+        for i, c in enumerate(
+            get_simple_covering(cap, (cx, cy, cz), lvl)
         )
     )
     return rows

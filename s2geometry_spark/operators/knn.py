@@ -821,7 +821,9 @@ def closest_polygon_oracle_sql(
     region_id) tie order.  ``pts_cte`` supplies pts(key, x, y, z) raw
     directions; ``upts_cte`` the normalized upts on top of it;
     ``loop_edges_cte`` supplies loop_edges(region_id, cx..cz, dx..dz,
-    origin_inside) literal vertices."""
+    origin_inside) literal vertices and MUST be named loop_edges
+    (enforced)."""
+    _require_loop_edges_cte(loop_edges_cte)
     from ..functions.duckdb_oracle import pip_loop_sql
 
     eps1 = repr(4.75 * 2.220446049250313e-16)
@@ -877,10 +879,24 @@ SELECT key, region_id, dist2 FROM (
 ) WHERE rn = 1"""
 
 
+def _require_loop_edges_cte(edges_cte: str) -> None:
+    """The polyline/polygon oracle builders reference the edge table
+    by the literal name ``loop_edges`` in their inner CTEs; a caller
+    passing a differently-named CTE would get a confusing SQL binding
+    error, so fail loudly here instead."""
+    if not edges_cte.lstrip().startswith("loop_edges"):
+        raise ValueError(
+            "edges_cte must define a CTE named 'loop_edges' "
+            f"(got {edges_cte.lstrip()[:40]!r}...)"
+        )
+
+
 def closest_polyline_oracle_sql(upts_cte: str, edges_cte: str) -> str:
     """DuckDB mirror: per (point, edge) the identical squared-chord
     distance expression (as near_loop_sql), min per line, argmin per
-    point with (dist2, line_id) tie order."""
+    point with (dist2, line_id) tie order.  ``edges_cte`` MUST be
+    named loop_edges (enforced)."""
+    _require_loop_edges_cte(edges_cte)
     return f"""WITH {upts_cte},
 {edges_cte},
 ed AS (
@@ -926,7 +942,9 @@ def near_polyline_oracle_sql(
 ) -> str:
     """DuckDB mirror of point_near_polyline_join: per (point, line)
     the exact min edge squared-chord distance (same IEEE expression as
-    closest_polyline_oracle_sql), kept when <= radius_chord2."""
+    closest_polyline_oracle_sql), kept when <= radius_chord2.
+    ``edges_cte`` MUST be named loop_edges (enforced)."""
+    _require_loop_edges_cte(edges_cte)
     eps1 = repr(4.75 * 2.220446049250313e-16)
     eps2 = repr(8 * 2.220446049250313e-16 * 2.220446049250313e-16)
     return f"""WITH {upts_cte},

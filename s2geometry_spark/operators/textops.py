@@ -521,6 +521,85 @@ SELECT id_a, id_b, jaccard FROM (
 
 
 # ---------------------------------------------------------------------
+# End-to-end curation composition (the jobs/curate_corpus.py stages as
+# one gated query)
+# ---------------------------------------------------------------------
+
+CURATE_MIN_TOKENS = 5
+CURATE_MAX_TOKENS = 100_000
+CURATE_MIN_STOP_RATIO = 0.0
+CURATE_MIN_DISTINCT_RATIO = 0.05
+
+
+def curate_survivors(docs: DataFrame) -> DataFrame:
+    """The curate_corpus pipeline's per-stage survivor sets as one
+    DataFrame (stage, doc_id, fp): stage 'filter' = docs passing the
+    quality thresholds, 'exact' = after exact dedup (keep min doc_id
+    per md5 group), 'near' = after MinHash-LSH near-dedup (drop the
+    larger id of each >=0.5-Jaccard pair).  ``fp`` is the md5 survivor
+    fingerprint, so the gate pins WHICH docs survive, not just counts.
+    Same thresholds and drop rules as jobs/curate_corpus.py."""
+    stats = token_stats(docs)
+    filt = (
+        stats.where(
+            (F.col("n_tokens") >= CURATE_MIN_TOKENS)
+            & (F.col("n_tokens") <= CURATE_MAX_TOKENS)
+            & (F.col("stop_ratio") >= CURATE_MIN_STOP_RATIO)
+            & (F.col("distinct_ratio") >= CURATE_MIN_DISTINCT_RATIO)
+        ).select("doc_id")
+    )
+    fdocs = docs.join(F.broadcast(filt), "doc_id")
+    keep = dedup_exact(fdocs).select(F.col("keep_id").alias("doc_id"))
+    edocs = fdocs.join(F.broadcast(keep), "doc_id")
+    drops = (
+        near_dup_pairs(edocs, with_mutants=False)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    ndocs = edocs.join(F.broadcast(drops), "doc_id", "left_anti")
+
+    def arm(tag: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("stage"),
+            "doc_id",
+            F.md5(F.col("text")).alias("fp"),
+        )
+
+    return (
+        arm("filter", fdocs)
+        .unionByName(arm("exact", edocs))
+        .unionByName(arm("near", ndocs))
+    )
+
+
+def curate_survivors_sql(table: str = "documents") -> str:
+    """DuckDB mirror of curate_survivors: the same thresholds over
+    token_stats_sql, min-id-per-md5 exact dedup, and the near-dup drop
+    list from near_dup_pairs_sql run over the exact-surviving docs."""
+    stats = token_stats_sql(table)
+    near = near_dup_pairs_sql("edocs", with_mutants=False)
+    return f"""
+WITH stats AS ({stats}),
+filt AS (
+  SELECT doc_id FROM stats
+  WHERE n_tokens >= {CURATE_MIN_TOKENS}
+    AND n_tokens <= {CURATE_MAX_TOKENS}
+    AND stop_ratio >= {CURATE_MIN_STOP_RATIO!r}
+    AND distinct_ratio >= {CURATE_MIN_DISTINCT_RATIO!r}
+),
+fdocs AS (SELECT t.doc_id, t.text FROM {table} t JOIN filt USING (doc_id)),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM
+         (SELECT doc_id, md5(text) AS fp FROM fdocs) GROUP BY fp),
+edocs AS (SELECT f.doc_id, f.text FROM fdocs f JOIN keep USING (doc_id)),
+drops AS (SELECT DISTINCT id_b AS doc_id FROM ({near})),
+ndocs AS (SELECT e.doc_id, e.text FROM edocs e
+          WHERE e.doc_id NOT IN (SELECT doc_id FROM drops))
+SELECT 'filter' AS stage, doc_id, md5(text) AS fp FROM fdocs
+UNION ALL SELECT 'exact' AS stage, doc_id, md5(text) AS fp FROM edocs
+UNION ALL SELECT 'near' AS stage, doc_id, md5(text) AS fp FROM ndocs"""
+
+
+# ---------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------
 

@@ -41,13 +41,21 @@ def static_phash_index(static_imgs: DataFrame) -> DataFrame:
 
 
 def _matches(
-    imgs: DataFrame, band_index: DataFrame, max_hamming: int
+    imgs: DataFrame, band_index: DataFrame, max_hamming: int,
+    n_bands: int = DEFAULT_N_BANDS,
 ) -> DataFrame:
-    # same pigeonhole precondition phash_near_dup asserts: banding is
+    # same pigeonhole precondition phash_near_dup enforces: banding is
     # lossless only when max_hamming < n_bands (a pair differing in
-    # n_bands+ bits may disagree on every band and lose recall)
-    assert max_hamming < DEFAULT_N_BANDS, "pigeonhole needs d < n_bands"
-    bands = band_rows(imgs, "image_id", "image_id")
+    # n_bands+ bits may disagree on every band and lose recall) — a
+    # loud error, not an assert, so python -O cannot strip the recall
+    # guarantee
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming < n_bands "
+            f"({max_hamming} >= {n_bands}): raise n_bands or lower "
+            "the Hamming threshold"
+        )
+    bands = band_rows(imgs, "image_id", "image_id", n_bands=n_bands)
     ham = F.bit_count(
         F.col("image_id_hash").bitwiseXOR(F.col("sid_hash"))
     ).cast("int")
@@ -57,7 +65,7 @@ def _matches(
         .where(
             F.col("band")
             == first_band_filter(
-                F.col("image_id_hash"), F.col("sid_hash"), DEFAULT_N_BANDS
+                F.col("image_id_hash"), F.col("sid_hash"), n_bands
             )
         )
         .select("image_id", "sid", ham.alias("hamming"))
