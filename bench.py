@@ -2,6 +2,8 @@
 
 Run:    python bench.py                       # one JSON line on stdout
         python bench.py --scaling             # local[8] vs local[32] evidence
+        python bench.py --skew [dir]          # salted-vs-unsalted A/B on
+                                              # the planted-skew fixture
 Env:    SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
         SPARK_GRAFT_CPUS   (default 32)
 
@@ -261,6 +263,138 @@ def bench_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None, pas
     return out
 
 
+N_METRO_CAPS = 32  # overlapping regions piled on the hot cell
+
+
+def bench_skew(cores: int, skew_dir: str, passes: int = 2) -> dict:
+    """Salted-vs-unsalted A/B on the planted-skew fixture
+    (jobs/gen_sf_scale.py --skew), in the regime the salting knobs
+    exist for — OUTPUT-side key blowup that AQE's skew-join split
+    cannot see (AQE splits oversized *input* partitions of a
+    sort-merge join; a hot key whose join *emits* n_left x n_right
+    rows from small inputs is invisible to it):
+
+    - pip: 30% of points carry one geotag (default-geotag pile-up) and
+      32 overlapping metro regions (nested admin/delivery zones — the
+      canonical hot-cell case) share that covering cell, so the
+      unsalted shuffle join emits 0.3*N*32 rows from ONE reducer.
+      ``point_in_cap_join`` auto-detects this (>=16 regions on one
+      cell -> salt) — the unsalted arm forcibly disables the
+      auto-detection to show what it saves.  Auto-broadcast is OFF for
+      this bench session: at fact scale the covering table exceeds any
+      broadcast threshold, and a broadcast join would bypass the
+      shuffle entirely (explicit F.broadcast hints inside operators
+      are still honored).
+    - ann candidates: a 6k boilerplate-embedding block shares every
+      sign-LSH band bucket, so the unsalted self-join emits 36M
+      directed pairs per band from one task each.
+
+    Each pair of arms runs the SAME operator with only the salting
+    knob flipped; row counts must agree exactly (salting is a plan
+    change, never a result change).  Arms are interleaved across
+    ``passes`` and the min per arm is kept (the noisy-host protocol of
+    bench_scaling).
+    """
+    import gc
+
+    from s2geometry_spark.plans.session import build_session
+
+    probe = _contention_probe()
+    spark = build_session(
+        app_name=f"s2skew[{cores}]",
+        cores=cores,
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    )
+    try:
+        from jobs.gen_sf_scale import METRO_REGION_ID, metro_center
+        from s2geometry_spark.kernels.geom import Cap
+        from s2geometry_spark.operators import similarity as SIM
+        from s2geometry_spark.operators import spatial_join as SJ
+        from s2geometry_spark.operators import tile as T
+        from s2geometry_spark.sources import regions_src as R
+
+        # fixed inputs, materialized once so every arm times only the
+        # join/self-join under test (encode cost is identical anyway)
+        pts = T.assign_cellids(
+            spark.read.parquet(f"{skew_dir}/points.parquet")
+        ).localCheckpoint()
+        n_points = pts.count()
+        caps = R.synthetic_caps(range(1, 25)) + [
+            (METRO_REGION_ID + j, Cap(metro_center(), 1e-4))
+            for j in range(N_METRO_CAPS)
+        ]
+        emb = spark.read.parquet(
+            f"{skew_dir}/embeddings.parquet"
+        ).localCheckpoint()
+        slim = SIM._band_rows(
+            emb, SIM._band_planes(SIM.N_BANDS, SIM.BAND_BITS)
+        ).localCheckpoint()
+
+        def pip(auto_salt: bool):
+            # the unsalted arm must defeat the operator's own hot-cell
+            # auto-detection (_resolve_plan salts when >=16 regions
+            # share a covering cell — exactly this fixture)
+            saved = SJ.HOT_CELL_SALT_THRESHOLD
+            SJ.HOT_CELL_SALT_THRESHOLD = saved if auto_salt else 2**31
+            try:
+                return SJ.point_in_cap_join(
+                    spark, pts, caps, broadcast=False, salt_k=0
+                )
+            finally:
+                SJ.HOT_CELL_SALT_THRESHOLD = saved
+
+        NEVER_HOT = 2**31  # threshold no bucket reaches -> unsalted plan
+        arms = {
+            "pip_salted": lambda: pip(True),
+            "pip_unsalted": lambda: pip(False),
+            "ann_candidates_salted": lambda: SIM._salted_band_candidates(
+                slim, SIM.ANN_HOT_BUCKET, SIM.ANN_SALT_G
+            ),
+            "ann_candidates_unsalted": lambda: SIM._salted_band_candidates(
+                slim, NEVER_HOT, SIM.ANN_SALT_G
+            ),
+        }
+        timings: dict[str, float] = {}
+        counts: dict[str, int] = {}
+        for _ in range(passes):
+            for name, thunk in arms.items():
+                gc.collect()
+                t0 = time.perf_counter()
+                c = _force(thunk())
+                dt = time.perf_counter() - t0
+                if name in counts and counts[name] != c:
+                    raise AssertionError(f"{name}: {counts[name]} != {c}")
+                counts[name] = c
+                timings[name] = min(timings.get(name, math.inf), dt)
+        for base in ("pip", "ann_candidates"):
+            if counts[f"{base}_salted"] != counts[f"{base}_unsalted"]:
+                raise AssertionError(
+                    f"{base}: salted/unsalted row counts differ "
+                    f"({counts[f'{base}_salted']} vs "
+                    f"{counts[f'{base}_unsalted']}) — salting changed "
+                    "the result, not just the plan"
+                )
+        return {
+            "metric": "s2_skew_salting_ab",
+            "unit": "sec",
+            "arms": {k: round(v, 3) for k, v in timings.items()},
+            "counts": counts,
+            "speedup": {
+                base: round(
+                    timings[f"{base}_unsalted"] / timings[f"{base}_salted"],
+                    2,
+                )
+                for base in ("pip", "ann_candidates")
+            },
+            "fixture": {"dir": skew_dir, "points": n_points},
+            "cores": cores,
+            "passes": passes,
+            "probe_mrows_per_sec": probe,
+        }
+    finally:
+        spark.stop()
+
+
 def _resolve_sf_dir(sf: str) -> str:
     """--sf value -> data dir: the driver-generated sf dirs under
     /root/testdata, or the locally generated soak set (.soak/sf1,
@@ -284,6 +418,19 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         print(json.dumps(bench_scaling(sf_dir)))
+        return
+
+    if "--skew" in sys.argv:
+        i = sys.argv.index("--skew")
+        arg = sys.argv[i + 1] if len(sys.argv) > i + 1 else ""
+        skew_dir = arg if arg and not arg.startswith("-") else os.path.join(
+            here, ".soak", "skew"
+        )
+        if not os.path.isdir(skew_dir):
+            from jobs.gen_sf_scale import gen_skew
+
+            gen_skew(skew_dir)
+        print(json.dumps(bench_skew(cores, skew_dir)))
         return
 
     print(json.dumps(bench_once(cores, sf_dir)))

@@ -143,14 +143,35 @@ ANN_HOT_BUCKET = 64  # band-bucket size above which salting engages
 ANN_SALT_G = 8       # partner groups a hot bucket's pairs spread over
 
 
+def _first_match_band(
+    a_allb: "F.Column", c_allb: "F.Column", n_bands: int, width: int
+) -> "F.Column":
+    """Index of the FIRST band on which two concatenated band-key
+    strings agree (each band key is ``width`` chars).  Keeping a joined
+    row only where its band equals this makes every pair emit exactly
+    once — the stateless pigeonhole dedup already used by the image
+    phash join (operators/image_dedup.first_band_filter), which
+    replaces a full pair-volume dropDuplicates shuffle with a per-row
+    filter evaluated in the joining task."""
+    first = F.lit(n_bands)  # sentinel: unreachable for joined rows
+    for b in range(n_bands - 1, -1, -1):
+        agrees = F.substring(a_allb, b * width + 1, width) == F.substring(
+            c_allb, b * width + 1, width
+        )
+        first = F.when(agrees, F.lit(b)).otherwise(first)
+    return first
+
+
 def _salted_band_candidates(
     slim: DataFrame,
     hot_bucket_threshold: int = ANN_HOT_BUCKET,
     salt_g: int = ANN_SALT_G,
+    n_bands: int = N_BANDS,
+    band_bits: int = BAND_BITS,
 ) -> DataFrame:
     """Directed candidate pairs (qid, nid), qid != nid, from the banded
-    (vec_id, b, bk) self-join — with the skew-aware hot-bucket salting
-    ported from ``textops.near_dup_pairs``.
+    (vec_id, b, bk, allb) self-join — with the skew-aware hot-bucket
+    salting ported from ``textops.near_dup_pairs``.
 
     Embedding tables at 100 TB are *more* skewed than text (boilerplate
     images, zero vectors, template captions all collapse to identical
@@ -162,10 +183,21 @@ def _salted_band_candidates(
     so a hot bucket's pairs land on ``salt_g`` reducers.  Cold buckets
     — the common case — join unsalted with zero replication.
 
+    A pair colliding in several bands is emitted exactly once, WITHOUT
+    a pair-volume dedup shuffle: each row carries the full concatenated
+    signature ``allb``, and the joined row survives only at the first
+    band where both sides agree (``_first_match_band``).  Branch
+    ownership is consistent — a collision's two rows share (b, bk), so
+    both sit in the same (hot or cold) branch, and the pair's first-
+    matching band decides which branch emits it.
+
     Output pair SET is provably identical to the unsalted join: the
     hot path enumerates each (qid, nid) exactly once (partner group
     p == xxhash64(nid) % salt_g partitions the nid side).
     """
+    first_b = _first_match_band(
+        F.col("a.allb"), F.col("c.allb"), n_bands, band_bits
+    )
     slim = slim.withColumn(
         "g", F.pmod(F.xxhash64("vec_id"), F.lit(salt_g))
     )
@@ -186,6 +218,7 @@ def _salted_band_candidates(
             & (F.col("a.bk") == F.col("c.bk"))
             & (F.col("a.vec_id") != F.col("c.vec_id")),
         )
+        .where(F.col("a.b") == first_b)
         .select(
             F.col("a.vec_id").alias("qid"),
             F.col("c.vec_id").alias("nid"),
@@ -205,12 +238,13 @@ def _salted_band_candidates(
             & (F.col("a.p") == F.col("c.g"))
             & (F.col("a.vec_id") != F.col("c.vec_id")),
         )
+        .where(F.col("a.b") == first_b)
         .select(
             F.col("a.vec_id").alias("qid"),
             F.col("c.vec_id").alias("nid"),
         )
     )
-    return cold_cand.unionByName(hot_cand).dropDuplicates(["qid", "nid"])
+    return cold_cand.unionByName(hot_cand)
 
 
 def lsh_planes(n_planes: int = N_PLANES) -> np.ndarray:
@@ -289,9 +323,14 @@ def _band_rows(emb: DataFrame, bands: list[np.ndarray]) -> DataFrame:
         )
 
     sigs = emb.select(F.col("vec_id"), _keys(F.col("embedding")).alias("bks"))
-    # materialize once: both sides of the candidate self-join read it
+    # materialize once: both sides of the candidate self-join read it.
+    # allb (all band keys, fixed-width concat) rides along so the
+    # candidate join can keep each pair only at its first matching
+    # band (_first_match_band) instead of a pair-volume dedup shuffle.
     return sigs.select(
-        "vec_id", F.posexplode(F.col("bks")).alias("b", "bk")
+        "vec_id",
+        F.array_join(F.col("bks"), "").alias("allb"),
+        F.posexplode(F.col("bks")).alias("b", "bk"),
     ).localCheckpoint()
 
 
@@ -320,7 +359,9 @@ def ann_lsh_topk(
     """
     bands = _band_planes(n_bands, band_bits)
     slim = _band_rows(emb, bands)
-    cand = _salted_band_candidates(slim, hot_bucket_threshold, salt_g)
+    cand = _salted_band_candidates(
+        slim, hot_bucket_threshold, salt_g, n_bands, band_bits
+    )
     qc = _components(emb, "qid", "q")
     ec = _components(emb, "nid", "e")
     pairs = cand.join(qc, on="qid").join(ec, on="nid")
@@ -409,7 +450,9 @@ def embed_near_dup(
     """
     bands = _band_planes(n_bands, band_bits)
     slim = _band_rows(emb, bands)
-    cand = _salted_band_candidates(slim, hot_bucket_threshold, salt_g)
+    cand = _salted_band_candidates(
+        slim, hot_bucket_threshold, salt_g, n_bands, band_bits
+    )
     qc = _components(emb, "qid", "q")
     ec = _components(emb, "nid", "e")
     cos = F.expr(f"({_scalar_dot('q', 'e')})") / (F.col("qn") * F.col("en"))

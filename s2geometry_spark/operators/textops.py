@@ -349,8 +349,9 @@ def near_dup_pairs(
 
     Scale shape: candidate generation self-joins only slim
     (doc_id, band, band_key [, salt]) rows — the shingle arrays never
-    ride through the shuffle; pairs dedup first and the two shingle
-    sets re-attach once for the verification step.  Salting is
+    ride through the shuffle; each pair emits exactly once (first-band
+    pigeonhole filter — no pair-volume dedup shuffle) and the two
+    shingle sets attach once for the verification step.  Salting is
     skew-AWARE: one cheap count pass over the slim band rows finds the
     hot buckets (> ``hot_bucket_threshold`` members — boilerplate
     corpora where thousands of docs share every band), and only rows in
@@ -363,6 +364,8 @@ def near_dup_pairs(
     ``with_mutants`` unions a deterministic mutated copy of each doc
     (id + 1_000_000, text + marker suffix) so the pipeline provably
     finds near-dups on corpora without natural ones."""
+    from .similarity import _first_match_band
+
     base = docs.select("doc_id", "text")
     if with_mutants:
         mut = docs.select(
@@ -393,17 +396,28 @@ def near_dup_pairs(
         band_cols.append(
             F.md5(F.concat_ws("|", *parts)).alias(f"band{b}")
         )
-    banded = sigs.select("doc_id", *band_cols)
+    banded = sigs.select("doc_id", *band_cols).withColumn(
+        # all band keys as one fixed-width string (32 hex chars per
+        # band): lets the candidate join keep a multi-band collision
+        # only at its FIRST matching band instead of paying a
+        # pair-volume dropDuplicates shuffle (same pigeonhole trick as
+        # image_dedup.first_band_filter)
+        "allb",
+        F.concat(*[F.col(f"band{b}") for b in range(LSH_BANDS)]),
+    )
     # one-pass band emission (stack) instead of a 4-way self-union —
     # the union form recomputes the minhash signatures once per band.
     stack_args = ", ".join(f"{b}, band{b}" for b in range(LSH_BANDS))
     bands = banded.select(
-        "doc_id",
+        "doc_id", "allb",
         F.expr(f"stack({LSH_BANDS}, {stack_args}) AS (b, bk)"),
     ).select(
-        "doc_id", "b", "bk",
+        "doc_id", "allb", "b", "bk",
         F.pmod(F.xxhash64("doc_id"), F.lit(salt_g)).alias("g"),
     ).localCheckpoint()
+    first_b = _first_match_band(
+        F.col("a.allb"), F.col("c.allb"), LSH_BANDS, 32
+    )
     # skew detection: bucket sizes over the slim rows (map-side combine,
     # tiny result — at most rows/threshold buckets survive the filter)
     hot = (
@@ -423,6 +437,7 @@ def near_dup_pairs(
             & (F.col("a.b") == F.col("c.b"))
             & (F.col("a.doc_id") < F.col("c.doc_id")),
         )
+        .where(F.col("a.b") == first_b)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("c.doc_id").alias("id_b"),
@@ -442,12 +457,16 @@ def near_dup_pairs(
             & (F.col("a.p") == F.col("c.g"))
             & (F.col("a.doc_id") < F.col("c.doc_id")),
         )
+        .where(F.col("a.b") == first_b)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("c.doc_id").alias("id_b"),
         )
     )
-    cand = cold_cand.unionByName(hot_cand).dropDuplicates(["id_a", "id_b"])
+    # each pair already emits exactly once (first-band filter; branch
+    # ownership is consistent because a collision's two rows share
+    # (b, bk) and therefore sit in the same hot/cold branch)
+    cand = cold_cand.unionByName(hot_cand)
     # verification: re-attach the two shingle sets once, post-dedup
     sh = base.select(
         "doc_id", F.expr(sh_expr).alias("shingles")
