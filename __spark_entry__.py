@@ -905,8 +905,13 @@ def q_buffer_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the oracle gate plus the golden tests, which run every
     constructive path with the worker-side Monte-Carlo validation
     enabled (tests/test_buffer_surface.py; the product query runs
-    check=False — ~4x cheaper); oracle = driver-precomputed literal
-    table through the same kernels."""
+    check=False — ~4x cheaper).  The oracle's n_ring/area columns are
+    a driver recompute through the same kernels (determinism check);
+    its n_probe/n_probe_in columns are INDEPENDENT — deterministic
+    probes classified by the pure within-distance predicate, which
+    the query must reproduce by parity over the rings it emits
+    (kernels/buffer.probe_gate; tests/test_buffer_probe_gate.py
+    proves wrong-radius geometry fails the column)."""
     _ensure_pkg(spark)
     import pandas as pd
 

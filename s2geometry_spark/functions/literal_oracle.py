@@ -684,6 +684,15 @@ def buffer_cases_sql() -> str:
                 [("loop", g) for g in parts], BUFFER_RADIUS, check=False
             )
             base = sum(M.loop_area(g) for g in parts)
+        # independent gate columns (r4 advice): the probe verdicts come
+        # from the within-distance predicate alone (crossing parity +
+        # point-to-edge distance), NOT from the constructed rings —
+        # the distributed query must reproduce them by parity over the
+        # rings it emits, so these columns catch shared constructive-
+        # kernel bugs the recomputed n_ring/area columns cannot.
+        P, expected = BUF.probe_gate(
+            parts, mode, BUFFER_RADIUS, BUFFER_SHRINK_RADIUS
+        )
         out.append(
             (
                 cid,
@@ -691,6 +700,8 @@ def buffer_cases_sql() -> str:
                 sum(len(r) for r in rings),
                 base,
                 sum(M.loop_signed_area(r) for r in rings),
+                len(P),
+                int(expected.sum()),
             )
         )
     return values_sql(
@@ -701,6 +712,8 @@ def buffer_cases_sql() -> str:
             ("n_ring", "INT"),
             ("area_base", "DOUBLE"),
             ("area_buffered", "DOUBLE"),
+            ("n_probe", "INT"),
+            ("n_probe_in", "INT"),
         ],
     )
 

@@ -694,6 +694,103 @@ def _rings_contain(rings: list, P: np.ndarray) -> np.ndarray:
     return got
 
 
+def _loop_min_dist2(verts: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """Min chord-squared distance from each probe to a CLOSED loop's
+    boundary edges."""
+    n = len(verts)
+    min_d2 = np.full(len(P), np.inf)
+    for k in range(n):
+        a = tuple(float(x) for x in verts[k])
+        b = tuple(float(x) for x in verts[(k + 1) % n])
+        min_d2 = np.minimum(
+            min_d2, edge_distance2_batch(P[:, 0], P[:, 1], P[:, 2], a, b)
+        )
+    return min_d2
+
+
+def _chord2(radius: float) -> float:
+    s = math.sin(0.5 * radius)
+    return 4 * s * s
+
+
+def probe_gate(
+    groups: list,
+    mode: str,
+    radius: float,
+    shrink_radius: float,
+    n: int = 220,
+    seed: int = 11,
+    band: float = 5e-3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic probe set + INDEPENDENT containment verdicts for
+    the driver's buffer gate (round-4 advice: the literal oracle
+    recomputed cases through the same constructive kernels, so a
+    shared kernel bug passed the gate).
+
+    Probes are seeded-random unit points around the case.  Each is
+    classified twice by the pure within-distance predicate (crossing
+    parity + point-to-edge distance — code paths disjoint from the
+    offset-curve/winding construction): once with the radius widened
+    by `band`, once narrowed.  Probes whose two verdicts differ sit
+    inside the polygonalization tolerance band around the exact
+    buffered boundary and are dropped; survivors carry an unambiguous
+    expected verdict that any correct ring set must reproduce by
+    parity containment.  `band` covers the 4*tolerance construction
+    error the Monte-Carlo validators allow (tolerance default 1e-3).
+
+    Returns ``(P, expected)``: the kept probes and their predicate
+    verdicts.  The distributed query classifies P against the EMITTED
+    rings (`_rings_contain`); the oracle emits ``expected`` — the two
+    agree only if the constructed geometry matches the predicate.
+    """
+    groups = [np.ascontiguousarray(g, dtype=np.float64) for g in groups]
+    allv = np.concatenate(groups, axis=0)
+    center = _unit(allv.mean(axis=0))
+    r_abs = abs(radius if mode != "shrink" else shrink_radius)
+    extent = float(np.linalg.norm(allv - center, axis=1).max())
+    if mode == "shrink":
+        # the contracted region is a sliver of the input (inradius
+        # minus shrink_radius); concentrate the cloud on the loop
+        # itself or almost no probe lands inside the region and the
+        # gate loses its discrimination power there
+        spread = 1.2 * extent
+    else:
+        spread = 2.5 * (r_abs + max(extent, r_abs))
+    rng = np.random.default_rng(seed)
+    P = center[None, :] + spread * rng.standard_normal((n, 3))
+    P = P / np.linalg.norm(P, axis=1)[:, None]
+
+    from .loop import Loop
+
+    def classify(rr: float) -> np.ndarray:
+        if mode == "point":
+            d2 = np.sum((P - groups[0][0][None, :]) ** 2, axis=1)
+            return d2 <= _chord2(rr)
+        if mode == "polyline":
+            return _polyline_min_dist2(groups[0], P) <= _chord2(rr)
+        if mode == "shrink":
+            lp = Loop(groups[0])
+            return lp.contains_points(P) & (
+                _loop_min_dist2(groups[0], P) >= _chord2(rr)
+            )
+        # grow / union: any layer's (inside OR within rr)
+        got = np.zeros(len(P), dtype=bool)
+        for g in groups:
+            got |= Loop(g).contains_points(P) | (
+                _loop_min_dist2(g, P) <= _chord2(rr)
+            )
+        return got
+
+    if mode == "shrink":
+        in_wide = classify(shrink_radius - band)
+        in_narrow = classify(shrink_radius + band)
+    else:
+        in_wide = classify(radius + band)
+        in_narrow = classify(radius - band)
+    keep = in_wide == in_narrow
+    return P[keep], in_narrow[keep]
+
+
 def _rings_min_dist2(rings_in: list, P: np.ndarray) -> np.ndarray:
     min_d2 = np.full(len(P), np.inf)
     for ring in rings_in:

@@ -303,6 +303,8 @@ BUFFER_CASE_SCHEMA = T.StructType(
         T.StructField("n_ring", T.IntegerType(), False),
         T.StructField("area_base", T.DoubleType(), False),
         T.StructField("area_buffered", T.DoubleType(), False),
+        T.StructField("n_probe", T.IntegerType(), False),
+        T.StructField("n_probe_in", T.IntegerType(), False),
     ]
 )
 
@@ -368,6 +370,13 @@ def buffer_shapes(vertex_df: DataFrame, radius: float,
             base = sum(M.loop_area(g) for g in groups)
         else:
             raise ValueError(f"unknown buffer mode {mode!r}")
+        # independent-containment gate columns: classify deterministic
+        # probes by parity over the rings THIS WORKER EMITTED; the
+        # oracle's twin columns come from the pure within-distance
+        # predicate (BUF.probe_gate docstring), so a construction bug
+        # here cannot agree with the oracle by recomputation
+        P, _expected = BUF.probe_gate(groups, mode, radius, shrink_radius)
+        got = BUF._rings_contain(rings, P)
         return pd.DataFrame(
             [
                 {
@@ -378,6 +387,8 @@ def buffer_shapes(vertex_df: DataFrame, radius: float,
                     "area_buffered": sum(
                         M.loop_signed_area(r) for r in rings
                     ),
+                    "n_probe": len(P),
+                    "n_probe_in": int(got.sum()),
                 }
             ]
         )
