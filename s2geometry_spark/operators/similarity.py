@@ -162,6 +162,56 @@ def _first_match_band(
     return first
 
 
+HOT_IMBALANCE_FACTOR = 1.5  # salt only above this multiple of the
+# ideal per-reducer pair work (TP/P): replication has real overhead
+# (extra rows through the shuffle, and a non-empty hot branch defeats
+# AQE's empty-subtree pruning), so a bucket barely above the balanced
+# share is cheaper to leave on one reducer than to split.  1.5 keeps
+# the sf1 soak's largest bucket (1.2x the ideal share on an otherwise
+# uniform table) on the unsalted plan while every genuinely dominant
+# block (boilerplate clusters measure >= 2x) salts.
+
+
+def hot_buckets(
+    slim: DataFrame,
+    hot_bucket_threshold: int,
+    key_cols: tuple = ("b", "bk"),
+    imbalance_factor: float = HOT_IMBALANCE_FACTOR,
+) -> DataFrame:
+    """(key_cols..., hot=true) rows for band buckets that would
+    straggle a reducer in the candidate self-join: big in absolute
+    terms (``n > hot_bucket_threshold``) AND with pair volume n^2 above
+    ``imbalance_factor`` x the mean per-reducer share of the total pair
+    work (sum of n_i^2 / shuffle partitions — the balanced share a
+    reducer would carry).  The relative condition keeps uniformly-loaded
+    tables (every bucket moderately sized — e.g. a corpus where
+    everything is ~10x duplicated, the sf1 soak shape) on the unsalted
+    plan, where the hash shuffle is already balanced and replication is
+    pure overhead (measured 2.5x slower salted at sf1); a planted
+    boilerplate block whose buckets dominate the pair work trips both
+    conditions and spreads over ``salt_g`` reducers (measured 1.9x
+    faster salted on the skew fixture)."""
+    try:
+        n_reducers = int(
+            slim.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        n_reducers = 200
+    cnt = slim.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    total_pair_work = cnt.agg(
+        F.sum(F.col("n").cast("double") * F.col("n")).alias("tp")
+    )
+    work = F.col("n").cast("double") * F.col("n")
+    return (
+        cnt.crossJoin(F.broadcast(total_pair_work))
+        .where(
+            (F.col("n") > hot_bucket_threshold)
+            & (work > F.col("tp") * F.lit(imbalance_factor / n_reducers))
+        )
+        .select(*key_cols, F.lit(True).alias("hot"))
+    )
+
+
 def _salted_band_candidates(
     slim: DataFrame,
     hot_bucket_threshold: int = ANN_HOT_BUCKET,
@@ -194,19 +244,34 @@ def _salted_band_candidates(
     Output pair SET is provably identical to the unsalted join: the
     hot path enumerates each (qid, nid) exactly once (partner group
     p == xxhash64(nid) % salt_g partitions the nid side).
+
+    Salting engages only for buckets that would actually STRAGGLE a
+    reducer: ``n > hot_bucket_threshold`` AND the bucket's pair volume
+    n^2 exceeds the mean per-reducer share of the total pair work
+    (sum of n_i^2 over all buckets / shuffle partitions).  The second,
+    relative condition is what keeps a uniformly-loaded table (every
+    bucket moderately sized, e.g. a corpus where EVERYTHING is
+    duplicated ~10x) on the unsalted plan — there the hash shuffle is
+    already balanced across reducers and replication is pure overhead
+    (measured 3-4x slower salted on the sf1 soak, where all 1024
+    band buckets hold ~80 rows each); a planted boilerplate block
+    whose single bucket dominates the pair work still trips both
+    conditions and spreads over ``salt_g`` reducers.
     """
     first_b = _first_match_band(
         F.col("a.allb"), F.col("c.allb"), n_bands, band_bits
     )
+    # materialize the band rows ONCE: the 32-plane sign-bucket
+    # projection is a huge literal expression (shared verbatim with the
+    # DuckDB oracle) that Janino cannot compile into one method, so
+    # every plan reference re-evaluates it interpreted — and this frame
+    # is referenced by the hot-bucket count, the skew split, and both
+    # sides of each self-join.  Slim rows only (vec_id, allb, b, bk, g);
+    # textops.near_dup_pairs does the same for its band rows.
     slim = slim.withColumn(
         "g", F.pmod(F.xxhash64("vec_id"), F.lit(salt_g))
-    )
-    hot = (
-        slim.groupBy("b", "bk")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > hot_bucket_threshold)
-        .select("b", "bk", F.lit(True).alias("hot"))
-    )
+    ).localCheckpoint()
+    hot = hot_buckets(slim, hot_bucket_threshold)
     marked = slim.join(F.broadcast(hot), ["b", "bk"], "left")
     cold = marked.where(F.col("hot").isNull()).drop("hot", "g")
     hotr = marked.where(F.col("hot").isNotNull()).drop("hot")

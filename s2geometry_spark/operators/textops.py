@@ -419,13 +419,15 @@ def near_dup_pairs(
         F.col("a.allb"), F.col("c.allb"), LSH_BANDS, 32
     )
     # skew detection: bucket sizes over the slim rows (map-side combine,
-    # tiny result — at most rows/threshold buckets survive the filter)
-    hot = (
-        bands.groupBy("b", "bk")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > hot_bucket_threshold)
-        .select("b", "bk", F.lit(True).alias("hot"))
-    )
+    # tiny result).  A bucket salts only when it is big in absolute
+    # terms AND its pair volume n^2 exceeds the mean per-reducer share
+    # of the total pair work — a uniformly duplicated corpus (every
+    # bucket moderately sized, no straggler reducer) stays on the
+    # unsalted plan where the hash shuffle is already balanced and
+    # replication is pure overhead (see similarity.hot_buckets).
+    from .similarity import hot_buckets
+
+    hot = hot_buckets(bands, hot_bucket_threshold)
     marked = bands.join(F.broadcast(hot), ["b", "bk"], "left")
     cold = marked.where(F.col("hot").isNull()).drop("hot", "g")
     hotr = marked.where(F.col("hot").isNotNull()).drop("hot")

@@ -92,3 +92,33 @@ def test_ann_and_near_dup_complete_on_boilerplate(spark):
     nd = SIM.embed_near_dup(emb, 0.92, hot_bucket_threshold=16).collect()
     roots = {r["dup_root"] for r in nd if r["vec_id"] < 150}
     assert roots == {0}
+
+
+def test_uniform_buckets_stay_unsalted(spark):
+    """The relative engagement rule: a table where EVERY bucket is
+    moderately sized (uniform 10x-duplication, the sf1 soak shape) has
+    no straggler reducer, so no bucket may salt — replication there is
+    pure overhead (measured 3-4x slower at sf1).  A single dominant
+    boilerplate block must still salt."""
+    rng = np.random.default_rng(11)
+    # 40 clone blocks of 30: every band bucket holds >= 30 rows
+    # (> threshold 16) but none dominates the total pair work
+    rows = []
+    for blk in range(40):
+        v = rng.standard_normal(SIM.DIM)
+        v /= np.linalg.norm(v)
+        for i in range(30):
+            rows.append((blk * 30 + i, v.tolist()))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    emb = spark.createDataFrame(pdf).select(
+        F.col("vec_id").cast("long"),
+        F.col("embedding").cast("array<float>"),
+    )
+    bands = SIM._band_planes(SIM.N_BANDS, SIM.BAND_BITS)
+    slim = SIM._band_rows(emb, bands)
+    assert SIM.hot_buckets(slim, hot_bucket_threshold=16).count() == 0
+
+    # planted dominant block: one bucket holds most of the pair work
+    hot_emb = _emb_df(spark, n_same=300, n_rand=40)
+    hot_slim = SIM._band_rows(hot_emb, bands)
+    assert SIM.hot_buckets(hot_slim, hot_bucket_threshold=16).count() > 0
