@@ -292,12 +292,30 @@ def _salted_band_candidates(
     # hot buckets: left replicates once per partner group p; the join
     # requires p == right.g so the shuffle key (b, bk, p) splits a hot
     # bucket's directed pairs across salt_g reducers
-    a = hotr.withColumn(
-        "p", F.explode(F.array(*[F.lit(i) for i in range(salt_g)]))
-    ).alias("a")
+    # explicit-count repartition on the join keys: AQE's partition
+    # coalescing sizes by INPUT bytes, so it would merge the hot join's
+    # few-MB band rows back into 1-2 tasks and the output-sized pair
+    # emission — the whole point of the split — would run serially
+    # anyway (measured 12.5s -> 1.8s on the skew fixture's hot block
+    # with the pin).  A user-specified repartition count is exempt
+    # from AQE coalescing; same trick BENCH.md documents for the
+    # minhash pUDF stage.
+    try:
+        n_parts = int(
+            slim.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        n_parts = 200
+    a = (
+        hotr.withColumn(
+            "p", F.explode(F.array(*[F.lit(i) for i in range(salt_g)]))
+        )
+        .repartition(n_parts, "b", "bk", "p")
+        .alias("a")
+    )
     hot_cand = (
         a.join(
-            hotr.alias("c"),
+            hotr.repartition(n_parts, "b", "bk", "g").alias("c"),
             (F.col("a.b") == F.col("c.b"))
             & (F.col("a.bk") == F.col("c.bk"))
             & (F.col("a.p") == F.col("c.g"))

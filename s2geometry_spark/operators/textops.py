@@ -447,13 +447,27 @@ def near_dup_pairs(
     )
     # hot buckets: left replicates once per partner group p; join
     # requires p == right.g, so the shuffle key (b, bk, p) splits a hot
-    # bucket's pairs across salt_g reducers
-    a = hotr.withColumn(
-        "p", F.explode(F.array(*[F.lit(i) for i in range(salt_g)]))
-    ).alias("a")
+    # bucket's pairs across salt_g reducers.  Explicit-count
+    # repartition pins the split through AQE, whose coalescing sizes by
+    # INPUT bytes and would otherwise merge the few-MB band rows back
+    # into 1-2 tasks, serializing the output-sized pair emission (see
+    # similarity._salted_band_candidates).
+    try:
+        n_parts = int(
+            bands.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        n_parts = 200
+    a = (
+        hotr.withColumn(
+            "p", F.explode(F.array(*[F.lit(i) for i in range(salt_g)]))
+        )
+        .repartition(n_parts, "b", "bk", "p")
+        .alias("a")
+    )
     hot_cand = (
         a.join(
-            hotr.alias("c"),
+            hotr.repartition(n_parts, "b", "bk", "g").alias("c"),
             (F.col("a.bk") == F.col("c.bk"))
             & (F.col("a.b") == F.col("c.b"))
             & (F.col("a.p") == F.col("c.g"))
