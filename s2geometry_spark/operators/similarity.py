@@ -271,7 +271,30 @@ def _salted_band_candidates(
     slim = slim.withColumn(
         "g", F.pmod(F.xxhash64("vec_id"), F.lit(salt_g))
     ).localCheckpoint()
-    hot = hot_buckets(slim, hot_bucket_threshold)
+    # eager emptiness check on the (tiny, aggregated) hot-bucket frame:
+    # on the common unskewed path there are NO hot buckets, so the
+    # two-branch salted plan would double whole-stage-codegen size for
+    # nothing — sf1 soak measured the one-time compile of the bigger
+    # plan at ~25s of a 37s cold run.  The count pass reads the already
+    # checkpointed slim rows, and the salted path reuses the
+    # checkpointed hot frame, so no work is duplicated either way.
+    hot = hot_buckets(slim, hot_bucket_threshold).localCheckpoint()
+    if not hot.take(1):
+        return (
+            slim.drop("g")
+            .alias("a")
+            .join(
+                slim.drop("g").alias("c"),
+                (F.col("a.b") == F.col("c.b"))
+                & (F.col("a.bk") == F.col("c.bk"))
+                & (F.col("a.vec_id") != F.col("c.vec_id")),
+            )
+            .where(F.col("a.b") == first_b)
+            .select(
+                F.col("a.vec_id").alias("qid"),
+                F.col("c.vec_id").alias("nid"),
+            )
+        )
     marked = slim.join(F.broadcast(hot), ["b", "bk"], "left")
     cold = marked.where(F.col("hot").isNull()).drop("hot", "g")
     hotr = marked.where(F.col("hot").isNotNull()).drop("hot")

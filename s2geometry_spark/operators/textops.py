@@ -427,7 +427,28 @@ def near_dup_pairs(
     # replication is pure overhead (see similarity.hot_buckets).
     from .similarity import hot_buckets
 
-    hot = hot_buckets(bands, hot_bucket_threshold)
+    # eager emptiness check, same rationale as
+    # similarity._salted_band_candidates: with no hot buckets (the
+    # common unskewed corpus) return the plain one-branch join so
+    # whole-stage codegen never pays for the salted half of the plan
+    hot = hot_buckets(bands, hot_bucket_threshold).localCheckpoint()
+    if not hot.take(1):
+        cand = (
+            bands.drop("g")
+            .alias("a")
+            .join(
+                bands.drop("g").alias("c"),
+                (F.col("a.bk") == F.col("c.bk"))
+                & (F.col("a.b") == F.col("c.b"))
+                & (F.col("a.doc_id") < F.col("c.doc_id")),
+            )
+            .where(F.col("a.b") == first_b)
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("c.doc_id").alias("id_b"),
+            )
+        )
+        return _jaccard_verified(cand, base, sh_expr)
     marked = bands.join(F.broadcast(hot), ["b", "bk"], "left")
     cold = marked.where(F.col("hot").isNull()).drop("hot", "g")
     hotr = marked.where(F.col("hot").isNotNull()).drop("hot")
@@ -482,8 +503,16 @@ def near_dup_pairs(
     # each pair already emits exactly once (first-band filter; branch
     # ownership is consistent because a collision's two rows share
     # (b, bk) and therefore sit in the same hot/cold branch)
-    cand = cold_cand.unionByName(hot_cand)
-    # verification: re-attach the two shingle sets once, post-dedup
+    return _jaccard_verified(cold_cand.unionByName(hot_cand), base, sh_expr)
+
+
+def _jaccard_verified(
+    cand: DataFrame, base: DataFrame, sh_expr: str
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs: re-attach the
+    two shingle sets once, post-candidate-dedup, and keep pairs at
+    Jaccard >= 0.5 — shared by the salted and one-branch unsalted
+    candidate plans of near_dup_pairs."""
     sh = base.select(
         "doc_id", F.expr(sh_expr).alias("shingles")
     )

@@ -122,3 +122,24 @@ def test_uniform_buckets_stay_unsalted(spark):
     hot_emb = _emb_df(spark, n_same=300, n_rand=40)
     hot_slim = SIM._band_rows(hot_emb, bands)
     assert SIM.hot_buckets(hot_slim, hot_bucket_threshold=16).count() > 0
+
+
+def test_unskewed_corpus_compiles_one_branch_plan(spark):
+    """With zero hot buckets the eager emptiness check must return the
+    plain one-branch join — no partner-group explode, no hot+cold
+    union — so whole-stage codegen never compiles the salted half of
+    the plan (the sf1 soak measured that compile at ~25s of a 37s cold
+    run).  A planted boilerplate block must still produce the salted
+    two-branch plan."""
+    emb = _emb_df(spark, n_same=1, n_rand=60)
+    bands = SIM._band_planes(SIM.N_BANDS, SIM.BAND_BITS)
+    slim = SIM._band_rows(emb, bands)
+    cand = SIM._salted_band_candidates(slim, hot_bucket_threshold=16)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "explode" not in plan and "Union" not in plan
+
+    hot_emb = _emb_df(spark, n_same=120, n_rand=10)
+    hot_slim = SIM._band_rows(hot_emb, bands)
+    hot_cand = SIM._salted_band_candidates(hot_slim, hot_bucket_threshold=16)
+    hot_plan = hot_cand._jdf.queryExecution().executedPlan().toString()
+    assert "explode" in hot_plan and "Union" in hot_plan

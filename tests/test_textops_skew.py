@@ -45,3 +45,31 @@ def test_salting_preserves_output(spark):
         tuple(r) for r in TX.near_dup_pairs(docs, salt_g=8).collect()
     )
     assert got1 == got8
+
+
+def test_unskewed_corpus_compiles_one_branch_plan(spark):
+    """Twin of the similarity test: with zero hot buckets the eager
+    emptiness check returns the one-branch candidate plan (no
+    partner-group explode of band rows), so codegen never compiles the
+    salted half; a boilerplate block still takes the salted plan."""
+    rows = [
+        (i, f"unique document number {i} with its own words {i * i}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    cand = TX.near_dup_pairs(docs, with_mutants=False)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "explode" not in plan
+
+    hot_rows = [
+        (i, "the same boilerplate paragraph repeated " * 4)
+        for i in range(200)
+    ]
+    hot_docs = spark.createDataFrame(
+        pd.DataFrame(hot_rows, columns=["doc_id", "text"])
+    )
+    hot_cand = TX.near_dup_pairs(hot_docs, with_mutants=False)
+    hot_plan = hot_cand._jdf.queryExecution().executedPlan().toString()
+    assert "explode" in hot_plan
