@@ -115,6 +115,7 @@ def knn_join(
     checkpoint_dir: str | None = None,
     checkpoint_version: str = "v1",
     max_distance2: float | None = None,
+    max_error2: float = 0.0,
 ) -> DataFrame:
     """k nearest index points per query point.
 
@@ -130,6 +131,17 @@ def knn_join(
     once a round's ring guarantee covers the bound (guarantee >=
     max_distance2), nothing outside the ring can qualify, so every
     remaining query finishes that round instead of coarsening further.
+
+    ``max_error2``: squared-chord error tolerance — the reference's
+    Options.MaxError (S2ClosestEdgeQueryBase.cs:69-120): a query may
+    finish a round once its k-th candidate distance is within
+    ``max_error2`` of the ring guarantee (kth < guarantee +
+    max_error2), because any unexamined neighbor sits at dist2 >=
+    guarantee and so could improve a reported distance by less than
+    the tolerance.  Each reported rank-r distance therefore exceeds
+    the true rank-r distance by < max_error2; 0.0 (default) is the
+    exact search.  Queries near a ring boundary terminate one round
+    earlier instead of paying a 4x-area coarser ring.
 
     ``group_col``: when set (present on both sides), neighbors are
     searched within the same group only (the per-group closest-point
@@ -190,6 +202,7 @@ def knn_join(
         "seed_level": seed_level,
         "group_col": group_col or "",
         "max_distance2": repr(max_distance2),
+        "max_error2": repr(max_error2),
     }
 
     def mat(name: str, fn, inputs=(), params=None) -> StageResult:
@@ -249,10 +262,17 @@ def knn_join(
         return fn
 
     def done_queries(ranked: DataFrame, guarantee: float) -> DataFrame:
+        # max_error2 relaxes the finish line (Options.MaxError): any
+        # unexamined neighbor has dist2 >= guarantee, so a query whose
+        # kth is within the tolerance of the guarantee cannot improve
+        # any reported distance by max_error2 or more
         return (
             ranked.groupBy("qk", *gcols)
             .agg(F.max("dist2").alias("kth"), F.count(F.lit(1)).alias("nk"))
-            .where((F.col("nk") >= k) & (F.col("kth") < F.lit(guarantee)))
+            .where(
+                (F.col("nk") >= k)
+                & (F.col("kth") < F.lit(guarantee + max_error2))
+            )
             .select("qk", *gcols)
         )
 
@@ -629,6 +649,7 @@ def closest_edge_join(
     seed_level: int | None = None,
     edge_count: int | None = None,
     max_rounds: int = 8,
+    max_error2: float = 0.0,
 ) -> DataFrame:
     """k nearest edge COLLECTIONS (lines) per query point against a
     fully distributed cell-keyed edge index — the fact-scale form of
@@ -650,6 +671,11 @@ def closest_edge_join(
     exact).  Output (key, line_id, dist2, rn), rn in [1, k] ordered by
     (dist2, line_id) — bit-identical distances and tie order to the
     broadcast arm.
+
+    ``max_error2``: squared-chord tolerance (Options.MaxError, same
+    semantics as ``knn_join``): a query finishes once kth < guarantee
+    + max_error2, so each reported rank-r distance exceeds the true
+    one by < max_error2; 0.0 is exact.
     """
     if seed_level is None:
         if edge_count is None:
@@ -687,7 +713,10 @@ def closest_edge_join(
         done_q = (
             ranked.groupBy("qk")
             .agg(F.max("dist2").alias("kth"), F.count(F.lit(1)).alias("nk"))
-            .where((F.col("nk") >= k) & (F.col("kth") < F.lit(guarantee)))
+            .where(
+                (F.col("nk") >= k)
+                & (F.col("kth") < F.lit(guarantee + max_error2))
+            )
             .select("qk")
         )
         finished_parts.append(ranked.join(done_q, on="qk", how="left_semi"))

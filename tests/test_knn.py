@@ -272,3 +272,103 @@ def test_closest_polygon_interior_shortcut(spark):
     # the loop centers must all be exact zeros (interior shortcut)
     for rid, _ in loops:
         assert got[100 + rid] == (rid, 0.0)
+
+
+class TestMaxError:
+    """Options.MaxError semantics (S2ClosestEdgeQueryBase.cs:69-120):
+    with tolerance e, each reported rank-r distance may exceed the true
+    rank-r distance by < e; with e=0 the search is exact."""
+
+    def test_zero_tolerance_is_exact(self, spark, q_df, idx_df):
+        k = 3
+        got = sorted(
+            (r["key"], r["neighbor_key"], r["rn"])
+            for r in KNN.knn_join(
+                spark, q_df, idx_df, k, max_error2=0.0
+            ).collect()
+        )
+        want = brute_force_knn(
+            q_df.select("key", "x", "y", "z").toPandas(),
+            idx_df.select("key", "x", "y", "z").toPandas(),
+            k,
+        )
+        assert got == want
+
+    def test_rankwise_error_bound(self, spark, q_df, idx_df):
+        """Force multi-round expansion (fine seed) with a large
+        tolerance so early termination actually engages, then assert
+        the rank-wise bound against brute-force distances."""
+        k, e = 3, 1e-4
+        got = KNN.knn_join(
+            spark, q_df, idx_df, k, seed_level=10, max_error2=e
+        ).collect()
+        q_pdf = q_df.select("key", "x", "y", "z").toPandas()
+        i_pdf = idx_df.select("key", "x", "y", "z").toPandas()
+        qv = q_pdf[["x", "y", "z"]].to_numpy()
+        qv = qv / np.sqrt((qv * qv).sum(axis=1))[:, None]
+        iv = i_pdf[["x", "y", "z"]].to_numpy()
+        iv = iv / np.sqrt((iv * iv).sum(axis=1))[:, None]
+        true_kth = {}
+        for qi, key in enumerate(q_pdf["key"].to_numpy()):
+            d = qv[qi][None, :] - iv
+            dist2 = np.sort((d * d).sum(axis=1))
+            true_kth[int(key)] = dist2[:k]
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["key"], []).append((r["rn"], r["dist2"]))
+        assert set(by_q) == set(true_kth)
+        for key, rows in by_q.items():
+            rows.sort()
+            assert len(rows) == k
+            for (rn, d2), true_d2 in zip(rows, true_kth[key]):
+                assert d2 <= true_d2 + e, (key, rn, d2, true_d2)
+
+    def test_edge_join_error_bound_and_exactness(self, spark):
+        """closest_edge_join: e=0 matches the broadcast-exact arm;
+        a loose tolerance still satisfies the rank-1 bound."""
+        import pandas as pd
+
+        from s2geometry_spark.sources import regions_src as R
+
+        rng = np.random.default_rng(3)
+        v = rng.standard_normal((300, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = T.assign_cellids(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "key": np.arange(300),
+                        "x": v[:, 0], "y": v[:, 1], "z": v[:, 2],
+                    }
+                )
+            )
+        )
+        edges = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (lid, eid, a[0], a[1], a[2], b[0], b[1], b[2])
+                    for lid, eid, a, b in R.polyline_edges(range(12))
+                ],
+                columns=[
+                    "line_id", "edge_idx",
+                    "ax", "ay", "az", "bx", "by", "bz",
+                ],
+            )
+        )
+        idx = KNN.edge_covering_index(edges, 7)
+        exact = {
+            r["key"]: r["dist2"]
+            for r in KNN.closest_edge_join(
+                spark, pts, idx, index_level=7, k=1
+            ).collect()
+        }
+        e = 1e-4
+        approx = {
+            r["key"]: r["dist2"]
+            for r in KNN.closest_edge_join(
+                spark, pts, idx, index_level=7, k=1, max_error2=e
+            ).collect()
+        }
+        assert set(approx) == set(exact)
+        for key, d2 in approx.items():
+            assert d2 <= exact[key] + e
