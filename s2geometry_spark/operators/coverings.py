@@ -136,11 +136,14 @@ def covering_kind_rows(key: int, rc, rc_canon, i64) -> list[tuple]:
     from ..kernels import cellid as _CI
     from ..kernels.coverer import get_simple_covering
 
+    # cov holds UNSIGNED cell ids — use them directly: round-tripping
+    # through i64() would feed np.uint64 a negative Python int, which
+    # numpy >= 2.0 rejects with OverflowError (face >= 4 cells)
     lvl = min(
         30,
         int(
             min(
-                _CI.level(np.array([np.uint64(i64(c))], dtype=np.uint64))[0]
+                _CI.level(np.array([c], dtype=np.uint64))[0]
                 for c in cov
             )
         )

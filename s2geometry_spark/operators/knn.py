@@ -288,10 +288,13 @@ def knn_join(
             params={"level": level},
         )
         guarantee = _chord2_from_radians(KMIN_WIDTH.get_value(level))
-        if max_distance2 is not None and guarantee >= max_distance2:
-            # the ring already covers the whole search radius: nothing
-            # outside it can pass the bound, so every remaining query is
-            # complete with whatever (<= k) candidates it found
+        if max_distance2 is not None and guarantee > max_distance2:
+            # the ring already covers the whole search radius: a point
+            # outside the ring has dist2 >= guarantee > bound, so
+            # nothing unexamined can pass the INCLUSIVE dist2 <= bound
+            # filter (at guarantee == bound an unexamined point AT the
+            # bound would still qualify — hence strict >) and every
+            # remaining query is complete with its (<= k) candidates
             finished_parts.append(ranked_st.df)
             bound_covered = True
             break
@@ -339,6 +342,18 @@ def knn_join(
         )
         finished_parts.append(ranked)
 
+    if not finished_parts:
+        # empty query side: no round ever ran — return a typed empty
+        # result instead of crashing on finished_parts[0]
+        finished_parts.append(
+            q.limit(0)
+            .crossJoin(idx.limit(0).select("ik"))
+            .select(
+                "qk", *gcols, "ik",
+                F.lit(0.0).alias("dist2"),
+                F.lit(1).alias("rn"),
+            )
+        )
     result = finished_parts[0]
     for part in finished_parts[1:]:
         result = result.unionByName(part)
@@ -747,6 +762,17 @@ def closest_edge_join(
             .where(F.col("rn") <= k)
         )
 
+    if not finished_parts:
+        # empty query side: typed empty result, same guard as knn_join
+        finished_parts.append(
+            q.limit(0)
+            .crossJoin(idx.limit(0).select("line_id"))
+            .select(
+                "qk", "line_id",
+                F.lit(0.0).alias("dist2"),
+                F.lit(1).alias("rn"),
+            )
+        )
     result = finished_parts[0]
     for part in finished_parts[1:]:
         result = result.unionByName(part)

@@ -172,6 +172,17 @@ HOT_IMBALANCE_FACTOR = 1.5  # salt only above this multiple of the
 # block (boilerplate clusters measure >= 2x) salts.
 
 
+def shuffle_partitions(df: DataFrame, default: int = 200) -> int:
+    """The session's shuffle-partition count, with a sane fallback for
+    'auto'/unset — shared by the skew-salting paths here and in
+    textops so the reducer-share math and the explicit-count
+    repartition pins stay consistent."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return default
+
+
 def hot_buckets(
     slim: DataFrame,
     hot_bucket_threshold: int,
@@ -191,12 +202,7 @@ def hot_buckets(
     boilerplate block whose buckets dominate the pair work trips both
     conditions and spreads over ``salt_g`` reducers (measured 1.9x
     faster salted on the skew fixture)."""
-    try:
-        n_reducers = int(
-            slim.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    except (TypeError, ValueError):
-        n_reducers = 200
+    n_reducers = shuffle_partitions(slim)
     cnt = slim.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
     total_pair_work = cnt.agg(
         F.sum(F.col("n").cast("double") * F.col("n")).alias("tp")
@@ -261,16 +267,15 @@ def _salted_band_candidates(
     first_b = _first_match_band(
         F.col("a.allb"), F.col("c.allb"), n_bands, band_bits
     )
-    # materialize the band rows ONCE: the 32-plane sign-bucket
-    # projection is a huge literal expression (shared verbatim with the
-    # DuckDB oracle) that Janino cannot compile into one method, so
-    # every plan reference re-evaluates it interpreted — and this frame
-    # is referenced by the hot-bucket count, the skew split, and both
-    # sides of each self-join.  Slim rows only (vec_id, allb, b, bk, g);
-    # textops.near_dup_pairs does the same for its band rows.
+    # the band rows arrive already materialized by _band_rows (the
+    # 32-plane sign-bucket projection is a huge literal expression
+    # Janino can't compile into one method, so every plan reference
+    # would re-evaluate it interpreted) — a second checkpoint here
+    # would write the whole slim table to executor storage AGAIN just
+    # to add one cheap hash column; g recomputes per read instead
     slim = slim.withColumn(
         "g", F.pmod(F.xxhash64("vec_id"), F.lit(salt_g))
-    ).localCheckpoint()
+    )
     # eager emptiness check on the (tiny, aggregated) hot-bucket frame:
     # on the common unskewed path there are NO hot buckets, so the
     # two-branch salted plan would double whole-stage-codegen size for
@@ -323,12 +328,7 @@ def _salted_band_candidates(
     # with the pin).  A user-specified repartition count is exempt
     # from AQE coalescing; same trick BENCH.md documents for the
     # minhash pUDF stage.
-    try:
-        n_parts = int(
-            slim.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    except (TypeError, ValueError):
-        n_parts = 200
+    n_parts = shuffle_partitions(slim)
     a = (
         hotr.withColumn(
             "p", F.explode(F.array(*[F.lit(i) for i in range(salt_g)]))

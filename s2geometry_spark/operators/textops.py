@@ -473,12 +473,9 @@ def near_dup_pairs(
     # INPUT bytes and would otherwise merge the few-MB band rows back
     # into 1-2 tasks, serializing the output-sized pair emission (see
     # similarity._salted_band_candidates).
-    try:
-        n_parts = int(
-            bands.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    except (TypeError, ValueError):
-        n_parts = 200
+    from .similarity import shuffle_partitions
+
+    n_parts = shuffle_partitions(bands)
     a = (
         hotr.withColumn(
             "p", F.explode(F.array(*[F.lit(i) for i in range(salt_g)]))

@@ -35,15 +35,22 @@ from ..operators.image_dedup import (
 MAX_HAMMING = 3
 
 
-def static_phash_index(static_imgs: DataFrame) -> DataFrame:
+def static_phash_index(
+    static_imgs: DataFrame, n_bands: int = DEFAULT_N_BANDS
+) -> DataFrame:
     """Precompute the corpus side once: slim (sid, band, val, hash)."""
-    return band_rows(static_imgs, "image_id", "sid")
+    return band_rows(static_imgs, "image_id", "sid", n_bands=n_bands)
 
 
 def _matches(
     imgs: DataFrame, band_index: DataFrame, max_hamming: int,
     n_bands: int = DEFAULT_N_BANDS,
 ) -> DataFrame:
+    # the index MUST be banded with the same n_bands: the query side is
+    # re-banded here with ``n_bands``, and a mismatched slicing would
+    # silently lose matches (different (band, val) keys), defeating the
+    # pigeonhole guarantee below — callers thread ONE n_bands through
+    # static_phash_index and this function
     # same pigeonhole precondition phash_near_dup enforces: banding is
     # lossless only when max_hamming < n_bands (a pair differing in
     # n_bands+ bits may disagree on every band and lose recall) — a
@@ -78,13 +85,16 @@ def streaming_image_dup_matches(
     imgs_path: str,
     static_imgs: DataFrame,
     max_hamming: int = MAX_HAMMING,
+    n_bands: int = DEFAULT_N_BANDS,
 ) -> DataFrame:
     """Streaming DataFrame of (image_id, sid, hamming) matches of
     incoming images against the static corpus (append mode, stateless)."""
     schema = spark.read.parquet(imgs_path).schema
     stream = spark.readStream.schema(schema).parquet(imgs_path)
-    bidx = static_phash_index(static_imgs).localCheckpoint()
-    return _matches(stream.select("image_id", "phash"), bidx, max_hamming)
+    bidx = static_phash_index(static_imgs, n_bands).localCheckpoint()
+    return _matches(
+        stream.select("image_id", "phash"), bidx, max_hamming, n_bands
+    )
 
 
 def batch_image_dup_matches(
@@ -92,7 +102,10 @@ def batch_image_dup_matches(
     imgs_path: str,
     static_imgs: DataFrame,
     max_hamming: int = MAX_HAMMING,
+    n_bands: int = DEFAULT_N_BANDS,
 ) -> DataFrame:
     """Batch replay twin of streaming_image_dup_matches."""
     imgs = spark.read.parquet(imgs_path).select("image_id", "phash")
-    return _matches(imgs, static_phash_index(static_imgs), max_hamming)
+    return _matches(
+        imgs, static_phash_index(static_imgs, n_bands), max_hamming, n_bands
+    )

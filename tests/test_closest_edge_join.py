@@ -139,3 +139,15 @@ def test_edge_table_never_broadcast(spark, sf_dir, pts):
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_empty_query_side_returns_typed_empty(spark, pts):
+    from s2geometry_spark.operators import knn as KNN
+
+    edges = _edges_df(spark, range(6))
+    idx = KNN.edge_covering_index(edges, 7)
+    out = KNN.closest_edge_join(
+        spark, pts.limit(0), idx, index_level=7, k=2
+    )
+    assert out.columns == ["key", "line_id", "dist2", "rn"]
+    assert out.count() == 0

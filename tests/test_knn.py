@@ -372,3 +372,11 @@ class TestMaxError:
         assert set(approx) == set(exact)
         for key, d2 in approx.items():
             assert d2 <= exact[key] + e
+
+
+def test_empty_query_side_returns_typed_empty(spark, q_df, idx_df):
+    """An empty query side must yield a typed empty result, not an
+    IndexError from an empty finished-parts list."""
+    out = KNN.knn_join(spark, q_df.limit(0), idx_df, 3)
+    assert out.columns == ["key", "neighbor_key", "dist2", "rn"]
+    assert out.count() == 0
