@@ -50,6 +50,37 @@ def read_clustered(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_clustered_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    cell_col: str = "cell_id",
+    n_buckets: int = 16,
+    mode: str = "append",
+) -> int:
+    """The clustered layout committed through the snapshot protocol
+    (sources.snapshots): tile-bucket repartition + Hilbert-biased sort
+    as in ``write_clustered``, but files land in an isolated staging
+    dir and become visible only at the atomic manifest commit — plus
+    the manifest records per-file min/max of the biased key, so
+    ``snapshots.scan_stats_range`` prunes whole files from manifest
+    bytes before Spark lists anything.  Returns the committed
+    version."""
+    from . import snapshots as SN
+
+    # RANGE partition on the biased key (not hash buckets): each file
+    # then covers a disjoint contiguous Hilbert range, so the recorded
+    # min/max are tight and a range scan keeps ~(range/total) of the
+    # files; hash bucketing would smear every range across all files
+    # and make the manifest stats useless
+    out = df.withColumn(
+        "cell_biased", S.cell_bias(F.col(cell_col))
+    ).repartitionByRange(n_buckets, "cell_biased")
+    return SN.write_snapshot(
+        out, table_dir, mode=mode,
+        stats_col="cell_biased", sort_col="cell_biased",
+    )
+
+
 def scan_cell_range(
     spark: SparkSession, path: str, lo_biased: int, hi_biased: int,
     cell_col: str = "cell_id",
