@@ -119,7 +119,20 @@ def main() -> None:
 
     clean = pipe.stage("near_dedup", near_dedup, inputs=(exact,))
 
+    # publish the surviving corpus as an atomically-committed snapshot
+    # (sources.snapshots): a consumer reading the published table sees
+    # the previous complete version until this run's manifest lands,
+    # and each curation run adds a time-travelable version
+    from s2geometry_spark.sources import snapshots as SN
+
+    publish_dir = os.path.join(args.checkpoint_root, "published")
+    version = SN.write_snapshot(clean.df, publish_dir, mode="overwrite")
+
     report = {
+        "published": {
+            "version": version,
+            "rows": SN.read_manifest(publish_dir, version)["total_rows"],
+        },
         "docs": {"rows": docs.rows, "resumed": docs.resumed},
         "profile": {"rows": prof.rows, "resumed": prof.resumed},
         "quality_filter": {

@@ -78,3 +78,25 @@ def test_curation_with_planted_problems(spark, sf_dir, tmp_path):
                   "near_dedup"):
         assert rep2[stage]["resumed"], stage
         assert rep2[stage]["rows"] == rep[stage]["rows"], stage
+
+
+def test_published_snapshot_versions(spark, sf_dir, tmp_path):
+    """Each run publishes the clean corpus as an atomically-committed
+    snapshot; a resumed run commits the NEXT version with identical
+    rows, and the previous version stays readable (time travel)."""
+    from s2geometry_spark.sources import snapshots as SN
+
+    root = str(tmp_path / "ck")
+    rep = _run(sf_dir, root)
+    assert rep["published"]["version"] == 1
+    assert rep["published"]["rows"] == rep["near_dedup"]["rows"]
+
+    rep2 = _run(sf_dir, root)
+    assert rep2["published"]["version"] == 2
+    assert rep2["published"]["rows"] == rep["published"]["rows"]
+
+    pub = f"{root}/published"
+    assert SN.read_snapshot(spark, pub, version=1).count() == rep[
+        "published"
+    ]["rows"]
+    assert SN.current_version(pub) == 2
