@@ -1170,8 +1170,19 @@ def q_knn_supplier_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("far").alias("side"), "key", "neighbor_key", "dist2", "rn"
     )
+    # bounded option arm: a deterministic 1/8 slice of the query side
+    # (key % 8 == 0, same predicate in the oracle SQL).  The arm exists
+    # to drive the Options.MaxDistance short-circuit path end-to-end;
+    # the near arm above already measures the full-scale ring machinery
+    # on every query, so running the option arm over all queries would
+    # double the family's bench cost to re-prove the same scan.
     bounded = KNN.knn_join(
-        spark, q, idx, KNN_K, index_count=n_idx, max_distance2=KNN_BOUND2
+        spark,
+        q.where(F.col("key") % 8 == 0),
+        idx,
+        KNN_K,
+        index_count=n_idx,
+        max_distance2=KNN_BOUND2,
     ).select(
         F.lit("bounded").alias("side"), "key", "neighbor_key", "dist2", "rn"
     )
@@ -1526,8 +1537,14 @@ def oracle_sql() -> dict[str, str]:
         P.xyz_sql_cte("supplier", "s_suppkey", name="ipts"),
         KNN_K,
     )
+    # bounded arm runs on the deterministic 1/8 query slice the Spark
+    # side uses (see q_knn_supplier_family)
     knn_bounded_sql = knn_oracle_sql(
-        P.xyz_sql_cte("orders", "o_orderkey", name="qpts"),
+        P.xyz_sql_cte(
+            "(SELECT * FROM orders WHERE (o_orderkey % 8) = 0)",
+            "o_orderkey",
+            name="qpts",
+        ),
         P.xyz_sql_cte("supplier", "s_suppkey", name="ipts"),
         KNN_K,
         max_distance2=KNN_BOUND2,

@@ -317,7 +317,9 @@ class Cell:
     __slots__ = ("id", "face", "level", "orientation", "u_lo", "u_hi", "v_lo", "v_hi")
 
     def __init__(self, cell_id: int):
-        self.id = int(cell_id)
+        # accept either unsigned or signed-LongType representations of
+        # the same 64-bit id (Spark hands back signed longs)
+        self.id = int(cell_id) & 0xFFFFFFFFFFFFFFFF
         one = np.array([self.id], dtype=np.uint64)
         from .hilbert import to_face_ij
 

@@ -622,7 +622,8 @@ def _edge_dist2_udf():
 
 
 def ranked_edge_lines(
-    unfin: DataFrame, idx: DataFrame, level: int, k: int
+    unfin: DataFrame, idx: DataFrame, level: int, k: int,
+    index_level: int | None = None,
 ) -> DataFrame:
     """One ring-expansion round of the distributed closest-edge query:
     3x3 neighborhood explode on the query side, pure-JVM ``parent()``
@@ -636,9 +637,22 @@ def ranked_edge_lines(
     ring = _ring_udf(level)
     probe = unfin.withColumn("jcell", F.explode(ring(F.col("qcell"))))
     iside = idx.withColumn("jcell", S.cell_parent(F.col("cov_cell"), level))
-    # duplicates (same edge via several cov_cells under one parent, or
-    # several ring cells) are absorbed by the min-fold — cheaper than a
-    # dedup shuffle on the candidate rows
+    if index_level is not None and level < index_level:
+        # the parent() re-key collapses every level-``index_level``
+        # covering cell of one edge under the same coarse jcell — at a
+        # coarse round the duplicate factor is 4^(index_level-level) in
+        # the worst case, and every duplicate index row multiplies the
+        # candidate join's output (each one re-evaluates the pUDF
+        # distance per matching query).  A dedup here is a shuffle
+        # bounded by INDEX size; the candidate rows it saves scale with
+        # QUERY x duplicate-factor — measured 8x fewer pUDF rows on the
+        # sf1 polyline arm (744 -> 94 index rows at the level-2 seed).
+        # At level == index_level the cov_cells are already distinct
+        # per edge, so the dedup exchange is skipped entirely.
+        iside = iside.dropDuplicates(["jcell", "line_id", "edge_idx"])
+    # remaining duplicates (same edge via several ring cells of one
+    # query) are absorbed by the min-fold — cheaper than a dedup
+    # shuffle on the candidate rows
     cand = probe.join(iside, on="jcell", how="inner").select(
         "qk", "line_id",
         d2(
@@ -723,7 +737,9 @@ def closest_edge_join(
     for _rnd in range(max_rounds):
         if level < MIN_LEVEL_FLOOR or unfinished.isEmpty():
             break
-        ranked = ranked_edge_lines(unfinished, idx, level, k).localCheckpoint()
+        ranked = ranked_edge_lines(
+            unfinished, idx, level, k, index_level=index_level
+        ).localCheckpoint()
         guarantee = _chord2_from_radians(KMIN_WIDTH.get_value(level))
         done_q = (
             ranked.groupBy("qk")
