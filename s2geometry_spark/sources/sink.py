@@ -58,9 +58,11 @@ def write_clustered_snapshot(
     mode: str = "append",
 ) -> int:
     """The clustered layout committed through the snapshot protocol
-    (sources.snapshots): tile-bucket repartition + Hilbert-biased sort
-    as in ``write_clustered``, but files land in an isolated staging
-    dir and become visible only at the atomic manifest commit — plus
+    (sources.snapshots): RANGE-partitioned on the Hilbert-biased key
+    and sorted within each file (deliberately NOT ``write_clustered``'s
+    hash buckets — see the comment below), with files landing in an
+    isolated staging dir that becomes visible only at the atomic
+    manifest commit — plus
     the manifest records per-file min/max of the biased key, so
     ``snapshots.scan_stats_range`` prunes whole files from manifest
     bytes before Spark lists anything.  Returns the committed

@@ -13,36 +13,53 @@ Layout per table directory::
     <table>/_current                      pointer file, atomically
                                           renamed into place
 
+Manifests store data-file paths RELATIVE to the table directory, so a
+committed table can be relocated (or written via a relative path from
+one cwd and read from another) without invalidating its history.
+
 Semantics (the subset of the Iceberg spec a resumable pipeline needs):
 
 - **Snapshot isolation**: a writer stages parquet under a fresh
-  ``data/<token>`` dir; nothing is visible until its manifest lands.
-  The manifest file is created with ``O_CREAT|O_EXCL`` (optimistic
-  concurrency: two racing writers can never claim the same version —
-  the loser probes forward to the next free slot), then ``_current``
-  is updated by write-temp + ``os.rename`` — atomic on POSIX, so a
-  reader sees the old snapshot or the new one, never a partial file
-  list.  A job that dies mid-write leaves only an orphaned staging
-  dir: invisible, re-runnable, garbage-collectable.  Concurrent
-  APPENDS each chain from the pointer committed at their claim time
-  and the last pointer swap wins (Iceberg resolves this with a
-  catalog CAS; here the contract is one appender per table, which is
-  what the checkpointed pipelines guarantee).
+  ``data/<token>`` dir; nothing is visible until its manifest lands
+  AND the ``_current`` pointer advances over it.  The manifest file is
+  created with ``O_CREAT|O_EXCL`` (optimistic concurrency: two racing
+  writers can never claim the same version — the loser probes forward
+  to the next free slot), then ``_current`` is updated by write-temp +
+  ``os.rename`` — atomic on POSIX, so a reader sees the old snapshot
+  or the new one, never a partial file list.  **Committed** means "on
+  the parent chain of ``_current``": a job that dies mid-write leaves
+  either an orphaned staging dir or an orphaned claimed-but-never-
+  pointed-to manifest, and both stay invisible (``read_snapshot``
+  refuses versions off the committed chain), re-runnable, and
+  garbage-collectable.  Concurrent APPENDS each chain from the pointer
+  committed at their claim time and the last pointer swap wins
+  (Iceberg resolves this with a catalog CAS; here the contract is one
+  appender per table, which is what the checkpointed pipelines
+  guarantee).
 - **Append or overwrite**: an append manifest carries the parent's
   files plus the new ones; overwrite starts a fresh list.  Data files
-  are immutable either way.
+  are immutable either way.  An append inherits the parent manifest's
+  ``stats_col`` unless the caller passes the same one explicitly — a
+  CONFLICTING ``stats_col`` raises, because one chain pruned under two
+  different columns is unanswerable.
 - **Time travel + rollback**: every manifest is kept;
-  ``read_snapshot(..., version=n)`` reads any committed version and
-  ``rollback`` repoints ``_current`` without touching data.
+  ``read_snapshot(..., version=n)`` reads any committed version.
+  ``rollback`` restores an older version's file list as a NEW commit
+  (Iceberg's model) — metadata-only, data untouched — so every
+  committed version remains on the ancestor chain of ``_current``
+  forever and stays time-travel-readable even after the rollback.
 - **Manifest-level pruning**: each manifest entry records per-file row
   count and min/max of a stats column (default: the Hilbert-biased
   cell id the clustered sink sorts by), read once from the parquet
-  footers at commit time.  ``scan_stats_range`` drops whole files on
-  the driver before Spark ever lists them — at 100 TB that is the
-  difference between planning over a few manifest KB and opening 10^5
-  footers (Iceberg's manifest pruning; the reference's
-  S2CellIndex/S2CellUnion range logic plays this role for in-memory
-  indexes).
+  footers at commit time.  Stats keep their native parquet types
+  (int64 stays int, double stays float, string stays string — all
+  JSON-round-trippable; types that aren't, e.g. binary, record no
+  stats and the file is conservatively kept).  ``scan_stats_range``
+  drops whole files on the driver before Spark ever lists them — at
+  100 TB that is the difference between planning over a few manifest
+  KB and opening 10^5 footers (Iceberg's manifest pruning; the
+  reference's S2CellIndex/S2CellUnion range logic plays this role for
+  in-memory indexes).
 
 Lineage/metrics: manifests carry the operation, the parent version,
 total rows, and the per-file stats — the per-partition lineage record
@@ -83,16 +100,47 @@ def read_manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _file_stats(files: list[str], stats_col: str | None) -> list[dict]:
+def _is_committed(table_dir: str, version: int) -> bool:
+    """True iff ``version`` is on the parent chain of ``_current`` —
+    i.e. its pointer swap happened (directly or via a later commit).
+    Versions grow strictly along the chain, so the walk stops early."""
+    v = current_version(table_dir)
+    while v is not None:
+        if v == version:
+            return True
+        if v < version:
+            return False
+        v = read_manifest(table_dir, v).get("parent")
+    return False
+
+
+def _json_stat(v):
+    """A stat value safe to put in a manifest: orderable and exactly
+    JSON-round-trippable.  Parquet stats that decode to other types
+    (binary, date, Decimal, bool) return None — recording a lossy
+    coercion (e.g. int(120.9)) would make pruning UNSOUND, silently
+    dropping files whose true range still overlaps the scan."""
+    if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+        return None
+    return v
+
+
+def _file_stats(
+    files: list[str], stats_col: str | None, table_dir: str
+) -> list[dict]:
     """Per-file row counts and min/max of ``stats_col`` from the
     parquet footers — read ONCE at commit time, driver-side (the file
-    list of one write job, not the table)."""
+    list of one write job, not the table).  Paths are recorded
+    relative to ``table_dir``."""
     import pyarrow.parquet as pq
 
     out = []
     for path in files:
         md = pq.ParquetFile(path).metadata
-        ent: dict = {"path": path, "rows": md.num_rows}
+        ent: dict = {
+            "path": os.path.relpath(path, table_dir),
+            "rows": md.num_rows,
+        }
         if stats_col is not None:
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             if stats_col in idx:
@@ -104,10 +152,82 @@ def _file_stats(files: list[str], stats_col: str | None) -> list[dict]:
                         break
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-                if lo is not None:
-                    ent["stats"] = {stats_col: [int(lo), int(hi)]}
+                lo, hi = _json_stat(lo), _json_stat(hi)
+                if lo is not None and hi is not None:
+                    ent["stats"] = {stats_col: [lo, hi]}
         out.append(ent)
     return out
+
+
+def _entry_paths(table_dir: str, m: dict) -> list[str]:
+    # join() leaves pre-relative-path (absolute) legacy entries intact
+    return [os.path.join(table_dir, e["path"]) for e in m["files"]]
+
+
+def _commit(
+    table_dir: str,
+    operation: str,
+    entries: list[dict],
+    total: int,
+    schema_json: dict,
+    stats_col: str | None,
+    merge_parent: bool,
+    extra: dict | None = None,
+) -> int:
+    """Optimistic commit loop: claim a version with ``O_CREAT|O_EXCL``.
+    A racing writer that claimed the slot first forces a retry at the
+    NEXT FREE version (probing forward — the pointer may lag behind
+    claimed manifests if the winner hasn't swapped it yet, so
+    re-reading current_version alone could spin on the same slot
+    forever); the append parent stays the last COMMITTED pointer.
+    Ends with the atomic pointer swap: readers see the old or the new
+    version, never a torn state."""
+    attempt = 0
+    while True:
+        parent = current_version(table_dir)
+        version = (1 if parent is None else parent + 1) + attempt
+        files = list(entries)
+        tot = total
+        if merge_parent and parent is not None:
+            pm = read_manifest(table_dir, parent)
+            pcol = pm.get("stats_col")
+            if pcol is not None and stats_col is not None and pcol != stats_col:
+                raise ValueError(
+                    f"append with stats_col={stats_col!r} onto a chain "
+                    f"pruned by {pcol!r} (v{parent}): one table cannot "
+                    "be range-pruned under two different columns"
+                )
+            files = pm["files"] + files
+            tot += pm["total_rows"]
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "operation": operation,
+            "committed_at": time.time(),
+            "schema": schema_json,
+            "stats_col": stats_col,
+            "total_rows": tot,
+            "files": files,
+        }
+        if extra:
+            manifest.update(extra)
+        try:
+            fd = os.open(
+                _version_path(table_dir, version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            attempt += 1  # slot taken — probe the next free version
+            continue
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        break
+
+    tmp = os.path.join(table_dir, f"{_CURRENT}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.rename(tmp, os.path.join(table_dir, _CURRENT))
+    return version
 
 
 def write_snapshot(
@@ -121,7 +241,9 @@ def write_snapshot(
     committed version.
 
     ``stats_col``: record per-file min/max of this column in the
-    manifest (enables ``scan_stats_range`` file pruning).
+    manifest (enables ``scan_stats_range`` file pruning).  An append
+    onto a stats-carrying chain inherits the parent's column when this
+    is None, and refuses a different one.
     ``sort_col``: sortWithinPartitions by this column before writing,
     so the recorded min/max ranges are tight (the clustered-sink
     Hilbert order; without a sort every file spans the full range and
@@ -129,6 +251,23 @@ def write_snapshot(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(os.path.join(table_dir, _SNAPDIR), exist_ok=True)
+
+    # resolve the chain's stats column BEFORE reading footers, so
+    # appended files record stats under the SAME key the manifest
+    # declares (inherited entries under a different key would make
+    # every later range scan KeyError or silently lose pruning)
+    if mode == "append":
+        parent0 = current_version(table_dir)
+        if parent0 is not None:
+            pcol = read_manifest(table_dir, parent0).get("stats_col")
+            if stats_col is None:
+                stats_col = pcol
+            elif pcol is not None and pcol != stats_col:
+                raise ValueError(
+                    f"append with stats_col={stats_col!r} onto a chain "
+                    f"pruned by {pcol!r} (v{parent0}): one table cannot "
+                    "be range-pruned under two different columns"
+                )
 
     token = uuid.uuid4().hex
     staging = os.path.join(table_dir, _DATADIR, token)
@@ -141,66 +280,36 @@ def write_snapshot(
         for f in os.listdir(staging)
         if f.endswith(".parquet")
     )
-    entries = _file_stats(new_files, stats_col)
-
-    # optimistic commit loop: claim version with O_CREAT|O_EXCL.  A
-    # racing writer that claimed the slot first forces a retry at the
-    # NEXT FREE version (probing forward — the pointer may lag behind
-    # claimed manifests if the winner hasn't swapped it yet, so
-    # re-reading current_version alone could spin on the same slot
-    # forever); the append parent stays the last COMMITTED pointer.
-    attempt = 0
-    while True:
-        parent = current_version(table_dir)
-        version = (1 if parent is None else parent + 1) + attempt
-        files = list(entries)
-        total = sum(e["rows"] for e in entries)
-        if mode == "append" and parent is not None:
-            pm = read_manifest(table_dir, parent)
-            files = pm["files"] + files
-            total += pm["total_rows"]
-        manifest = {
-            "version": version,
-            "parent": parent,
-            "operation": mode,
-            "committed_at": time.time(),
-            "schema": df.schema.jsonValue(),
-            "stats_col": stats_col,
-            "total_rows": total,
-            "files": files,
-        }
-        try:
-            fd = os.open(
-                _version_path(table_dir, version),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
-            attempt += 1  # slot taken — probe the next free version
-            continue
-        with os.fdopen(fd, "w") as fh:
-            json.dump(manifest, fh)
-        break
-
-    # atomic pointer swap: readers see the old or the new version,
-    # never a torn state
-    tmp = os.path.join(table_dir, f"{_CURRENT}.{token}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.rename(tmp, os.path.join(table_dir, _CURRENT))
-    return version
+    entries = _file_stats(new_files, stats_col, table_dir)
+    total = sum(e["rows"] for e in entries)
+    return _commit(
+        table_dir,
+        mode,
+        entries,
+        total,
+        df.schema.jsonValue(),
+        stats_col,
+        merge_parent=(mode == "append"),
+    )
 
 
 def read_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """The table as of ``version`` (default: current).  Reads exactly
-    the manifest's file list — uncommitted staging dirs are invisible."""
+    the manifest's file list — uncommitted staging dirs and orphaned
+    claimed-but-never-committed manifests are invisible."""
     if version is None:
         version = current_version(table_dir)
         if version is None:
             raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    elif not _is_committed(table_dir, version):
+        raise ValueError(
+            f"version {version} of {table_dir} was never committed "
+            "(claimed manifest without a pointer swap, or unknown)"
+        )
     m = read_manifest(table_dir, version)
-    paths = [e["path"] for e in m["files"]]
+    paths = _entry_paths(table_dir, m)
     if not paths:
         from pyspark.sql.types import StructType
 
@@ -210,47 +319,81 @@ def read_snapshot(
     return spark.read.parquet(*paths)
 
 
-def rollback(table_dir: str, version: int) -> None:
-    """Repoint ``_current`` at an older committed version (data files
-    are immutable, so this is metadata-only and atomic)."""
-    read_manifest(table_dir, version)  # must exist
-    tmp = os.path.join(table_dir, f"{_CURRENT}.rb.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.rename(tmp, os.path.join(table_dir, _CURRENT))
+def rollback(table_dir: str, version: int) -> int:
+    """Restore an older committed version's state as a NEW commit
+    (Iceberg's rollback model): metadata-only — data files are
+    immutable and shared — and atomic via the same pointer swap.
+    Because the restore is itself a commit parented on the current
+    pointer, EVERY committed version stays on the ancestor chain of
+    ``_current``, so time travel to versions newer than the rollback
+    target keeps working.  Returns the new version."""
+    if not _is_committed(table_dir, version):
+        raise ValueError(
+            f"cannot roll back {table_dir} to v{version}: not a "
+            "committed version"
+        )
+    m = read_manifest(table_dir, version)
+    return _commit(
+        table_dir,
+        "rollback",
+        m["files"],
+        m["total_rows"],
+        m["schema"],
+        m.get("stats_col"),
+        merge_parent=False,
+        extra={"rollback_of": version},
+    )
+
+
+def _keep_entry(e: dict, col: str, lo, hi) -> bool:
+    """The manifest prune predicate, shared by the scan and the
+    observability hook so the two cannot drift: keep a file unless its
+    recorded [min, max] provably misses [lo, hi].  Entries with no
+    recorded range under ``col`` (unstatable type, or files inherited
+    from a pre-stats parent) are kept — pruning must stay sound."""
+    if "stats" not in e or col not in e["stats"]:
+        return True
+    s_lo, s_hi = e["stats"][col]
+    return not (s_hi < lo or s_lo > hi)
+
+
+def _pruning_manifest(table_dir: str, version: int | None) -> dict:
+    if version is None:
+        version = current_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    m = read_manifest(table_dir, version)
+    if m.get("stats_col") is None:
+        raise ValueError(
+            f"snapshot v{version} of {table_dir} has no stats_col; "
+            "write with stats_col= to enable manifest pruning"
+        )
+    return m
 
 
 def scan_stats_range(
     spark: SparkSession,
     table_dir: str,
-    lo: int,
-    hi: int,
+    lo,
+    hi,
     version: int | None = None,
 ) -> DataFrame:
     """Range scan with MANIFEST-LEVEL file pruning: files whose
     recorded [min, max] of the manifest's ``stats_col`` misses
     [lo, hi] are dropped on the driver from manifest bytes alone; the
     surviving files still get the row-group predicate pushdown."""
-    if version is None:
-        version = current_version(table_dir)
-        if version is None:
-            raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    m = read_manifest(table_dir, version)
-    col = m.get("stats_col")
-    if col is None:
-        raise ValueError(
-            f"snapshot v{version} of {table_dir} has no stats_col; "
-            "write with stats_col= to enable manifest pruning"
-        )
+    m = _pruning_manifest(table_dir, version)
+    col = m["stats_col"]
     keep = [
-        e["path"]
+        os.path.join(table_dir, e["path"])
         for e in m["files"]
-        if "stats" not in e  # unknown range: cannot prune safely
-        or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+        if _keep_entry(e, col, lo, hi)
     ]
     if not keep:
+        from pyspark.sql.types import StructType
+
         return (
-            read_snapshot(spark, table_dir, version)
+            spark.createDataFrame([], schema=StructType.fromJson(m["schema"]))
             .where(F.lit(False))
         )
     return (
@@ -260,18 +403,13 @@ def scan_stats_range(
 
 
 def pruned_file_count(
-    table_dir: str, lo: int, hi: int, version: int | None = None
+    table_dir: str, lo, hi, version: int | None = None
 ) -> tuple[int, int]:
     """(files kept, files total) for a stats range — the observability
-    hook tests and jobs use to prove pruning engaged."""
-    if version is None:
-        version = current_version(table_dir)
-    m = read_manifest(table_dir, version)
+    hook tests and jobs use to prove pruning engaged.  Raises exactly
+    like ``scan_stats_range`` on an uncommitted table or a chain with
+    no stats_col."""
+    m = _pruning_manifest(table_dir, version)
     col = m["stats_col"]
-    keep = sum(
-        1
-        for e in m["files"]
-        if "stats" not in e
-        or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
-    )
+    keep = sum(1 for e in m["files"] if _keep_entry(e, col, lo, hi))
     return keep, len(m["files"])

@@ -42,9 +42,18 @@ def test_overwrite_then_append_and_time_travel(spark, tdir):
     assert m["parent"] == 2 and m["operation"] == "overwrite"
     assert m["total_rows"] == 7
 
-    SN.rollback(tdir, 2)
-    assert SN.current_version(tdir) == 2
+    # rollback restores v2's file list as a NEW commit (Iceberg's
+    # model): metadata-only, and v3 stays on the committed chain so it
+    # remains time-travel-readable after the rollback
+    v4 = SN.rollback(tdir, 2)
+    assert v4 == 4
+    assert SN.current_version(tdir) == 4
     assert SN.read_snapshot(spark, tdir).count() == 150
+    m4 = SN.read_manifest(tdir, 4)
+    assert m4["operation"] == "rollback" and m4["rollback_of"] == 2
+    assert SN.read_snapshot(spark, tdir, version=3).count() == 7
+    with pytest.raises(ValueError, match="not a committed version"):
+        SN.rollback(tdir, 99)
 
 
 def test_uncommitted_staging_is_invisible(spark, tdir):
@@ -85,6 +94,10 @@ def test_version_claim_is_exclusive(spark, tdir):
     # still 1 when it committed), so its manifest parents v1
     assert SN.read_manifest(tdir, 3)["parent"] == 1
     assert SN.read_snapshot(spark, tdir, version=3).count() == 15
+    # the squatted manifest was never pointed at: it is NOT committed,
+    # and time travel refuses to serve it
+    with pytest.raises(ValueError, match="never committed"):
+        SN.read_snapshot(spark, tdir, version=2)
 
 
 def test_manifest_pruning_drops_files(spark, tdir):
@@ -144,3 +157,72 @@ def test_clustered_snapshot_prunes_hilbert_ranges(spark, sf_dir, tdir):
         (F2.col("cell_biased") >= lo) & (F2.col("cell_biased") <= hi)
     ).count()
     assert got == want > 0
+
+
+def test_float_stats_prune_is_sound(spark, tdir):
+    """Fractional min/max must be recorded exactly — an int() coercion
+    of 120.9 to 120 would prune the file out of a [120.5, 121] scan
+    and silently drop its rows."""
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 0.1 + 0.9).alias("score")
+    ).repartitionByRange(4, "score")
+    SN.write_snapshot(
+        df, tdir, mode="overwrite", stats_col="score", sort_col="score"
+    )
+    m = SN.read_manifest(tdir, 1)
+    assert all(
+        isinstance(b, float)
+        for e in m["files"]
+        for b in e["stats"]["score"]
+    )
+    got = sorted(
+        r["k"]
+        for r in SN.scan_stats_range(spark, tdir, 0.95, 1.25).collect()
+    )
+    # score = k/10 + 0.9 in [0.95, 1.25] -> k in [0.5, 3.5] -> {1,2,3}
+    assert got == [1, 2, 3]
+    # negative side: int(-0.05) = 0 would tighten the min past -0.05
+    df2 = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 0.1 - 0.95).alias("score")
+    )
+    t2 = tdir + "_neg"
+    SN.write_snapshot(df2, t2, mode="overwrite", stats_col="score")
+    assert SN.scan_stats_range(spark, t2, -1.0, -0.9).count() == 1
+
+
+def test_append_inherits_and_guards_stats_col(spark, tdir):
+    """An append onto a stats-carrying chain inherits the parent's
+    stats_col (so the new files stay prunable) and refuses a
+    conflicting one (one chain cannot be pruned under two columns)."""
+    SN.write_snapshot(
+        _df(spark, 0, 100), tdir, mode="overwrite",
+        stats_col="k", sort_col="k",
+    )
+    SN.write_snapshot(_df(spark, 100, 100), tdir, mode="append")
+    m = SN.read_manifest(tdir, 2)
+    assert m["stats_col"] == "k"
+    # every entry (inherited + appended) carries stats under 'k'
+    assert all("k" in e.get("stats", {}) for e in m["files"])
+    got = SN.scan_stats_range(spark, tdir, 150, 160).count()
+    assert got == 11
+    with pytest.raises(ValueError, match="two different columns"):
+        SN.write_snapshot(
+            _df(spark, 200, 10), tdir, mode="append", stats_col="v"
+        )
+
+
+def test_manifest_paths_are_relative_and_table_is_relocatable(
+    spark, tdir
+):
+    """Manifests store paths relative to the table dir, so moving the
+    committed table (or reading it from a different cwd than it was
+    written from) keeps every version readable."""
+    SN.write_snapshot(_df(spark, 0, 50), tdir, mode="overwrite")
+    SN.write_snapshot(_df(spark, 50, 25), tdir, mode="append")
+    for v in (1, 2):
+        for e in SN.read_manifest(tdir, v)["files"]:
+            assert not os.path.isabs(e["path"]), e["path"]
+    moved = tdir + "_moved"
+    os.rename(tdir, moved)
+    assert SN.read_snapshot(spark, moved).count() == 75
+    assert SN.read_snapshot(spark, moved, version=1).count() == 50
