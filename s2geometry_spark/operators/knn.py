@@ -298,20 +298,25 @@ def knn_join(
             finished_parts.append(ranked_st.df)
             bound_covered = True
             break
-        done_q = done_queries(ranked_st.df, guarantee)
+        # one row per finished query: materialized ONCE and fed to both
+        # the semi-join (emit finals) and the anti-join (loop the rest)
+        # — recomputing done_queries in each consumer would run its
+        # groupBy shuffle twice per round
+        done_st = mat(
+            f"knn_r{rnd}_done",
+            lambda ranked: done_queries(ranked, guarantee),
+            inputs=(ranked_st,),
+            params={"level": level},
+        )
         finished_parts.append(
-            ranked_st.df.join(done_q, on=["qk", *gcols], how="left_semi")
+            ranked_st.df.join(done_st.df, on=["qk", *gcols], how="left_semi")
         )
         unfinished_st = mat(
             f"knn_r{rnd}_unfinished",
-            lambda unfinished, ranked: unfinished.join(
-                done_queries(
-                    ranked, _chord2_from_radians(KMIN_WIDTH.get_value(level))
-                ),
-                on=["qk", *gcols],
-                how="left_anti",
+            lambda unfinished, done: unfinished.join(
+                done, on=["qk", *gcols], how="left_anti"
             ),
-            inputs=(unfinished_st, ranked_st),
+            inputs=(unfinished_st, done_st),
             params={"level": level},
         )
         # coarsen by one level: ring area x4 per round, and a query
@@ -403,6 +408,7 @@ def hausdorff_directed(
     group_col: str = "grp",
     spark: SparkSession | None = None,
     knn_threshold: int = HAUSDORFF_KNN_THRESHOLD,
+    b_count: int | None = None,
 ) -> DataFrame:
     """Directed Hausdorff distance per group: max over a in A of
     min over b in B of dist(a, b), as squared chord
@@ -416,8 +422,15 @@ def hausdorff_directed(
     per-group kNN composition above takes over — same values, no
     per-group quadratic blowup.
     """
-    if spark is not None and b_df.count() >= knn_threshold:
-        return hausdorff_directed_knn(spark, a_df, b_df, group_col)
+    if spark is not None:
+        # the switch needs order-of-magnitude accuracy only: a sampled
+        # estimate (or a caller-supplied count, the index_count
+        # pattern) replaces a full count() action that would re-run
+        # the B side's whole upstream lineage — twice per undirected
+        # call — just to pick a plan
+        n_b = b_count if b_count is not None else approx_index_count(b_df)
+        if n_b >= knn_threshold:
+            return hausdorff_directed_knn(spark, a_df, b_df, group_col)
     a = normalized_cols(a_df).select(
         F.col("key").alias("ak"), F.col(group_col).alias("ag"),
         F.col("ux").alias("aux"), F.col("uy").alias("auy"),
@@ -447,6 +460,8 @@ def hausdorff_undirected(
     group_col: str = "grp",
     spark: SparkSession | None = None,
     knn_threshold: int = HAUSDORFF_KNN_THRESHOLD,
+    a_count: int | None = None,
+    b_count: int | None = None,
 ) -> DataFrame:
     """Undirected Hausdorff distance per group
     (S2HausdorffDistanceQuery.cs:18-52: the max of the two directed
@@ -455,10 +470,10 @@ def hausdorff_undirected(
     composition), so the undirected form inherits the scale path.
     Output: (group_col, hausdorff2 = directed a->b, undirected2)."""
     fwd = hausdorff_directed(
-        a_df, b_df, group_col, spark, knn_threshold
+        a_df, b_df, group_col, spark, knn_threshold, b_count=b_count
     ).withColumnRenamed("hausdorff2", "h_ab2")
     bwd = hausdorff_directed(
-        b_df, a_df, group_col, spark, knn_threshold
+        b_df, a_df, group_col, spark, knn_threshold, b_count=a_count
     ).withColumnRenamed("hausdorff2", "h_ba2")
     return (
         fwd.join(bwd, group_col)
@@ -708,7 +723,14 @@ def closest_edge_join(
     """
     if seed_level is None:
         if edge_count is None:
-            edge_count = edge_index.select("line_id", "edge_idx").distinct().count()
+            # log-scale estimate only: counting covering ROWS
+            # over-counts edges by the cells-per-edge factor (small,
+            # supercover at index_level), which shifts the seed level
+            # by at most ~1 — same policy as knn_join's
+            # approx_index_count, avoiding an exact distinct() shuffle
+            # over the fact-scale edge index just to pick a log-scale
+            # starting point
+            edge_count = approx_index_count(edge_index)
         seed_level = default_seed_level(edge_count, k)
     seed_level = min(int(seed_level), int(index_level))
 
@@ -749,6 +771,9 @@ def closest_edge_join(
                 & (F.col("kth") < F.lit(guarantee + max_error2))
             )
             .select("qk")
+            # one slim row per finished query, consumed by BOTH joins
+            # below — checkpointing runs its agg once, not twice
+            .localCheckpoint()
         )
         finished_parts.append(ranked.join(done_q, on="qk", how="left_semi"))
         unfinished = unfinished.join(

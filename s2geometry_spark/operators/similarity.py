@@ -58,12 +58,6 @@ def _dot_terms_duck(a: str, b: str) -> str:
     return " + ".join(partials)
 
 
-def _with_norm_spark(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "nrm", F.expr(f"sqrt({_dot_terms_spark('embedding', 'embedding')})")
-    )
-
-
 def _components(df: DataFrame, id_alias: str, prefix: str) -> DataFrame:
     """Pre-project the vector into 64 scalar DOUBLE columns + the norm:
     per-pair dot products then touch only scalar columns (whole-stage
@@ -365,7 +359,7 @@ def _plane_dot(col: str, p: np.ndarray, one_based: bool) -> str:
     partials = []
     for lo in range(0, DIM, CHUNK):
         terms = " + ".join(
-            f"CAST({col}[{i + off}] AS DOUBLE) * CAST('{p[i]!r}' AS DOUBLE)"
+            f"CAST({col}[{i + off}] AS DOUBLE) * CAST('{float(p[i])!r}' AS DOUBLE)"
             for i in range(lo, lo + CHUNK)
         )
         partials.append(f"({terms})")
@@ -651,6 +645,8 @@ def ivf_num_centroids(sf_dir: str) -> int:
     a fixed C is quadratic at scale while C ~ sqrt(N) keeps the
     probe-join linear-ish.  Derived from parquet metadata (row count
     only — no data read), identically on the Spark and oracle sides."""
+    if sf_dir is None:
+        raise ValueError("ivf_num_centroids needs sf_dir")
     import pyarrow.parquet as pq
 
     n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
@@ -669,6 +665,8 @@ def ivf_centroids(sf_dir: str, n_centroids: int = None) -> np.ndarray:
     count, argmax assignment with lowest-index ties, empty lists keep
     their previous centroid.
     """
+    if sf_dir is None:
+        raise ValueError("ivf_centroids needs sf_dir (the table to train on)")
     import pyarrow.parquet as pq
 
     if n_centroids is None:
@@ -757,6 +755,11 @@ def ann_ivf_topk(
     n_probe x list size, replacing the n^2 cross join; rerank attaches
     the 64-float components once per surviving pair.
     """
+    if centroids is None and sf_dir is None:
+        raise ValueError(
+            "ann_ivf_topk needs either precomputed centroids= or "
+            "sf_dir= to train them from the embeddings table"
+        )
     cents = centroids if centroids is not None else ivf_centroids(
         sf_dir, n_centroids
     )
@@ -794,7 +797,7 @@ def _centroid_dot_duck(col: str, cv: np.ndarray) -> str:
     partials = []
     for lo in range(0, DIM, CHUNK):
         terms = " + ".join(
-            f"CAST({col}[{i + 1}] AS DOUBLE) * CAST('{cv[i]!r}' AS DOUBLE)"
+            f"CAST({col}[{i + 1}] AS DOUBLE) * CAST('{float(cv[i])!r}' AS DOUBLE)"
             for i in range(lo, lo + CHUNK)
         )
         partials.append(f"({terms})")
