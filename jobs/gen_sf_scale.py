@@ -4,8 +4,8 @@ runs (sf0.1 x10 -> "sf1", ~6M lineitem rows).
 Fact-table keys shift per copy so every copy derives NEW deterministic
 points (sources/points.py hashes the key); dimension tables (region,
 nation) stay fixed so query semantics (25 nation regions, 5 regions)
-are unchanged.  Document ids shift by 50_000 per copy, staying clear
-of the +1_000_000 near-dup mutant band; each copy's text is identical,
+are unchanged.  Document ids shift by 50_000 per copy (near-dup mutants use negated
+ids, so no real-id band to avoid); each copy's text is identical,
 which deliberately makes every document a 10-way exact/near duplicate
 — a worst-case skew soak for the LSH banding path.
 

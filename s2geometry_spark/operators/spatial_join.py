@@ -345,6 +345,34 @@ def near_chord2(radius_rad: float) -> float:
     return min(4.0, 4 * s * s)
 
 
+def near_polyline_refine(
+    points: DataFrame,
+    cov: DataFrame,
+    levels: list[int],
+    lines_by_id: dict,
+    radius_chord2: float,
+    point_key: str = "key",
+) -> DataFrame:
+    """The candidate-join + exact-refine core of the within-distance
+    polyline join, shared VERBATIM by the batch operator below and the
+    streaming twin (streaming/route_stream) so their plans cannot
+    drift: leaf-encoded points -> ancestor terms at the covering
+    levels -> broadcast covering equi-join -> vectorized
+    min-edge-distance predicate.  Normalized coverings are disjoint
+    per line, so each (point, line) candidate appears once — no dedup
+    shuffle."""
+    from ..functions import udfs as U
+
+    probe = explode_ancestors(normalized_cols(points), levels)
+    joined = probe.join(
+        F.broadcast(cov), probe["anc_cell"] == cov["cov_cell"], "inner"
+    )
+    near = U.polyline_near_udf(lines_by_id, radius_chord2)
+    return joined.where(
+        near(F.col("line_id"), F.col("ux"), F.col("uy"), F.col("uz"))
+    ).select(F.col(point_key), F.col("line_id"))
+
+
 def point_near_polyline_join(
     spark: SparkSession,
     points: DataFrame,
@@ -360,32 +388,16 @@ def point_near_polyline_join(
     by the exact vectorized min-edge-distance predicate.
 
     ``polylines``: [(line_id, verts (m,3))].  Output (key, line_id)."""
-    import math
-
     import numpy as np
-    import pandas as pd
-
-    from ..functions import udfs as U
-    from ..kernels import cellid as CI
-    from ..kernels import cellunion as CU
-    from ..kernels.buffered_region import buffered_polyline_covering
 
     cov_pdf = polyline_covering_rows(polylines, radius_rad, options)
     levels = sorted(cov_pdf["level"].unique().tolist())
     cov = spark.createDataFrame(cov_pdf)
-    probe = explode_ancestors(normalized_cols(points), levels)
-    # normalized coverings are disjoint per line, so each (point,
-    # line) candidate appears once — no dedup shuffle
-    joined = probe.join(
-        F.broadcast(cov), probe["anc_cell"] == cov["cov_cell"], "inner"
-    )
-    radius_chord2 = near_chord2(radius_rad)
     lines_by_id = {lid: np.asarray(v, dtype=float) for lid, v in polylines}
-    near = U.polyline_near_udf(lines_by_id, radius_chord2)
-    refined = joined.where(
-        near(F.col("line_id"), F.col("ux"), F.col("uy"), F.col("uz"))
+    return near_polyline_refine(
+        points, cov, levels, lines_by_id, near_chord2(radius_rad),
+        point_key=point_key,
     )
-    return refined.select(F.col(point_key), F.col("line_id"))
 
 
 def point_in_cap_semi(

@@ -223,12 +223,6 @@ def _shingle_words(df: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_col(i: int) -> Column:
-    return F.expr(
-        f"array_min(zip_with(w1, w2, (a, b) -> (a + b * {i}) % {MINHASH_P}))"
-    )
-
-
 def _minhash_sig_udf():
     """pUDF: all MINHASH_N affine minima in one Arrow pass — one
     numpy broadcast per doc instead of N Catalyst zip_with projections
@@ -267,11 +261,7 @@ def _minhash_sig_udf():
 def minhash_signature(docs: DataFrame) -> DataFrame:
     """(doc_id, h0..h{N-1}): minhash signature over k-char shingles,
     one-hash affine family h_i = min((w1 + w2*i) mod P)."""
-    shingled = _shingle_words(
-        _spread(docs).select(
-            "doc_id", _shingles_expr("text").alias("shingles")
-        )
-    )
+    shingled = _shingle_words(doc_shingles(_spread(docs)))
     sig = shingled.select(
         "doc_id",
         _minhash_sig_udf()(F.col("w1"), F.col("w2")).alias("sig"),
@@ -286,14 +276,14 @@ NEAR_DUP_HOT_BUCKET = 64  # band-bucket size above which salting engages
 
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles): distinct k-char shingles per document."""
-    k = SHINGLE_K
-    sh_expr = (
-        f"array_distinct(transform("
-        f"sequence(1, greatest(length(text) - {k - 1}, 1)), "
-        f"i -> substring(text, i, {k})))"
+    """(doc_id, shingles): distinct k-char shingles per document.
+    NULL-text rows are dropped (their shingle array would be [NULL],
+    whose md5 words arrive as None in the Arrow batch and crash the
+    signature pUDF — and a NULL document has no meaningful near-dups
+    anyway); the SQL oracles filter identically."""
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id", _shingles_expr("text").alias("shingles")
     )
-    return docs.select("doc_id", F.expr(sh_expr).alias("shingles"))
 
 
 def _spread(docs: DataFrame) -> DataFrame:
@@ -311,12 +301,11 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs.repartition(n, "doc_id")
 
 
-def doc_band_rows(docs: DataFrame) -> DataFrame:
-    """Slim (doc_id, b, bk) LSH band rows: shingles -> minhash
-    signature -> banded md5 keys, stacked one row per band.  Works on
-    batch AND streaming DataFrames (pure projections + the Arrow
-    signature pUDF), so the stream-static dedup join shares this exact
-    plan fragment with near_dup_pairs."""
+def _banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, band0..band{B-1}): shingles -> minhash signature ->
+    banded md5 keys — the ONE plan fragment every LSH consumer
+    (doc_band_rows, near_dup_pairs, the streaming dedup) builds on, so
+    shingling/banding rules cannot drift between them."""
     shingled = _shingle_words(doc_shingles(_spread(docs)))
     sigs = shingled.select(
         "doc_id",
@@ -330,12 +319,25 @@ def doc_band_rows(docs: DataFrame) -> DataFrame:
         band_cols.append(
             F.md5(F.concat_ws("|", *parts)).alias(f"band{b}")
         )
-    banded = sigs.select("doc_id", *band_cols)
+    return sigs.select("doc_id", *band_cols)
+
+
+def _stack_bands(banded: DataFrame, *extra: str) -> DataFrame:
+    """One-pass band emission (stack) instead of a B-way self-union —
+    the union form recomputes the minhash signatures once per band."""
     stack_args = ", ".join(f"{b}, band{b}" for b in range(LSH_BANDS))
     return banded.select(
-        "doc_id",
+        "doc_id", *extra,
         F.expr(f"stack({LSH_BANDS}, {stack_args}) AS (b, bk)"),
     )
+
+
+def doc_band_rows(docs: DataFrame) -> DataFrame:
+    """Slim (doc_id, b, bk) LSH band rows, stacked one row per band.
+    Works on batch AND streaming DataFrames (pure projections + the
+    Arrow signature pUDF), so the stream-static dedup join shares this
+    exact plan fragment with near_dup_pairs."""
+    return _stack_bands(_banded(docs))
 
 
 def near_dup_pairs(
@@ -362,41 +364,22 @@ def near_dup_pairs(
     (the common case) join unsalted — zero replication overhead.
 
     ``with_mutants`` unions a deterministic mutated copy of each doc
-    (id + 1_000_000, text + marker suffix) so the pipeline provably
-    finds near-dups on corpora without natural ones."""
+    (id -> -id - 1, text + marker suffix) so the pipeline provably
+    finds near-dups on corpora without natural ones; the negated id
+    can never collide with a real non-negative doc_id (a fixed
+    additive offset silently collided with corpora whose ids reached
+    it)."""
     from .similarity import _first_match_band
 
     base = docs.select("doc_id", "text")
     if with_mutants:
         mut = docs.select(
-            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            (-F.col("doc_id") - F.lit(1)).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" zz")).alias("text"),
         )
         base = base.unionByName(mut)
-    base = _spread(base)
 
-    k = SHINGLE_K
-    sh_expr = (
-        f"array_distinct(transform("
-        f"sequence(1, greatest(length(text) - {k - 1}, 1)), "
-        f"i -> substring(text, i, {k})))"
-    )
-    shingled = _shingle_words(
-        base.select("doc_id", F.expr(sh_expr).alias("shingles"))
-    )
-    sigs = shingled.select(
-        "doc_id",
-        _minhash_sig_udf()(F.col("w1"), F.col("w2")).alias("sig"),
-    )
-    band_cols = []
-    for b in range(LSH_BANDS):
-        parts = [
-            F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)
-        ]
-        band_cols.append(
-            F.md5(F.concat_ws("|", *parts)).alias(f"band{b}")
-        )
-    banded = sigs.select("doc_id", *band_cols).withColumn(
+    banded = _banded(base).withColumn(
         # all band keys as one fixed-width string (32 hex chars per
         # band): lets the candidate join keep a multi-band collision
         # only at its FIRST matching band instead of paying a
@@ -405,13 +388,7 @@ def near_dup_pairs(
         "allb",
         F.concat(*[F.col(f"band{b}") for b in range(LSH_BANDS)]),
     )
-    # one-pass band emission (stack) instead of a 4-way self-union —
-    # the union form recomputes the minhash signatures once per band.
-    stack_args = ", ".join(f"{b}, band{b}" for b in range(LSH_BANDS))
-    bands = banded.select(
-        "doc_id", "allb",
-        F.expr(f"stack({LSH_BANDS}, {stack_args}) AS (b, bk)"),
-    ).select(
+    bands = _stack_bands(banded, "allb").select(
         "doc_id", "allb", "b", "bk",
         F.pmod(F.xxhash64("doc_id"), F.lit(salt_g)).alias("g"),
     ).localCheckpoint()
@@ -448,7 +425,7 @@ def near_dup_pairs(
                 F.col("c.doc_id").alias("id_b"),
             )
         )
-        return _jaccard_verified(cand, base, sh_expr)
+        return _jaccard_verified(cand, base)
     marked = bands.join(F.broadcast(hot), ["b", "bk"], "left")
     cold = marked.where(F.col("hot").isNull()).drop("hot", "g")
     hotr = marked.where(F.col("hot").isNotNull()).drop("hot")
@@ -500,19 +477,15 @@ def near_dup_pairs(
     # each pair already emits exactly once (first-band filter; branch
     # ownership is consistent because a collision's two rows share
     # (b, bk) and therefore sit in the same hot/cold branch)
-    return _jaccard_verified(cold_cand.unionByName(hot_cand), base, sh_expr)
+    return _jaccard_verified(cold_cand.unionByName(hot_cand), base)
 
 
-def _jaccard_verified(
-    cand: DataFrame, base: DataFrame, sh_expr: str
-) -> DataFrame:
+def _jaccard_verified(cand: DataFrame, base: DataFrame) -> DataFrame:
     """Exact-Jaccard verification of LSH candidate pairs: re-attach the
     two shingle sets once, post-candidate-dedup, and keep pairs at
     Jaccard >= 0.5 — shared by the salted and one-branch unsalted
     candidate plans of near_dup_pairs."""
-    sh = base.select(
-        "doc_id", F.expr(sh_expr).alias("shingles")
-    )
+    sh = doc_shingles(base)
     cand = cand.join(
         sh.select(
             F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
@@ -535,11 +508,13 @@ def _jaccard_verified(
 
 def near_dup_pairs_sql(table: str = "documents", with_mutants: bool = True) -> str:
     k = SHINGLE_K
-    base = f"SELECT doc_id, text FROM {table}"
+    # NULL-text rows dropped and mutant ids negated, mirroring
+    # near_dup_pairs / doc_shingles exactly
+    base = f"SELECT doc_id, text FROM {table} WHERE text IS NOT NULL"
     if with_mutants:
         base += (
-            f" UNION ALL SELECT doc_id + 1000000 AS doc_id, "
-            f"text || ' zz' AS text FROM {table}"
+            f" UNION ALL SELECT -doc_id - 1 AS doc_id, "
+            f"text || ' zz' AS text FROM {table} WHERE text IS NOT NULL"
         )
     sh = _shingles_sql("text")
     sig_cols = ", ".join(
@@ -609,15 +584,18 @@ def curate_survivors(docs: DataFrame) -> DataFrame:
             & (F.col("distinct_ratio") >= CURATE_MIN_DISTINCT_RATIO)
         ).select("doc_id")
     )
-    fdocs = docs.join(F.broadcast(filt), "doc_id")
+    # these survivor frames are corpus-proportional (O(n_docs) rows):
+    # let AQE pick the join strategy instead of force-broadcasting
+    # past the 8GB broadcast limit / driver memory at scale
+    fdocs = docs.join(filt, "doc_id")
     keep = dedup_exact(fdocs).select(F.col("keep_id").alias("doc_id"))
-    edocs = fdocs.join(F.broadcast(keep), "doc_id")
+    edocs = fdocs.join(keep, "doc_id")
     drops = (
         near_dup_pairs(edocs, with_mutants=False)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    ndocs = edocs.join(F.broadcast(drops), "doc_id", "left_anti")
+    ndocs = edocs.join(drops, "doc_id", "left_anti")
 
     def arm(tag: str, df: DataFrame) -> DataFrame:
         return df.select(
