@@ -1292,17 +1292,12 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-analysis profile: token/quality stats,
     language id, exact+min fingerprints, simhash — one wide row per
     doc (consolidates doc_token_stats / doc_lang_id / doc_fingerprints
-    / doc_simhash)."""
+    / doc_simhash) in a SINGLE projection: one pass over the text,
+    zero joins/shuffles."""
     _ensure_pkg(spark)
     from s2geometry_spark.operators import textops as TX
 
-    docs = _docs(spark, sf_dir)
-    return (
-        TX.token_stats(docs)
-        .join(TX.lang_id(docs), "doc_id")
-        .join(TX.fingerprints(docs), "doc_id")
-        .join(TX.simhash(docs), "doc_id")
-    )
+    return TX.doc_profile(_docs(spark, sf_dir))
 
 
 def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:

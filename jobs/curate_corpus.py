@@ -15,10 +15,11 @@ documents table — the composition a 100 TB corpus pipeline runs:
 
 Every stage writes parquet + per-partition lineage through
 CheckpointedPipeline and is skipped on re-run when its fingerprint is
-unchanged (resume mid-pipeline).  Scale notes: profile is one Arrow
-pass; the filters are JVM predicates pushed to the scan on re-read;
-dedup joins are broadcast (the drop-lists are output-sized, tiny
-relative to the corpus).
+unchanged (resume mid-pipeline).  Scale notes: profile is ONE
+projection over the text (zero joins); the filters are JVM predicates
+pushed to the scan on re-read; the keep/drop-list joins are left to
+AQE (the lists are corpus-proportional — most docs survive each stage
+— so force-broadcasting them would hit the broadcast limit at scale).
 
     spark-submit --py-files $(python -c 'from s2geometry_spark.plans.session import package_zip; print(package_zip())') \
         jobs/curate_corpus.py --sf-dir /root/testdata/sf0.1 \
@@ -31,6 +32,34 @@ import argparse
 import json
 import os
 import sys
+
+
+def _source_version(path: str) -> str:
+    """Content-version fingerprint of a parquet file or directory
+    (per-file name+mtime+size) — threaded into pipe.source so an
+    in-place regeneration of the input invalidates downstream
+    checkpoints."""
+    if os.path.isdir(path):
+        parts = []
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+        return "|".join(parts)
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from footers only (file or Spark output directory)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def main() -> None:
@@ -63,19 +92,20 @@ def main() -> None:
 
     pipe = CheckpointedPipeline(spark, args.checkpoint_root)
 
-    docs = pipe.stage(
+    # source() — NOT a copying stage: its fingerprint carries a data
+    # version (per-file mtime+size), so regenerating documents.parquet
+    # in place invalidates every downstream checkpoint instead of
+    # silently resuming a stale copy of the old corpus
+    src_path = f"{args.sf_dir}/documents.parquet"
+    docs = pipe.source(
         "docs",
-        lambda: spark.read.parquet(f"{args.sf_dir}/documents.parquet"),
-        params={"sf_dir": args.sf_dir},
+        spark.read.parquet(src_path),
+        version=_source_version(src_path),
     )
+    n_docs = _parquet_rows(src_path)
 
     def profile(df):
-        return (
-            TX.token_stats(df)
-            .join(TX.lang_id(df), "doc_id")
-            .join(TX.fingerprints(df), "doc_id")
-            .join(TX.simhash(df), "doc_id")
-        )
+        return TX.doc_profile(df)
 
     prof = pipe.stage("profile", profile, inputs=(docs,))
 
@@ -86,7 +116,7 @@ def main() -> None:
             & (F.col("stop_ratio") >= args.min_stop_ratio)
             & (F.col("distinct_ratio") >= args.min_distinct_ratio)
         ).select("doc_id")
-        return df.join(F.broadcast(keep), "doc_id")
+        return df.join(keep, "doc_id")
 
     filtered = pipe.stage(
         "quality_filter",
@@ -104,7 +134,7 @@ def main() -> None:
         keep = TX.dedup_exact(df).select(
             F.col("keep_id").alias("doc_id")
         )
-        return df.join(F.broadcast(keep), "doc_id")
+        return df.join(keep, "doc_id")
 
     exact = pipe.stage("dedup_exact", dedup_exact, inputs=(filtered,))
 
@@ -115,7 +145,7 @@ def main() -> None:
         # drop the larger id of each flagged pair (id_a < id_b by
         # construction) — chained dups collapse to the smallest id
         drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        return df.join(F.broadcast(drops), "doc_id", "left_anti")
+        return df.join(drops, "doc_id", "left_anti")
 
     clean = pipe.stage("near_dedup", near_dedup, inputs=(exact,))
 
@@ -133,7 +163,7 @@ def main() -> None:
             "version": version,
             "rows": SN.read_manifest(publish_dir, version)["total_rows"],
         },
-        "docs": {"rows": docs.rows, "resumed": docs.resumed},
+        "docs": {"rows": n_docs, "resumed": docs.resumed},
         "profile": {"rows": prof.rows, "resumed": prof.resumed},
         "quality_filter": {
             "rows": filtered.rows,
@@ -141,7 +171,7 @@ def main() -> None:
         },
         "dedup_exact": {"rows": exact.rows, "resumed": exact.resumed},
         "near_dedup": {"rows": clean.rows, "resumed": clean.resumed},
-        "kept_fraction": round(clean.rows / max(docs.rows, 1), 4),
+        "kept_fraction": round(clean.rows / max(n_docs, 1), 4),
     }
     print(json.dumps(report))
 

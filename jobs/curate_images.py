@@ -17,8 +17,12 @@ training-data pipeline for the BASELINE input table
 
 Stages checkpoint parquet + per-partition lineage and resume by
 fingerprint.  Scale notes: the decode pass is embarrassingly parallel
-mapInPandas; every join against a drop/keep-list is broadcast
-(output-sized); the LSH self-join shuffles only slim (band, val) rows.
+mapInPandas run strict=False (a corrupt payload yields ok=False and is
+dropped at integrity instead of failing the task); the keep/drop-list
+joins are left to AQE (the lists are corpus-proportional — most rows
+survive each stage — so force-broadcasting them would hit the
+broadcast limit at scale); the LSH self-join shuffles only slim
+(band, val) rows.
 
     spark-submit --py-files $(python -c 'from s2geometry_spark.plans.session import package_zip; print(package_zip())') \
         jobs/curate_images.py --n-images 100000 --checkpoint-root /tmp/s2_curate_img
@@ -30,6 +34,34 @@ import argparse
 import json
 import os
 import sys
+
+
+def _source_version(path: str) -> str:
+    """Content-version fingerprint of a parquet file or directory
+    (per-file name+mtime+size) — threaded into pipe.source so an
+    in-place regeneration of the input invalidates downstream
+    checkpoints."""
+    if os.path.isdir(path):
+        parts = []
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+        return "|".join(parts)
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from footers only (file or Spark output directory)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def main() -> None:
@@ -67,31 +99,39 @@ def main() -> None:
 
     pipe = CheckpointedPipeline(spark, args.checkpoint_root)
 
-    def load():
-        if args.images_path:
-            return spark.read.parquet(args.images_path)
-        return IMG.image_table(spark, args.n_images)
-
-    imgs = pipe.stage(
-        "images",
-        load,
-        params={"n": args.n_images, "path": args.images_path},
-    )
+    if args.images_path:
+        # source(), not a copying stage: the fingerprint carries a
+        # data version (per-file mtime+size) so regenerating the input
+        # in place invalidates downstream checkpoints instead of
+        # silently resuming a stale copy
+        imgs = pipe.source(
+            "images",
+            spark.read.parquet(args.images_path),
+            version=_source_version(args.images_path),
+        )
+        n_images = _parquet_rows(args.images_path)
+    else:
+        imgs = pipe.stage(
+            "images",
+            lambda: IMG.image_table(spark, args.n_images),
+            params={"n": args.n_images},
+        )
+        n_images = imgs.rows
 
     feats = pipe.stage(
         "features",
-        lambda df: IF.extract_features(df).select(
+        lambda df: IF.extract_features(df, strict=False).select(
             "image_id", "w", "h", "mean_gray", "std_gray",
-            "edge_energy", "phash_check",
+            "edge_energy", "phash_check", "ok",
         ),
         inputs=(imgs,),
     )
 
     def integrity(df, ft):
         keep = ft.where(
-            (F.col("w") * F.col("h") >= args.min_pixels)
+            F.col("ok") & (F.col("w") * F.col("h") >= args.min_pixels)
         ).select("image_id")
-        return df.join(F.broadcast(keep), "image_id")
+        return df.join(keep, "image_id")
 
     ok = pipe.stage(
         "integrity",
@@ -101,18 +141,19 @@ def main() -> None:
     )
 
     def caption_filter(df):
+        # image_id rides through token_stats as the opaque doc_id —
+        # keying by xxhash64(image_id) risked 64-bit collisions that
+        # would duplicate rows through the join, for zero benefit
         caps = df.select(
-            F.xxhash64("image_id").alias("doc_id"),
+            F.col("image_id").alias("doc_id"),
             F.col("caption").alias("text"),
-            "image_id",
         )
-        stats = TX.token_stats(caps.select("doc_id", "text"))
         keep = (
-            caps.join(stats, "doc_id")
+            TX.token_stats(caps)
             .where(F.col("n_tokens") >= args.min_caption_tokens)
-            .select("image_id")
+            .select(F.col("doc_id").alias("image_id"))
         )
-        return df.join(F.broadcast(keep), "image_id")
+        return df.join(keep, "image_id")
 
     capped = pipe.stage(
         "captions",
@@ -127,7 +168,7 @@ def main() -> None:
             .agg(F.min("image_id").alias("image_id"))
             .select("image_id")
         )
-        return df.join(F.broadcast(keep), "image_id")
+        return df.join(keep, "image_id")
 
     exact = pipe.stage("dedup_exact", dedup_exact, inputs=(capped,))
 
@@ -138,7 +179,7 @@ def main() -> None:
             id_col="image_id",
         )
         drops = pairs.select(F.col("b_id").alias("image_id")).distinct()
-        return df.join(F.broadcast(drops), "image_id", "left_anti")
+        return df.join(drops, "image_id", "left_anti")
 
     clean = pipe.stage(
         "near_dedup",
@@ -148,17 +189,19 @@ def main() -> None:
     )
 
     n_mismatch = (
-        feats.df.where(~F.col("phash_check")).count()
+        feats.df.where(F.col("ok") & ~F.col("phash_check")).count()
     )
+    n_bad = feats.df.where(~F.col("ok")).count()
     report = {
-        "images": {"rows": imgs.rows, "resumed": imgs.resumed},
+        "images": {"rows": n_images, "resumed": imgs.resumed},
         "features": {"rows": feats.rows, "resumed": feats.resumed},
         "integrity": {"rows": ok.rows, "resumed": ok.resumed},
         "captions": {"rows": capped.rows, "resumed": capped.resumed},
         "dedup_exact": {"rows": exact.rows, "resumed": exact.resumed},
         "near_dedup": {"rows": clean.rows, "resumed": clean.resumed},
         "phash_mismatches": n_mismatch,
-        "kept_fraction": round(clean.rows / max(imgs.rows, 1), 4),
+        "undecodable": n_bad,
+        "kept_fraction": round(clean.rows / max(n_images, 1), 4),
     }
     print(json.dumps(report))
 

@@ -34,21 +34,43 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("std_gray", T.DoubleType(), False),
         T.StructField("edge_energy", T.DoubleType(), False),
         T.StructField("phash_check", T.BooleanType(), False),
+        T.StructField("ok", T.BooleanType(), False),
         T.StructField("thumb", T.BinaryType(), False),
     ]
 )
 
+_BAD_ROW = {
+    "w": 0, "h": 0, "mean_r": 0.0, "mean_g": 0.0, "mean_b": 0.0,
+    "mean_gray": 0.0, "std_gray": 0.0, "edge_energy": 0.0,
+    "phash_check": False, "ok": False, "thumb": b"",
+}
 
-def extract_features(images: DataFrame, thumb_size: int = 8) -> DataFrame:
+
+def extract_features(
+    images: DataFrame, thumb_size: int = 8, strict: bool = True
+) -> DataFrame:
     """images(image_id, bytes, fmt, phash, ...) -> per-image features +
     a thumb_size x thumb_size PNG thumbnail.  mapInPandas: one decode
-    pass per Arrow batch, fully distributed."""
+    pass per Arrow batch, fully distributed.
+
+    ``strict=False`` turns an undecodable payload / unknown format into
+    a row with ok=False (zeroed stats) instead of failing the task —
+    a curation job over a real corpus MUST survive corrupt rows and
+    drop them at its integrity stage; with the default strict=True a
+    decode error still raises (the correctness-gate behavior, where a
+    failure means a codec bug, not dirty data)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                rgb = PNG.decode_image(bytes(row["bytes"]), row["fmt"])
+                try:
+                    rgb = PNG.decode_image(bytes(row["bytes"]), row["fmt"])
+                except Exception:
+                    if strict:
+                        raise
+                    out.append({"image_id": row["image_id"], **_BAD_ROW})
+                    continue
                 h, w = rgb.shape[:2]
                 n = w * h
                 px = rgb.astype(np.int64)
@@ -82,6 +104,7 @@ def extract_features(images: DataFrame, thumb_size: int = 8) -> DataFrame:
                         "edge_energy": edge,
                         "phash_check": PNG.phash64(rgb.tobytes())
                         == int(row["phash"]),
+                        "ok": True,
                         "thumb": PNG.encode_png(thumb.astype(np.uint8)),
                     }
                 )

@@ -51,12 +51,7 @@ def _stop_list_sql() -> str:
 BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
-def token_stats(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_bpe_tokens, n_distinct, distinct_ratio,
-    n_stop, stop_ratio, avg_token_len) — single-pass JVM expressions;
-    n_bpe_tokens counts BPE-ish pre-tokenizer matches (letter/digit
-    runs + punctuation), the whitespace-free token estimate an LLM
-    data pipeline budgets by."""
+def _token_stats_cols() -> list[Column]:
     toks = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_tokens = F.size(toks)
@@ -65,8 +60,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
     total_len = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
     )
-    return docs.select(
-        "doc_id",
+    return [
         n_tokens.cast("long").alias("n_tokens"),
         F.expr(
             f"regexp_count(text, '{BPE_TOKEN_RE}')"
@@ -76,7 +70,16 @@ def token_stats(docs: DataFrame) -> DataFrame:
         n_stop.cast("long").alias("n_stop"),
         (n_stop.cast("double") / n_tokens.cast("double")).alias("stop_ratio"),
         (total_len.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
-    )
+    ]
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_bpe_tokens, n_distinct, distinct_ratio,
+    n_stop, stop_ratio, avg_token_len) — single-pass JVM expressions;
+    n_bpe_tokens counts BPE-ish pre-tokenizer matches (letter/digit
+    runs + punctuation), the whitespace-free token estimate an LLM
+    data pipeline budgets by."""
+    return docs.select("doc_id", *_token_stats_cols())
 
 
 def token_stats_sql(table: str = "documents") -> str:
@@ -97,25 +100,32 @@ FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM {table})"""
 # Language ID (marker-vocabulary heuristic)
 # ---------------------------------------------------------------------
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Deterministic marker-count argmax with lexicographic tie-break."""
+def _lang_id_col() -> Column:
+    """Marker-count argmax with lexicographic tie-break, as ONE
+    expression over text (Catalyst's common-subexpression elimination
+    shares the repeated score terms inside a single projection)."""
     toks = F.split(F.col("text"), " ")
 
     def marker_score(ws):
         arr = F.array(*[F.lit(w) for w in ws])
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
-    scored = docs.select("doc_id", *[
-        marker_score(ws).alias(f"score_{lang}")
+    scores = {
+        lang: marker_score(ws)
         for lang, ws in sorted(LANG_MARKERS.items())
-    ])
+    }
     # argmax via greatest + chained when (first lang in sorted order wins ties)
-    best = F.greatest(*[F.col(f"score_{l}") for l in sorted(LANG_MARKERS)])
+    best = F.greatest(*scores.values())
     pred = None
     for lang in sorted(LANG_MARKERS):
-        cond = F.col(f"score_{lang}") == best
+        cond = scores[lang] == best
         pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    return scored.select("doc_id", pred.alias("pred_lang"))
+    return pred.alias("pred_lang")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Deterministic marker-count argmax with lexicographic tie-break."""
+    return docs.select("doc_id", _lang_id_col())
 
 
 def lang_id_sql(table: str = "documents") -> str:
@@ -140,15 +150,17 @@ SELECT doc_id, {case} AS pred_lang FROM (
 # Fingerprinting + exact dedup
 # ---------------------------------------------------------------------
 
-def fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, fp_exact md5, fp_min minhash-of-shingles) — document
-    fingerprints for exact and fuzzy identity."""
+def _fingerprint_cols() -> list[Column]:
     norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
     sh = _shingles_expr("text")
     fp_min = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return docs.select(
-        "doc_id", F.md5(norm).alias("fp_exact"), fp_min.alias("fp_min")
-    )
+    return [F.md5(norm).alias("fp_exact"), fp_min.alias("fp_min")]
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp_exact md5, fp_min minhash-of-shingles) — document
+    fingerprints for exact and fuzzy identity."""
+    return docs.select("doc_id", *_fingerprint_cols())
 
 
 def fingerprints_sql(table: str = "documents") -> str:
@@ -301,14 +313,20 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs.repartition(n, "doc_id")
 
 
-def _banded(docs: DataFrame) -> DataFrame:
+def _banded(docs: DataFrame, keep_shingles: bool = False) -> DataFrame:
     """(doc_id, band0..band{B-1}): shingles -> minhash signature ->
     banded md5 keys — the ONE plan fragment every LSH consumer
     (doc_band_rows, near_dup_pairs, the streaming dedup) builds on, so
-    shingling/banding rules cannot drift between them."""
+    shingling/banding rules cannot drift between them.
+
+    ``keep_shingles`` carries the shingle array through (one
+    projection chain — a streaming consumer CANNOT re-derive shingles
+    and join them back, because joining two derivations of the same
+    stream is a stateful stream-stream join)."""
     shingled = _shingle_words(doc_shingles(_spread(docs)))
+    extra = ["shingles"] if keep_shingles else []
     sigs = shingled.select(
-        "doc_id",
+        "doc_id", *extra,
         _minhash_sig_udf()(F.col("w1"), F.col("w2")).alias("sig"),
     )
     band_cols = []
@@ -319,7 +337,18 @@ def _banded(docs: DataFrame) -> DataFrame:
         band_cols.append(
             F.md5(F.concat_ws("|", *parts)).alias(f"band{b}")
         )
-    return sigs.select("doc_id", *band_cols)
+    return sigs.select("doc_id", *extra, *band_cols)
+
+
+def _with_allb(banded: DataFrame) -> DataFrame:
+    """All band keys as one fixed-width string (32 hex chars per
+    band): lets a candidate join keep a multi-band collision only at
+    its FIRST matching band instead of paying a pair-volume
+    dropDuplicates shuffle (same pigeonhole trick as
+    image_dedup.first_band_filter)."""
+    return banded.withColumn(
+        "allb", F.concat(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
+    )
 
 
 def _stack_bands(banded: DataFrame, *extra: str) -> DataFrame:
@@ -332,12 +361,27 @@ def _stack_bands(banded: DataFrame, *extra: str) -> DataFrame:
     )
 
 
-def doc_band_rows(docs: DataFrame) -> DataFrame:
-    """Slim (doc_id, b, bk) LSH band rows, stacked one row per band.
-    Works on batch AND streaming DataFrames (pure projections + the
-    Arrow signature pUDF), so the stream-static dedup join shares this
-    exact plan fragment with near_dup_pairs."""
-    return _stack_bands(_banded(docs))
+def doc_band_rows(
+    docs: DataFrame,
+    with_allb: bool = False,
+    with_shingles: bool = False,
+) -> DataFrame:
+    """Slim (doc_id [, allb] [, shingles], b, bk) LSH band rows,
+    stacked one row per band.  Works on batch AND streaming DataFrames
+    (pure projections + the Arrow signature pUDF), so the stream-static
+    dedup join shares this exact plan fragment with near_dup_pairs.
+    ``with_allb`` carries the concatenated band keys for the
+    first-matching-band pigeonhole dedup; ``with_shingles`` carries the
+    shingle array for a downstream Jaccard refine without a second
+    derivation of the input (which on a stream would be a stateful
+    stream-stream join)."""
+    banded = _banded(docs, keep_shingles=with_shingles)
+    if with_allb:
+        banded = _with_allb(banded)
+    extra = (["allb"] if with_allb else []) + (
+        ["shingles"] if with_shingles else []
+    )
+    return _stack_bands(banded, *extra)
 
 
 def near_dup_pairs(
@@ -379,16 +423,7 @@ def near_dup_pairs(
         )
         base = base.unionByName(mut)
 
-    banded = _banded(base).withColumn(
-        # all band keys as one fixed-width string (32 hex chars per
-        # band): lets the candidate join keep a multi-band collision
-        # only at its FIRST matching band instead of paying a
-        # pair-volume dropDuplicates shuffle (same pigeonhole trick as
-        # image_dedup.first_band_filter)
-        "allb",
-        F.concat(*[F.col(f"band{b}") for b in range(LSH_BANDS)]),
-    )
-    bands = _stack_bands(banded, "allb").select(
+    bands = _stack_bands(_with_allb(_banded(base)), "allb").select(
         "doc_id", "allb", "b", "bk",
         F.pmod(F.xxhash64("doc_id"), F.lit(salt_g)).alias("g"),
     ).localCheckpoint()
@@ -645,9 +680,7 @@ UNION ALL SELECT 'near' AS stage, doc_id, md5(text) AS fp FROM ndocs"""
 SIMHASH_BITS = 32  # 8 md5 hex nibbles
 
 
-def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash long): per-token md5 -> first 8 hex nibbles ->
-    bitwise +-1 vote -> sign bits.  Pure JVM (conv + bit ops)."""
+def _simhash_col() -> Column:
     toks = F.expr("array_distinct(split(text, ' '))")
     hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
     def bit_vote(b: int) -> Column:
@@ -664,7 +697,28 @@ def simhash(docs: DataFrame) -> DataFrame:
     total = bit_cols[0]
     for c in bit_cols[1:]:
         total = total + c
-    return docs.select("doc_id", total.cast("long").alias("simhash"))
+    return total.cast("long").alias("simhash")
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash long): per-token md5 -> first 8 hex nibbles ->
+    bitwise +-1 vote -> sign bits.  Pure JVM (conv + bit ops)."""
+    return docs.select("doc_id", _simhash_col())
+
+
+def doc_profile(docs: DataFrame) -> DataFrame:
+    """One wide row per doc — token/quality stats, language id,
+    exact+min fingerprints, simhash — in ONE projection: a single pass
+    over the text with zero joins (each component operator is a narrow
+    select over the same (doc_id, text), so reassembling their outputs
+    with doc_id joins would pay corpus-wide shuffles for nothing)."""
+    return docs.select(
+        "doc_id",
+        *_token_stats_cols(),
+        _lang_id_col(),
+        *_fingerprint_cols(),
+        _simhash_col(),
+    )
 
 
 def simhash_sql(table: str = "documents") -> str:

@@ -6,8 +6,9 @@ Design (SURVEY.md §2.10): each stage writes
 
     <root>/<stage>/data/            parquet output (task-idempotent via
                                     Spark's file commit protocol)
-    <root>/<stage>/_lineage/        parquet rows
-        (stage, partition_id, rows_out, bytes_approx, wall_ms)
+    <root>/<stage>/_lineage/        parquet rows, one per WRITTEN file
+        (stage, partition_id, file, rows_out, bytes, wall_ms) — from
+        the output footers, so skew in what the stage wrote is visible
     <root>/<stage>/_meta.json       {fingerprint, params, rows, wall_ms}
 
 A stage's fingerprint hashes its name, parameters and every upstream
@@ -26,7 +27,28 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+
+def _written_file_stats(data_dir: str) -> list[dict]:
+    """(file, rows_out, bytes) per written parquet file, from footers
+    only — includes partition_by subdirectories."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for dirpath, _dirs, files in sorted(os.walk(data_dir)):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(dirpath, f)
+            md = pq.ParquetFile(path).metadata
+            entries.append(
+                {
+                    "file": os.path.relpath(path, data_dir),
+                    "rows_out": md.num_rows,
+                    "bytes": os.path.getsize(path),
+                }
+            )
+    return entries
 
 
 class StageResult:
@@ -74,8 +96,14 @@ class CheckpointedPipeline:
         base, data_dir, lineage_dir, meta_path = self._paths(name)
 
         if os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                meta = json.load(fh)
+            try:
+                with open(meta_path) as fh:
+                    meta = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                # defense in depth: the write below is atomic, but a
+                # half-written meta from an older layout must mean
+                # "recompute", never "crash the resumable pipeline"
+                meta = {}
             if meta.get("fingerprint") == fp and os.path.exists(
                 os.path.join(data_dir, "_SUCCESS")
             ):
@@ -90,19 +118,29 @@ class CheckpointedPipeline:
         writer.parquet(data_dir)
         wall_ms = (time.perf_counter() - t0) * 1000.0
 
-        # lineage: per-(written-)partition row counts + approx size
-        back = self.spark.read.parquet(data_dir)
-        lineage = (
-            back.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
-            .agg(F.count(F.lit(1)).alias("rows_out"))
-            .withColumn("stage", F.lit(name))
-            .withColumn("wall_ms", F.lit(wall_ms))
-            .withColumn("fingerprint", F.lit(fp))
+        # lineage: what each WRITTEN partition (= output file) holds,
+        # read from the parquet footers driver-side — O(files) metadata,
+        # no second scan of the data, and the granularity actually
+        # matches what the stage wrote (re-reading and grouping by
+        # spark_partition_id would report Spark's input-size-based read
+        # splits, hiding write skew)
+        entries = _written_file_stats(data_dir)
+        rows = sum(e["rows_out"] for e in entries)
+        lineage = self.spark.createDataFrame(
+            [
+                (name, i, e["file"], e["rows_out"], e["bytes"], wall_ms, fp)
+                for i, e in enumerate(entries)
+            ],
+            "stage STRING, partition_id INT, file STRING, rows_out LONG, "
+            "bytes LONG, wall_ms DOUBLE, fingerprint STRING",
         )
         lineage.write.mode("overwrite").parquet(lineage_dir)
-        rows = back.count()
-        with open(meta_path, "w") as fh:
+        back = self.spark.read.parquet(data_dir)
+        # atomic meta commit (write-temp + rename): a crash mid-write
+        # must leave "no checkpoint", not truncated JSON that fails
+        # every later resume
+        tmp = f"{meta_path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
             json.dump(
                 {
                     "fingerprint": fp,
@@ -113,6 +151,7 @@ class CheckpointedPipeline:
                 },
                 fh,
             )
+        os.rename(tmp, meta_path)
         return StageResult(name, back, fp, False, wall_ms, rows)
 
     def source(self, name: str, df: DataFrame, version: str = "v1") -> StageResult:

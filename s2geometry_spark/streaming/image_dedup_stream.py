@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..operators.image_dedup import (
     DEFAULT_N_BANDS,
@@ -33,6 +34,16 @@ from ..operators.image_dedup import (
 )
 
 MAX_HAMMING = 3
+
+# the ingestion contract: only the columns the dedup needs.  Declared,
+# not inferred — the stream must be startable before any producer has
+# written a batch; parquet projects a declared subset of a wider file.
+IMG_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), True),
+        StructField("phash", LongType(), True),
+    ]
+)
 
 
 def static_phash_index(
@@ -86,10 +97,10 @@ def streaming_image_dup_matches(
     static_imgs: DataFrame,
     max_hamming: int = MAX_HAMMING,
     n_bands: int = DEFAULT_N_BANDS,
+    schema: StructType = IMG_SCHEMA,
 ) -> DataFrame:
     """Streaming DataFrame of (image_id, sid, hamming) matches of
     incoming images against the static corpus (append mode, stateless)."""
-    schema = spark.read.parquet(imgs_path).schema
     stream = spark.readStream.schema(schema).parquet(imgs_path)
     bidx = static_phash_index(static_imgs, n_bands).localCheckpoint()
     return _matches(

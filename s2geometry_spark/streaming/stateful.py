@@ -114,8 +114,9 @@ def streaming_tile_uniques(
     group state."""
     from .tile_stream import event_tiles
 
-    schema = spark.read.parquet(events_path).schema
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    from .tile_stream import EVENT_SCHEMA
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_path)
     tiled = event_tiles(stream, tile_level)
     return (
         tiled.select("tile_id", F_user("key"))

@@ -18,10 +18,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StructField, StructType, TimestampNTZType,
+)
 
 from ..functions import sparkfns as S
 from ..functions import udfs as U
 from ..sources import points as P
+
+
+# the ingestion contract: only the columns the tile pipeline needs.
+# Declared, not inferred — the stream must be startable before any
+# producer has written a batch; parquet projects a declared subset of
+# a wider file schema (events also carry event_type/value/props).
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampNTZType(), True),
+        StructField("user_id", LongType(), True),
+    ]
+)
 
 
 def _event_points(df: DataFrame) -> DataFrame:
@@ -56,8 +72,7 @@ def streaming_tile_counts(
 ) -> DataFrame:
     """readStream -> windowed per-tile counts (append-capable with
     watermark; late rows beyond the horizon are dropped)."""
-    schema = spark.read.parquet(events_path).schema
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_path)
     tiled = event_tiles(stream, tile_level)
     return (
         tiled.withWatermark("ts", watermark)
@@ -156,8 +171,7 @@ def streaming_region_counts(
     plain broadcast table, so the stream never shuffles) -> exact chord
     refine -> watermarked windowed counts per region.  The streaming
     twin of operators.spatial_join.point_in_cap_join + count."""
-    schema = spark.read.parquet(events_path).schema
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_path)
     pairs = _region_joined(spark, stream, caps, tile_level)
     return (
         pairs.withWatermark("ts", watermark)

@@ -68,4 +68,7 @@ class TestCheckpoint:
         rows = lin.agg(F.sum("rows_out")).collect()[0][0]
         assert rows == r.rows
         cols = set(lin.columns)
-        assert {"stage", "partition_id", "rows_out", "wall_ms", "fingerprint"} <= cols
+        assert {
+            "stage", "partition_id", "file", "rows_out", "bytes",
+            "wall_ms", "fingerprint",
+        } <= cols

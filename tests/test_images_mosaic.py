@@ -159,3 +159,35 @@ class TestMosaics:
                 c = math.cos(la)
                 p = (math.cos(lo) * c, math.sin(lo) * c, math.sin(la))
                 assert cap.contains_point(p)
+
+
+def test_extract_features_tolerant_mode(spark):
+    """strict=False must turn undecodable payloads into ok=False rows
+    instead of failing the task (the curation-job contract); strict
+    mode still raises so codec bugs cannot hide."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from s2geometry_spark.operators import image_features as IF
+    from s2geometry_spark.sources import images as IMG
+
+    good = IMG.image_table(spark, 4).select(
+        "image_id", "bytes", "fmt", "phash"
+    )
+    bad = spark.createDataFrame(
+        [("corrupt0", bytearray(b"not an image"), "png", 0),
+         ("corrupt1", bytearray(b""), "tiff", 0)],
+        "image_id STRING, bytes BINARY, fmt STRING, phash LONG",
+    )
+    rows = IF.extract_features(
+        good.unionByName(bad), strict=False
+    ).collect()
+    by_id = {r["image_id"]: r for r in rows}
+    assert len(by_id) == 6
+    assert not by_id["corrupt0"]["ok"] and not by_id["corrupt1"]["ok"]
+    assert all(
+        by_id[r["image_id"]]["ok"]
+        for r in good.select("image_id").collect()
+    )
+    with pytest.raises(Exception):
+        IF.extract_features(bad, strict=True).collect()
