@@ -212,20 +212,6 @@ def polyline_near_udf(lines_by_id: dict, radius_chord2: float):
     return _near
 
 
-def ancestors_array(levels: list[int]):
-    """UDF factory: array of ancestor cell ids at the given levels —
-    the probe-side covering terms for the term equi-join (SURVEY §2.4).
-    Pure bit arithmetic, vectorized."""
-
-    @pandas_udf(ArrayType(LongType()))
-    def _anc(cid: pd.Series) -> pd.Series:
-        ids = cid.to_numpy()
-        cols = [C.as_i64(C.parent(ids, lv)) for lv in levels]
-        return pd.Series(list(np.stack(cols, axis=1)))
-
-    return _anc
-
-
 @pandas_udf(StringType())
 def point_debug_string(ux: pd.Series, uy: pd.Series, uz: pd.Series) -> pd.Series:
     """S2TextFormat.ToDebugString of a unit point ("lat:lng", %.15g)."""

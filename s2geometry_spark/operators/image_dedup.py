@@ -41,7 +41,8 @@ def band_rows(
     The single banding definition shared by the batch operator and the
     streaming corpus index (a drifted second copy would silently break
     the pigeonhole losslessness)."""
-    assert 64 % n_bands == 0
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
     width = 64 // n_bands
     mask = (1 << width) - 1
     bands = F.explode(
@@ -91,7 +92,15 @@ def phash_near_dup(
 ) -> DataFrame:
     """hashes(id, phash) -> (a_id, b_id, hamming) for all pairs with
     Hamming(phash_a, phash_b) <= max_hamming (a_id < b_id)."""
-    assert max_hamming < n_bands, "pigeonhole needs d < n_bands"
+    # a loud error, not an assert: python -O would strip an assert and
+    # silently lose recall for pairs disagreeing on every band (the
+    # streaming twin guards the same precondition the same way)
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming < n_bands "
+            f"({max_hamming} >= {n_bands}): raise n_bands or lower "
+            f"max_hamming"
+        )
     left = band_rows(hashes, id_col, "a_id", hash_col, n_bands)
     right = band_rows(hashes, id_col, "b_id", hash_col, n_bands)
     cand = (

@@ -302,15 +302,20 @@ def index_edges_df(index_df: DataFrame, vertex_df: DataFrame) -> DataFrame:
     ).select(
         starts["region_id"], "edge_idx", "cx", "cy", "cz", "dx", "dy", "dz"
     )
-    exploded = index_df.select(
-        "region_id", "cell_id", "level", "contains_center",
-        F.explode_outer("edge_idx").alias("edge_idx"),
-    )
+    # cell centers are per CELL: compute the Arrow pUDF BEFORE the
+    # edge explode, not after — a cell with k clipped edges would
+    # otherwise pay the Python/Arrow round-trip k times for the same
+    # center
     center = U.cellid_to_center_xyz(F.col("cell_id"))
-    exploded = exploded.withColumns(
+    with_ctr = index_df.withColumns(
         {
             "ctr_x": center[0], "ctr_y": center[1], "ctr_z": center[2],
         }
+    )
+    exploded = with_ctr.select(
+        "region_id", "cell_id", "level", "contains_center",
+        "ctr_x", "ctr_y", "ctr_z",
+        F.explode_outer("edge_idx").alias("edge_idx"),
     )
     return exploded.join(edges, on=["region_id", "edge_idx"], how="left")
 

@@ -42,9 +42,36 @@ def explode_ancestors(
     """One row per (point, level) with the ancestor cell at that level.
 
     Pure-JVM: array of bit-arithmetic parents + explode; stays in
-    whole-stage codegen."""
+    whole-stage codegen.  An empty ``levels`` (empty/degenerate region
+    list) yields a valid zero-row frame rather than an un-typeable
+    empty array expression."""
+    if not levels:
+        return points.withColumn(
+            "anc_cell", F.lit(None).cast("long")
+        ).where(F.lit(False))
     arr = F.array(*[S.cell_parent(F.col(cell_col), lv) for lv in levels])
     return points.withColumn("anc_cell", F.explode(arr))
+
+
+def typed_cov_df(spark, pdf, id_col, ids, numeric):
+    """createDataFrame with an EXPLICIT schema: an empty region list
+    produces an all-object empty pandas frame that Spark cannot infer
+    a schema from (the covering_df path solves this with _schema_of;
+    this is the same guarantee for the ad-hoc covering/range frames).
+    ``numeric`` maps every non-id column to its Spark type; the id
+    column is typed from a sample id (LongType default)."""
+    from pyspark.sql import types as T
+
+    id_t = (
+        T.StringType()
+        if ids and isinstance(ids[0], str)
+        else T.LongType()
+    )
+    fields = [
+        T.StructField(c, id_t if c == id_col else numeric[c], True)
+        for c in pdf.columns
+    ]
+    return spark.createDataFrame(pdf, schema=T.StructType(fields))
 
 
 def cap_refine_predicate(
@@ -102,7 +129,10 @@ def point_in_cap_join(
     )
     cov_rows = COV.build_covering_rows(caps, options)
     broadcast, salt_k = _resolve_plan(cov_rows, broadcast, salt_k)
-    cov = COV.covering_df(spark, caps, options, extra_cols=extra)
+    # reuse the rows already built for plan resolution — covering_df
+    # would re-run the full RegionCoverer search per cap on the driver
+    pdf = cov_rows.merge(extra, on="region_id", how="left")
+    cov = spark.createDataFrame(pdf, schema=COV._schema_of(pdf, caps))
     levels = COV.covering_levels(cov_rows)
     probe = explode_ancestors(normalized_cols(points), levels)
     cov = cov.withColumnRenamed("cell_id", "cov_cell")
@@ -229,11 +259,21 @@ def point_in_cap_range_join(
                     cap.center[0], cap.center[1], cap.center[2], cap.radius2,
                 )
             )
-    ranges = spark.createDataFrame(
+    from pyspark.sql import types as T
+
+    ranges = typed_cov_df(
+        spark,
         pd.DataFrame(
             rows,
             columns=["region_id", "lo", "hi", "cx", "cy", "cz", "r2"],
-        )
+        ),
+        "region_id",
+        [rid for rid, _ in caps],
+        {
+            "lo": T.LongType(), "hi": T.LongType(),
+            "cx": T.DoubleType(), "cy": T.DoubleType(),
+            "cz": T.DoubleType(), "r2": T.DoubleType(),
+        },
     )
     probe = normalized_cols(points).withColumn(
         "leaf_biased", S.cell_bias(F.col("cell_id"))
@@ -287,17 +327,21 @@ def point_near_loop_join(
             rows.append(
                 (rid, int(CI.as_i64(np.array([cid], np.uint64))[0]), CU._level(cid))
             )
+    from pyspark.sql import types as T
+
     cov_pdf = pd.DataFrame(rows, columns=["region_id", "cov_cell", "level"])
-    levels = sorted(cov_pdf["level"].unique().tolist())
-    cov = spark.createDataFrame(cov_pdf)
+    levels = sorted(int(v) for v in cov_pdf["level"].unique())
+    cov = typed_cov_df(
+        spark, cov_pdf, "region_id", [rid for rid, _ in loops],
+        {"cov_cell": T.LongType(), "level": T.LongType()},
+    )
     probe = explode_ancestors(normalized_cols(points), levels)
     # expanded coverings are normalized (disjoint), so each (point,
     # region) matches at most one covering cell — no dedup shuffle.
     joined = probe.join(
         F.broadcast(cov), probe["anc_cell"] == cov["cov_cell"], "inner"
     )
-    s = math.sin(0.5 * min(radius_rad, math.pi))
-    radius_chord2 = min(4.0, 4 * s * s)
+    radius_chord2 = near_chord2(radius_rad)  # the ONE shared definition
     loops_by_id = {rid: (lp.verts, lp.origin_inside) for rid, lp in loops}
     near = U.loop_near_udf(loops_by_id, radius_chord2)
     refined = joined.where(
@@ -390,9 +434,14 @@ def point_near_polyline_join(
     ``polylines``: [(line_id, verts (m,3))].  Output (key, line_id)."""
     import numpy as np
 
+    from pyspark.sql import types as T
+
     cov_pdf = polyline_covering_rows(polylines, radius_rad, options)
-    levels = sorted(cov_pdf["level"].unique().tolist())
-    cov = spark.createDataFrame(cov_pdf)
+    levels = sorted(int(v) for v in cov_pdf["level"].unique())
+    cov = typed_cov_df(
+        spark, cov_pdf, "line_id", [lid for lid, _ in polylines],
+        {"cov_cell": T.LongType(), "level": T.LongType()},
+    )
     lines_by_id = {lid: np.asarray(v, dtype=float) for lid, v in polylines}
     return near_polyline_refine(
         points, cov, levels, lines_by_id, near_chord2(radius_rad),
@@ -444,8 +493,19 @@ def label_range_join(
         hi_b = int(CI.bias(np.array([hi], dtype=np.uint64))[0])
         for lab in labels:
             rows.append((lo_b, hi_b, lab))
-    ranges = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["lo", "hi", "label"]).astype("int64")
+    from pyspark.sql import types as T
+
+    # cast only the range bounds: labels are an opaque caller type
+    # (S2CellIndex allows arbitrary labels), and an empty entry list
+    # still needs an explicit schema
+    ranges = typed_cov_df(
+        spark,
+        pd.DataFrame(rows, columns=["lo", "hi", "label"]).astype(
+            {"lo": "int64", "hi": "int64"}
+        ),
+        "label",
+        [lab for _cid, lab in entries],
+        {"lo": T.LongType(), "hi": T.LongType()},
     )
     probe = points.withColumn("leaf_biased", S.cell_bias(F.col("cell_id")))
     cond = (F.col("leaf_biased") >= F.col("lo")) & (

@@ -95,27 +95,21 @@ def row_record(i: int) -> dict:
     ]
     caption = f"caption of {image_id}: " + " ".join(caption_words)
     phash = PNG.phash64(rgb.tobytes())
-    # geotag: 20% clustered at hot spots
-    g = int(_mix64(np.array([i + (1 << 40)], dtype=np.uint64))[0])
-    if g % 5 == 0:
-        hs = HOTSPOTS[g % len(HOTSPOTS)]
-        lat = hs[0] + ((g >> 16) % 2001 - 1000) / 1000.0  # +-1 deg
-        lon = hs[1] + ((g >> 32) % 2001 - 1000) / 1000.0
-    else:
-        lat = ((g >> 8) % 1798000) / 10000.0 - 89.9
-        lon = ((g >> 24) % 3600000) / 10000.0 - 180.0
+    # geotag: 20% clustered at hot spots (the shared derivation)
+    lat_a, lon_a = geotags_of(np.array([i], dtype=np.uint64))
+    lat, lon = float(lat_a[0]), float(lon_a[0])
     return {
         "image_id": image_id, "bytes": data, "w": w, "h": h, "fmt": fmt,
         "caption": caption, "phash": phash, "lat": lat, "lon": lon,
     }
 
 
-def geotags(n: int) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized (lat, lon) for rows 0..n-1 — bitwise identical to
-    row_record (same integer derivation, same IEEE divisions).  Used by
-    the driver-side literal oracle so the DuckDB correctness check can
-    recompute cell ids independently from the same geotags."""
-    g = _mix64(np.arange(n, dtype=np.uint64) + np.uint64(1 << 40))
+def geotags_of(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (lat, lon) for absolute row indices ``ids`` — THE
+    geotag derivation (same integer arithmetic, same IEEE divisions)
+    shared by row_record, geotags(n), and the distributed geo_table
+    generator, so the three can never drift apart."""
+    g = _mix64(ids.astype(np.uint64) + np.uint64(1 << 40))
     hot = (g % np.uint64(5)) == 0
     hs = np.array(HOTSPOTS, dtype=np.float64)
     hs_idx = (g % np.uint64(len(HOTSPOTS))).astype(np.int64)
@@ -130,18 +124,20 @@ def geotags(n: int) -> tuple[np.ndarray, np.ndarray]:
     return np.where(hot, lat_hot, lat_uni), np.where(hot, lon_hot, lon_uni)
 
 
+def geotags(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(lat, lon) for rows 0..n-1 — the literal-oracle entry point of
+    geotags_of, so the DuckDB correctness check recomputes cell ids
+    independently from the same geotags."""
+    return geotags_of(np.arange(n, dtype=np.uint64))
+
+
 def pixel_sums(i: int) -> dict:
     """Integer pixel statistics of the *decoded* image for row i,
     computed straight from the generation formula (independent of the
     PNG/fake-jpeg codec): channel sums, gray-sum moments, edge-energy
     sums, and the phash round-trip check.  All values are exact ints,
     so a SQL oracle can reproduce the operator's float stats bitwise."""
-    seed = int(_mix64(np.array([i], dtype=np.uint64))[0])
-    w = 16 + (seed % 49)
-    h = 16 + ((seed >> 8) % 49)
-    fmt = "png" if i % 4 else "jpeg"
-    stream = _mix64(np.arange(w * h * 3, dtype=np.uint64) + np.uint64(seed))
-    rgb = (stream & np.uint64(0xFF)).astype(np.uint8).reshape(h, w, 3)
+    w, h, fmt, rgb = _rgb_of(i)  # the ONE shared pixel synthesis
     dec = rgb if fmt == "png" else (rgb & 0xFC)
     px = dec.astype(np.int64)
     s = px.sum(axis=2)
@@ -197,32 +193,15 @@ def geo_table(spark: SparkSession, n: int, partitions: int = 0) -> DataFrame:
             ids = pdf["id"].to_numpy()
             if len(ids) == 0:
                 continue
-            # geotags() is a pure function of the absolute row index:
-            # compute the whole prefix once per batch is wasteful for
-            # distributed splits, so derive per-index directly
-            g = _mix64(ids.astype(np.uint64) + np.uint64(1 << 40))
-            hot = (g % np.uint64(5)) == 0
-            hs = np.array(HOTSPOTS, dtype=np.float64)
-            hs_idx = (g % np.uint64(len(HOTSPOTS))).astype(np.int64)
-            lat_hot = hs[hs_idx, 0] + (
-                ((g >> np.uint64(16)) % np.uint64(2001)).astype(np.float64)
-                - 1000.0
-            ) / 1000.0
-            lon_hot = hs[hs_idx, 1] + (
-                ((g >> np.uint64(32)) % np.uint64(2001)).astype(np.float64)
-                - 1000.0
-            ) / 1000.0
-            lat_uni = (
-                (g >> np.uint64(8)) % np.uint64(1798000)
-            ).astype(np.float64) / 10000.0 - 89.9
-            lon_uni = (
-                (g >> np.uint64(24)) % np.uint64(3600000)
-            ).astype(np.float64) / 10000.0 - 180.0
+            # geotags_of is a pure function of the absolute row
+            # index, so each distributed split derives exactly its own
+            # ids (no whole-prefix recompute)
+            lat, lon = geotags_of(ids)
             yield pd.DataFrame(
                 {
                     "image_id": [f"img{int(i):012d}" for i in ids],
-                    "lat": np.where(hot, lat_hot, lat_uni),
-                    "lon": np.where(hot, lon_hot, lon_uni),
+                    "lat": lat,
+                    "lon": lon,
                 }
             )
 

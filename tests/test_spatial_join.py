@@ -101,3 +101,23 @@ class TestRectContainment:
             for leaf, ok in zip(leafs.tolist(), inside_bf.tolist()):
                 if ok:
                     assert CU.contains_id(cov, int(leaf))
+
+
+def test_empty_region_lists_yield_empty_results(spark, sf_dir):
+    """caps=[]/loops=[]/polylines=[] must return a valid empty frame,
+    not crash schema inference on an empty pandas frame."""
+    from pyspark.sql import functions as F2
+
+    from s2geometry_spark.operators import spatial_join as SJ
+    from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.sources import points as P
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(50)
+    pts = T.assign_cellids(
+        P.with_xyz(orders.select(F2.col("o_orderkey").alias("key")))
+    )
+    assert SJ.point_in_cap_join(spark, pts, []).count() == 0
+    assert SJ.point_in_cap_range_join(spark, pts, []).count() == 0
+    assert SJ.point_near_loop_join(spark, pts, [], 0.1).count() == 0
+    assert SJ.point_near_polyline_join(spark, pts, [], 0.1).count() == 0
+    assert SJ.label_range_join(spark, pts, []).count() == 0
