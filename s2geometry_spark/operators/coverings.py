@@ -66,20 +66,39 @@ def covering_df(
 
 def _schema_of(pdf: pd.DataFrame, regions):
     """Explicit schema so empty coverings (empty/degenerate regions)
-    still produce a valid empty DataFrame."""
+    still produce a valid empty DataFrame.
+
+    Each column is typed from its OWN dtype; only ``region_id`` (which
+    pandas upcasts to object for string keys, or to float64 when a
+    left merge introduces NaN) falls back to the region-key sample.
+    An extra_cols column with an unsupported dtype fails loudly rather
+    than silently inheriting the region key's type."""
     from pyspark.sql import types as T
 
     mapping = {
         "int64": T.LongType(), "int32": T.IntegerType(),
-        "float64": T.DoubleType(), "bool": T.BooleanType(),
-        "object": T.StringType(),
+        "int16": T.ShortType(), "int8": T.ByteType(),
+        "float64": T.DoubleType(), "float32": T.FloatType(),
+        "bool": T.BooleanType(), "object": T.StringType(),
     }
     fields = []
     for col, dtype in pdf.dtypes.items():
-        t = mapping.get(str(dtype))
-        if t is None or (col == "region_id" and str(dtype) == "object"):
+        dt = str(dtype)
+        if col == "region_id":
             sample = regions[0][0] if regions else ""
-            t = T.LongType() if isinstance(sample, (int,)) else T.StringType()
+            t = T.LongType() if isinstance(sample, int) else T.StringType()
+        else:
+            t = mapping.get(dt)
+            if t is None:
+                raise TypeError(
+                    f"covering extra column {col!r} has unsupported "
+                    f"pandas dtype {dt}; cast it before covering_df"
+                )
+            if dt == "object":
+                vals = [v for v in pdf[col] if v is not None and v == v]
+                if vals and all(isinstance(v, bool) for v in vals):
+                    # bool column turned object by a left merge's NaN
+                    t = T.BooleanType()
         fields.append(T.StructField(str(col), t, True))
     return T.StructType(fields)
 

@@ -182,12 +182,28 @@ def crossing_edges_join(
 
     Plan shape: the cell explosion and candidate equi-join carry only
     (line_id, edge_id, cell) — coordinates re-attach AFTER the pair
-    dedup via broadcast joins on the edge ids, so the shuffle payload
-    is three longs per row.  ``robust=True`` routes triage-uncertain
-    candidate rows through the exact predicate (rare); ``robust=False``
-    keeps the all-JVM plain-sign refine (the DuckDB-oracle mirror).
+    dedup via joins on the edge ids (the a side by shuffle hash join —
+    it may be fact-scale; the b side broadcast when ``broadcast_b``),
+    so the shuffle payload is three longs per row.  ``robust=True``
+    routes triage-uncertain candidate rows through the exact predicate
+    (rare); ``robust=False`` keeps the all-JVM plain-sign refine (the
+    DuckDB-oracle mirror).
     """
-    level = max(1, KMIN_WIDTH.get_level_for_min_value(max_edge_rad))
+    # Completeness needs min cell width at the join level >= the edge
+    # length bound (the 3x3 endpoint rings then cover every interior
+    # crossing point).  get_level_for_min_value already returns the
+    # DEEPEST such level — clamping it away from 0 silently narrowed
+    # the cover for edges longer than the level-1 width (~0.471 rad)
+    # and dropped crossing pairs; past the level-0 width no level can
+    # guarantee completeness, so fail loudly instead.
+    if max_edge_rad > KMIN_WIDTH.get_value(0):
+        raise ValueError(
+            "crossing_edges_join: max_edge_rad "
+            f"{max_edge_rad!r} exceeds the level-0 min cell width "
+            f"{KMIN_WIDTH.get_value(0)!r}; subdivide edges upstream — "
+            "no join level gives a complete candidate cover"
+        )
+    level = KMIN_WIDTH.get_level_for_min_value(max_edge_rad)
     cells = _edge_cells_udf(level)
 
     def cell_rows(df: DataFrame, prefix: str) -> DataFrame:
@@ -209,20 +225,23 @@ def crossing_edges_join(
     cand = a.join(b, on="cell", how="inner").dropDuplicates(
         ["a_line", "a_edge", "b_line", "b_edge"]
     )
-    ea = F.broadcast(
-        edges_a.select(
-            F.col("line_id").alias("a_line"), F.col("edge_id").alias("a_edge"),
-            "ax", "ay", "az", "bx", "by", "bz",
-        )
+    # re-attach coordinates: the a side may be fact-scale (broadcast_b
+    # exists precisely for an asymmetric big-a/small-b call), so its
+    # coordinates come back via a plain shuffle hash join on
+    # (a_line, a_edge) — AQE still broadcasts it when it IS small;
+    # only the b side honors the explicit broadcast hint.
+    ea = edges_a.select(
+        F.col("line_id").alias("a_line"), F.col("edge_id").alias("a_edge"),
+        "ax", "ay", "az", "bx", "by", "bz",
     )
-    eb = F.broadcast(
-        edges_b.select(
-            F.col("line_id").alias("b_line"), F.col("edge_id").alias("b_edge"),
-            F.col("ax").alias("cx"), F.col("ay").alias("cy"),
-            F.col("az").alias("cz"), F.col("bx").alias("dx"),
-            F.col("by").alias("dy"), F.col("bz").alias("dz"),
-        )
+    eb = edges_b.select(
+        F.col("line_id").alias("b_line"), F.col("edge_id").alias("b_edge"),
+        F.col("ax").alias("cx"), F.col("ay").alias("cy"),
+        F.col("az").alias("cz"), F.col("bx").alias("dx"),
+        F.col("by").alias("dy"), F.col("bz").alias("dz"),
     )
+    if broadcast_b:
+        eb = F.broadcast(eb)
     cand = cand.join(ea, on=["a_line", "a_edge"]).join(
         eb, on=["b_line", "b_edge"]
     )

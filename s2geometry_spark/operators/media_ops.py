@@ -102,7 +102,9 @@ def sample_video_frames(video: DataFrame, every: int = 2) -> DataFrame:
                         {
                             "video_id": vid,
                             "frame_idx": k,
-                            "ts_ms": (k * 1000) // fps,
+                            # fps is an unvalidated uint16 header field;
+                            # clamp like audio_features does sample_rate
+                            "ts_ms": (k * 1000) // max(fps, 1),
                             "w": rgb.shape[1],
                             "h": rgb.shape[0],
                             "sum_r": int(rgb[:, :, 0].sum()),
@@ -111,9 +113,11 @@ def sample_video_frames(video: DataFrame, every: int = 2) -> DataFrame:
                             "frame_fnv": PNG.fnv1a64(payload),
                         }
                     )
-            yield pd.DataFrame(rows)[
-                [fld.name for fld in FRAME_STATS_SCHEMA.fields]
-            ]
+            # explicit columns: a batch of zero-frame clips yields
+            # rows == [] and a bare pd.DataFrame([]) has no columns
+            yield pd.DataFrame(
+                rows, columns=[fld.name for fld in FRAME_STATS_SCHEMA.fields]
+            )
 
     return video.select("video_id", "bytes").mapInPandas(
         run, schema=FRAME_STATS_SCHEMA

@@ -83,6 +83,16 @@ def tile_mosaics(
                     flat, weights=rgb[:, :, ch].ravel(),
                     minlength=patch * patch,
                 ) / np.maximum(cnt, 1)
+            empty = cnt == 0
+            if empty.any():
+                # an image smaller than patch in either dimension maps
+                # no source pixel into some bins; fill those by
+                # nearest-neighbor upsample instead of leaving them
+                # black stripes
+                sy = np.minimum(np.arange(patch) * h // patch, h - 1)
+                sx = np.minimum(np.arange(patch) * w // patch, w - 1)
+                nn = rgb[sy][:, sx].reshape(patch * patch, 3)
+                small[empty] = nn[empty]
             small = small.reshape(patch, patch, 3)
             gy, gx = divmod(slot % (grid * grid), grid)
             canvas[gy * patch:(gy + 1) * patch, gx * patch:(gx + 1) * patch] += small

@@ -18,9 +18,12 @@ recall metric.
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
@@ -62,17 +65,40 @@ def term_index_cap_join(
     """(point_key, region_id) pairs via term retrieval + exact refine;
     result equals the brute-force cap join row for row."""
     opts = opts or TermOptions()
+    # the index side holds points only, so '$'-marked covering query
+    # terms can never match an index term — generating them would ship
+    # ~2x the broadcast rows for zero extra candidates
+    # (Index/S2RegionTermIndexer.cs index_contains_points_only)
+    qopts = replace(opts, index_contains_points_only=True)
     qrows = []
     for rid, cap in caps:
-        for t in sorted(set(region_query_terms(opts, cap))):
+        for t in sorted(set(region_query_terms(qopts, cap))):
             qrows.append(
                 (rid, t, cap.center[0], cap.center[1], cap.center[2],
                  cap.radius2)
             )
+    rid_t = (
+        T.LongType()
+        if (caps and isinstance(caps[0][0], int)) or not caps
+        else T.StringType()
+    )
+    qschema = T.StructType(
+        [
+            T.StructField("region_id", rid_t, True),
+            T.StructField("term", T.StringType(), True),
+            T.StructField("cx", T.DoubleType(), True),
+            T.StructField("cy", T.DoubleType(), True),
+            T.StructField("cz", T.DoubleType(), True),
+            T.StructField("r2", T.DoubleType(), True),
+        ]
+    )
+    # explicit schema: caps=[] must yield an empty result, not an
+    # unable-to-infer-schema error
     qterms = spark.createDataFrame(
         pd.DataFrame(
             qrows, columns=["region_id", "term", "cx", "cy", "cz", "r2"]
-        )
+        ),
+        schema=qschema,
     )
     idx = normalized_cols(points).select(
         point_key,

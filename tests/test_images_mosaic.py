@@ -191,3 +191,23 @@ def test_extract_features_tolerant_mode(spark):
     )
     with pytest.raises(Exception):
         IF.extract_features(bad, strict=True).collect()
+
+
+def test_mosaic_small_image_has_no_black_stripe_bins(spark):
+    """An image smaller than the patch size maps no source pixel into
+    some downsample bins; those bins must fill by nearest-neighbor,
+    not stay black (the old np.maximum(cnt,1) masked the divide but
+    left zero-count bins at 0)."""
+    from s2geometry_spark.kernels import png as PNG
+    from s2geometry_spark.operators import mosaic as MO
+
+    rgb = np.full((8, 8, 3), 200, dtype=np.uint8)  # uniform gray 8x8
+    img = PNG.encode_png(rgb)
+    df = spark.createDataFrame(
+        [(7, "i0", bytearray(img), "png")],
+        "tile_id long, image_id string, bytes binary, fmt string",
+    )
+    row = MO.tile_mosaics(df, grid=1, patch=16).collect()[0]
+    out = PNG.decode_png(bytes(row.mosaic))
+    # every patch pixel should be the uniform source value
+    assert int(out.min()) == 200 and int(out.max()) == 200

@@ -138,3 +138,31 @@ class TestDistributedMediaOps:
                 assert g["frame_fnv"] == PNG.fnv1a64(payload)
                 assert g["ts_ms"] == (k * 1000) // fps
         assert len(got) == total
+
+
+class TestDegenerateMedia:
+    def test_zero_frame_batch_yields_empty_frame(self, spark):
+        """A batch whose clips all have zero frames must produce an
+        empty result, not a KeyError on the column-less DataFrame."""
+        from s2geometry_spark.operators import media_ops as MED
+
+        empty_clip = VID.mux_video([], fps=4)
+        df = spark.createDataFrame(
+            [("v0", bytearray(empty_clip))], "video_id string, bytes binary"
+        )
+        assert MED.sample_video_frames(df).count() == 0
+
+    def test_fps_zero_clamped_not_division_error(self, spark):
+        from s2geometry_spark.operators import media_ops as MED
+
+        frame = np.zeros((2, 2, 3), dtype=np.uint8)
+        clip = VID.mux_video([frame, frame], fps=0)
+        rows = (
+            MED.sample_video_frames(df := spark.createDataFrame(
+                [("v0", bytearray(clip))], "video_id string, bytes binary"
+            ), every=1)
+            .orderBy("frame_idx")
+            .collect()
+        )
+        assert [r.frame_idx for r in rows] == [0, 1]
+        assert all(r.ts_ms >= 0 for r in rows)

@@ -139,3 +139,43 @@ def test_validate_chains_summary():
         _loops("0:0, 0:1, 0:2, 1:2, 1:1, 1:0"))
     assert (n_chains, n_edges, code) == (1, 6, "OK")
     assert n_pairs > 0  # adjacent edges share vertices (sign 0)
+
+
+def test_long_edges_use_level_zero_cover(spark):
+    """Edges longer than the level-1 min width (~0.4714 rad) must join
+    at level 0 — the old max(1, ...) clamp narrowed the candidate
+    cover for them.  Two 30-degree (~0.52 rad) edges crossing mid-span."""
+    from s2geometry_spark.operators import crossing as CR
+
+    edges = [
+        (0, 0, TF.make_point("0:-15"), TF.make_point("0:15")),
+        (1, 0, TF.make_point("-15:0"), TF.make_point("15:0")),
+        # a control pair far away that does NOT cross
+        (2, 0, TF.make_point("50:100"), TF.make_point("50:140")),
+        (3, 0, TF.make_point("60:100"), TF.make_point("60:140")),
+    ]
+    max_rad = CR.max_edge_radians(edges)
+    assert max_rad > 0.47  # long enough to force level 0
+    df = CR.edges_df(spark, edges)
+    out = CR.crossing_edges_join(spark, df, df, max_rad).collect()
+    pairs = sorted(
+        {(min(r.a_line, r.b_line), max(r.a_line, r.b_line))
+         for r in out if r.a_line != r.b_line}
+    )
+    assert pairs == [(0, 1)]
+
+
+def test_crossing_join_rejects_uncoverable_edge_length(spark):
+    """Past the level-0 min width no join level is provably complete —
+    the operator must fail loudly, not silently drop pairs."""
+    import pytest as _pytest
+
+    from s2geometry_spark.constants import KMIN_WIDTH
+    from s2geometry_spark.operators import crossing as CR
+
+    edges = [(0, 0, TF.make_point("0:0"), TF.make_point("0:1"))]
+    df = CR.edges_df(spark, edges)
+    with _pytest.raises(ValueError, match="level-0 min cell width"):
+        CR.crossing_edges_join(
+            spark, df, df, KMIN_WIDTH.get_value(0) * 1.01
+        )
