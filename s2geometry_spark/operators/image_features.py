@@ -64,52 +64,64 @@ def extract_features(
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
+                # the WHOLE per-row computation sits in the guard:
+                # strict=False must survive degenerate-but-decodable
+                # payloads too (a zero-pixel image divides by zero, a
+                # null phash fails the int() cast), not just decode
+                # errors — the curation job runs strict=False precisely
+                # to drop such rows at its integrity stage
                 try:
                     rgb = PNG.decode_image(bytes(row["bytes"]), row["fmt"])
+                    h, w = rgb.shape[:2]
+                    n = w * h
+                    if n == 0:
+                        raise ValueError("degenerate image: zero pixels")
+                    rec = _row_features(
+                        row, rgb, h, w, n, thumb_size
+                    )
                 except Exception:
                     if strict:
                         raise
                     out.append({"image_id": row["image_id"], **_BAD_ROW})
                     continue
-                h, w = rgb.shape[:2]
-                n = w * h
-                px = rgb.astype(np.int64)
-                # all stats derive from exact integer sums so the same
-                # float expressions are reproducible in the SQL oracle
-                # (sums < 2^53: order-independent, bitwise-deterministic)
-                s = px.sum(axis=2)  # per-pixel gray*3, integer
-                s1 = int(s.sum())
-                s2 = int((s * s).sum())
-                eh = int(np.abs(np.diff(s, axis=1)).sum()) if w > 1 else 0
-                ev = int(np.abs(np.diff(s, axis=0)).sum()) if h > 1 else 0
-                mean_gray = s1 / (3.0 * n)
-                var = s2 / (9.0 * n) - mean_gray * mean_gray
-                edge = (eh / (3.0 * (w - 1) * h) if w > 1 else 0.0) + (
-                    ev / (3.0 * (h - 1) * w) if h > 1 else 0.0
-                )
-                # box-resample thumbnail
-                yi = (np.arange(thumb_size) * h) // thumb_size
-                xi = (np.arange(thumb_size) * w) // thumb_size
-                thumb = rgb[yi[:, None], xi[None, :]]
-                out.append(
-                    {
-                        "image_id": row["image_id"],
-                        "w": w,
-                        "h": h,
-                        "mean_r": int(px[:, :, 0].sum()) / n,
-                        "mean_g": int(px[:, :, 1].sum()) / n,
-                        "mean_b": int(px[:, :, 2].sum()) / n,
-                        "mean_gray": mean_gray,
-                        "std_gray": math.sqrt(var) if var > 0 else 0.0,
-                        "edge_energy": edge,
-                        "phash_check": PNG.phash64(rgb.tobytes())
-                        == int(row["phash"]),
-                        "ok": True,
-                        "thumb": PNG.encode_png(thumb.astype(np.uint8)),
-                    }
-                )
+                out.append(rec)
             yield pd.DataFrame(out)
 
     return images.select("image_id", "bytes", "fmt", "phash").mapInPandas(
         run, schema=FEATURES_SCHEMA
     )
+
+
+def _row_features(row, rgb, h, w, n, thumb_size):
+    px = rgb.astype(np.int64)
+    # all stats derive from exact integer sums so the same
+    # float expressions are reproducible in the SQL oracle
+    # (sums < 2^53: order-independent, bitwise-deterministic)
+    s = px.sum(axis=2)  # per-pixel gray*3, integer
+    s1 = int(s.sum())
+    s2 = int((s * s).sum())
+    eh = int(np.abs(np.diff(s, axis=1)).sum()) if w > 1 else 0
+    ev = int(np.abs(np.diff(s, axis=0)).sum()) if h > 1 else 0
+    mean_gray = s1 / (3.0 * n)
+    var = s2 / (9.0 * n) - mean_gray * mean_gray
+    edge = (eh / (3.0 * (w - 1) * h) if w > 1 else 0.0) + (
+        ev / (3.0 * (h - 1) * w) if h > 1 else 0.0
+    )
+    # box-resample thumbnail
+    yi = (np.arange(thumb_size) * h) // thumb_size
+    xi = (np.arange(thumb_size) * w) // thumb_size
+    thumb = rgb[yi[:, None], xi[None, :]]
+    return {
+        "image_id": row["image_id"],
+        "w": w,
+        "h": h,
+        "mean_r": int(px[:, :, 0].sum()) / n,
+        "mean_g": int(px[:, :, 1].sum()) / n,
+        "mean_b": int(px[:, :, 2].sum()) / n,
+        "mean_gray": mean_gray,
+        "std_gray": math.sqrt(var) if var > 0 else 0.0,
+        "edge_energy": edge,
+        "phash_check": PNG.phash64(rgb.tobytes()) == int(row["phash"]),
+        "ok": True,
+        "thumb": PNG.encode_png(thumb.astype(np.uint8)),
+    }

@@ -89,9 +89,12 @@ def video_row_record(i: int) -> dict:
     h = 8 + (seed >> 12) % 9
     frames = []
     for k in range(n_frames):
+        # mask BEFORE np.uint64(): seed spans the full uint64 range, so
+        # seed + 7919*k can exceed 2^64-1 as a Python int and the bare
+        # conversion raises OverflowError instead of wrapping
         stream = _mix64(
             np.arange(w * h * 3, dtype=np.uint64)
-            + np.uint64(seed + 7919 * k)
+            + np.uint64((seed + 7919 * k) & 0xFFFFFFFFFFFFFFFF)
         )
         frames.append(
             (stream & np.uint64(0xFF)).astype(np.uint8).reshape(h, w, 3)

@@ -24,13 +24,23 @@ MOD = {"x": 1000003, "y": 1000033, "z": 1000037}
 
 
 def component_col(key: Column, axis: str) -> Column:
+    # reduce key mod p BEFORE multiplying: key*MUL overflows int64 for
+    # keys past ~2.8e9 (Spark would silently wrap, DuckDB would error,
+    # the driver-side Python would compute exactly — three different
+    # answers).  ((key % p) * m) % p is the same residue with a product
+    # bounded by p*m < 2^52, exact in int64 on every engine; values for
+    # in-range keys are bit-identical to the old form.
     m, p = MUL[axis], MOD[axis]
-    return (key * F.lit(m) % F.lit(p)).cast("double") / F.lit(p / 2.0) - F.lit(1.0)
+    return (
+        (key % F.lit(p) * F.lit(m) % F.lit(p)).cast("double")
+        / F.lit(p / 2.0)
+        - F.lit(1.0)
+    )
 
 
 def component_sql(key_expr: str, axis: str) -> str:
     m, p = MUL[axis], MOD[axis]
-    return f"(({key_expr}) * {m} % {p}) / {p / 2.0!r} - 1.0"
+    return f"((({key_expr}) % {p}) * {m} % {p}) / {p / 2.0!r} - 1.0"
 
 
 def with_xyz(df: DataFrame, key: str = "key") -> DataFrame:

@@ -15,8 +15,24 @@ from . import points as P
 
 
 def _component(key: int, axis: str) -> float:
+    # non-negative keys only: Python % is floor-mod (sign of divisor)
+    # while the Spark/DuckDB twins use C-style remainder (sign of
+    # dividend), so a negative key would silently describe a different
+    # point than the engines join against
+    if key < 0:
+        raise ValueError(f"region key must be non-negative, got {key}")
     m, p = P.MUL[axis], P.MOD[axis]
-    return (key * m % p) / (p / 2.0) - 1.0
+    # same mod-before-multiply order as points.component_col (int64
+    # overflow safety there; kept identical here for the op-order
+    # contract, and exact for all non-negative keys)
+    return (key % p * m % p) / (p / 2.0) - 1.0
+
+
+def _dlit(v: float) -> str:
+    """Exact double literal: shortest repr parsed as DOUBLE (not
+    DECIMAL) round-trips bit-exactly — load-bearing for the
+    cross-engine identity contract, so there is exactly ONE copy."""
+    return f"CAST('{v!r}' AS DOUBLE)"
 
 
 def cap_params(key: int) -> tuple[float, float, float, float]:
@@ -94,10 +110,7 @@ def loop_edges_sql_values(regions, name: str = "loop_edges") -> str:
     (region_id, cx.., dx.., origin_inside) one row per directed edge.
     Accepts Loop or multi-ring Polygon regions (any object with
     ``.edges`` and ``.origin_inside``)."""
-    def dlit(v: float) -> str:
-        # exact round-trip: shortest repr parsed as DOUBLE (not DECIMAL)
-        return f"CAST('{v!r}' AS DOUBLE)"
-
+    dlit = _dlit
     rows = []
     for rid, rg in regions:
         oi = 1 if rg.origin_inside else 0
@@ -268,9 +281,7 @@ def polyline_edges(keys, variant: int = 0) -> list[tuple[int, int, tuple, tuple]
 
 def polyline_edges_sql_values(edges, name: str) -> str:
     """DuckDB inline table (line_id, edge_id, ax..az, bx..bz)."""
-    def dlit(v: float) -> str:
-        return f"CAST('{v!r}' AS DOUBLE)"
-
+    dlit = _dlit
     rows = [
         f"({lid}, {eid}, {dlit(a[0])}, {dlit(a[1])}, {dlit(a[2])}, "
         f"{dlit(b[0])}, {dlit(b[1])}, {dlit(b[2])})"

@@ -25,12 +25,22 @@ def write_clustered(
     cell_col: str = "cell_id",
     n_buckets: int = 16,
     mode: str = "overwrite",
+    tile_level: int = 5,
 ) -> None:
     """Write df partitioned by tile bucket, Hilbert-sorted within
-    partitions."""
+    partitions.
+
+    The bucket hashes the level-``tile_level`` ANCESTOR of the cell id
+    — the tile — not the leaf id: hashing leaves would smear every
+    tile's rows across all ``n_buckets`` directories, so a tile scan
+    could never prune a directory (the whole point of the
+    ``bucket(tile_id)`` layout)."""
     out = df.withColumn(
         "tile_bucket",
-        F.pmod(F.hash(S.cell_bias(F.col(cell_col))), F.lit(n_buckets)),
+        F.pmod(
+            F.hash(S.cell_parent(F.col(cell_col), tile_level)),
+            F.lit(n_buckets),
+        ),
     )
     # sort by (bucket, biased id): the dynamic-partition writer requires
     # an ordering on the partition column and would otherwise insert its
@@ -87,11 +97,35 @@ def scan_cell_range(
     spark: SparkSession, path: str, lo_biased: int, hi_biased: int,
     cell_col: str = "cell_id",
 ) -> DataFrame:
-    """Range scan on the biased order — pushed to parquet row-group
-    stats because files are sorted by the same key."""
+    """Range scan on the biased (unsigned Hilbert) order, pushed to
+    parquet row-group stats.
+
+    Pushdown requires plain attribute comparisons: a predicate on the
+    computed ``cell_id XOR bias`` expression is not translatable to a
+    data-source filter (PushedFilters stays empty and every row group
+    is read).  The bias is just a sign-bit flip, so the biased window
+    maps back to at most TWO raw signed cell-id ranges — one
+    non-negative, one negative — and the filter runs on the raw
+    column, which parquet min/max stats prune."""
     df = spark.read.parquet(path)
-    key = S.cell_bias(F.col(cell_col))
-    return df.where((key >= F.lit(lo_biased)) & (key <= F.lit(hi_biased)))
+    if lo_biased > hi_biased:
+        return df.where(F.lit(False))
+    flip, two64 = 1 << 63, 1 << 64
+    ulo = (int(lo_biased) % two64) ^ flip  # biased signed -> raw unsigned
+    uhi = (int(hi_biased) % two64) ^ flip
+    col = F.col(cell_col)
+
+    def signed_range(a_u: int, b_u: int):
+        a = a_u - two64 if a_u >= flip else a_u
+        b = b_u - two64 if b_u >= flip else b_u
+        return (col >= F.lit(a)) & (col <= F.lit(b))
+
+    if uhi < flip or ulo >= flip:
+        cond = signed_range(ulo, uhi)
+    else:
+        # window straddles the sign boundary of the raw encoding
+        cond = signed_range(ulo, flip - 1) | signed_range(flip, uhi)
+    return df.where(cond)
 
 
 def write_bucketed(
