@@ -95,9 +95,7 @@ def _pair_areas(a: pd.Series, b: pd.Series) -> pd.DataFrame:
         out["exact_area"][i] = cell_exact_area(ca)
         un = CU.normalize([av[i].item(), bv[i].item()])
         out["un_leaves"][i] = float(CU.leaf_cells_covered(un))
-        out["un_exact_area"][i] = sum(
-            cell_exact_area(Cell(c)) for c in un
-        )
+        out["un_exact_area"][i] = CU.exact_area(un)
     return pd.DataFrame(out)
 
 

@@ -46,7 +46,7 @@ def geometry_row(cid: int, nxt: int, dist_rad: float) -> tuple:
     lim = int(C.range_min(np.array([nxt], np.uint64))[0])
     mt = C.maximum_tile(cid, lim)
     return (u0, u1, v0, v1, eu0, eu1, ev0, ev1,
-            int(np.int64(np.uint64(mt))))
+            int(np.array([mt], np.uint64).view(np.int64)[0]))
 
 
 @pandas_udf(_SCHEMA)
