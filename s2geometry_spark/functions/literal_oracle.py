@@ -258,7 +258,6 @@ def polyline_measures_sql(probe=(0.0, 0.0, 1.0)) -> str:
 @lru_cache(maxsize=1)
 def region_boolean_sql() -> str:
     from ..kernels import boolop as B
-    from ..kernels import measures as M
     from ..kernels.loop import Loop
 
     from ..kernels import snap as SN
@@ -282,10 +281,7 @@ def region_boolean_sql() -> str:
                 )
             else:
                 rings = B.loop_boolean(a, b, op)
-            if op == "difference" and len(rings) == 2:
-                area = M.loop_area(rings[0]) - M.loop_area(rings[1])
-            else:
-                area = sum(M.loop_area(r) for r in rings)
+            area = B.rings_area(rings)
             out.append((int(pid), op, len(rings), area))
     return values_sql(
         out,

@@ -397,3 +397,37 @@ def loop_boolean(a: Loop, b: Loop, op: str) -> list[np.ndarray]:
         if len(dedup) >= 3:
             rings.append(np.asarray(dedup))
     return rings
+
+
+def rings_area(rings) -> float:
+    """Total area of a loop_boolean / snapped_loop_boolean result.
+
+    Result rings are all CCW-oriented but follow winding-PARITY
+    semantics (see the annulus branch above): a ring nested inside
+    another result ring is a hole, not a second shell.  The nesting
+    depth of each ring is recovered by containment probes (rings of a
+    boolean result never cross, so one strictly-interior boundary
+    probe per ring decides), then shells (even depth) add and holes
+    (odd depth) subtract — S2Polygon.GetArea semantics
+    (S2Polygon.cs:471-487) over an implicitly-nested ring set.
+    """
+    from .loop import Loop
+    from . import measures as M
+
+    rings = list(rings)
+    if not rings:
+        return 0.0
+    if len(rings) == 1:
+        return M.loop_area(rings[0])
+    loops = [Loop(np.asarray(r)) for r in rings]
+    probes = [_probe_point([tuple(map(float, v)) for v in r])
+              for r in rings]
+    with_depth = []
+    for i, r in enumerate(rings):
+        depth = sum(
+            1
+            for j, lp in enumerate(loops)
+            if j != i and lp.contains_point(probes[i])
+        )
+        with_depth.append((depth, r))
+    return M.polygon_area(with_depth)

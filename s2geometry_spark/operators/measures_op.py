@@ -132,7 +132,6 @@ def boolean_pairs(vertex_df: DataFrame) -> DataFrame:
     def compute(key, pdf: pd.DataFrame):
         from ..functions.literal_oracle import SNAP_PAIR_BASE
         from ..kernels import boolop as B
-        from ..kernels import measures as M
         from ..kernels import snap as SN
         from ..kernels.loop import Loop
 
@@ -153,11 +152,11 @@ def boolean_pairs(vertex_df: DataFrame) -> DataFrame:
                 )
             else:
                 rings = B.loop_boolean(a, b, op)
-            if op == "difference" and len(rings) == 2:
-                # shell + hole: area = shell - hole
-                area = M.loop_area(rings[0]) - M.loop_area(rings[1])
-            else:
-                area = sum(M.loop_area(r) for r in rings)
+            # nesting-parity area: shells add, nested (hole) rings
+            # subtract — handles the annulus (shell+CCW hole), a
+            # difference split into two shells, and nested
+            # symmetric-difference results uniformly.
+            area = B.rings_area(rings)
             rows.append(
                 {"pair_id": int(pid), "op": op, "n_rings": len(rings),
                  "area": area}
@@ -758,7 +757,8 @@ BUILDER_SIMPLIFY_SCHEMA = T.StructType(
 
 def builder_simplify_rows(case_df: DataFrame) -> DataFrame:
     """Full snap + simplify_edge_chains builder run per case (columns:
-    case_id, chain_id, vtx_idx, x, y, z, snap_deg, intlatlng_e, split):
+    case_id, chain_id, vtx_idx, x, y, z, snap_deg, intlatlng_e, split,
+    simplify):
     each case's polylines become one builder layer each; the snapped,
     jointly-simplified polylines come back as debug strings
     (S2Builder.cs SimplifyEdgeChains; kernels.snap.EdgeChainSimplifier).

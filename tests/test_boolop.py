@@ -102,3 +102,89 @@ class TestLoopBoolean:
         assert len(B.loop_boolean(inner, a, "difference")) == 0
         ann = B.loop_boolean(a, inner, "difference")
         assert len(ann) == 2  # shell + hole
+
+
+def _ll(lat, lng):
+    import math
+
+    la, lo = math.radians(lat), math.radians(lng)
+    return (
+        math.cos(la) * math.cos(lo),
+        math.cos(la) * math.sin(lo),
+        math.sin(la),
+    )
+
+
+class TestRingsArea:
+    """Nesting-parity area over boolean result rings — the multi-ring
+    cases the old shell-minus-hole heuristic got wrong."""
+
+    SQUARE = np.array(
+        [_ll(-10, -10), _ll(-10, 10), _ll(10, 10), _ll(10, -10)]
+    )
+    INNER = np.array([_ll(-3, -3), _ll(-3, 3), _ll(3, 3), _ll(3, -3)])
+    BAND = np.array([_ll(-20, -2), _ll(-20, 2), _ll(20, 2), _ll(20, -2)])
+
+    def test_annulus_difference(self):
+        rings = B.loop_boolean(
+            Loop(self.SQUARE), Loop(self.INNER), "difference"
+        )
+        assert len(rings) == 2
+        want = M.loop_area(self.SQUARE) - M.loop_area(self.INNER)
+        assert abs(B.rings_area(rings) - want) < 1e-12
+
+    def test_split_difference_two_shells(self):
+        # BAND cuts SQUARE into two disjoint shells: the area is the
+        # SUM of the two rings, not shell-minus-hole.
+        a, b = Loop(self.SQUARE), Loop(self.BAND)
+        rings = B.loop_boolean(a, b, "difference")
+        assert len(rings) == 2
+        inter = B.loop_boolean(a, b, "intersection")
+        want = M.loop_area(self.SQUARE) - sum(
+            M.loop_area(r) for r in inter
+        )
+        got = B.rings_area(rings)
+        assert abs(got - want) < 1e-10
+        # each ring is a shell (depth 0): the parity sum equals the sum
+        assert abs(got - sum(M.loop_area(r) for r in rings)) < 1e-15
+
+    def test_nested_symmetric_difference(self):
+        rings = B.loop_boolean(
+            Loop(self.SQUARE), Loop(self.INNER), "symmetric_difference"
+        )
+        assert len(rings) == 2
+        want = M.loop_area(self.SQUARE) - M.loop_area(self.INNER)
+        assert abs(B.rings_area(rings) - want) < 1e-12
+
+    @pytest.mark.parametrize("key", range(4))
+    def test_monte_carlo_parity(self, key):
+        # independent oracle: rings_area vs winding-parity membership of
+        # uniform samples over the enclosing cap region
+        rng = np.random.default_rng(500 + key)
+        a = Loop(R.loop_vertices(key))
+        b = _shifted(key, 0.05)
+        cx, cy, cz, cap_rad = R.cap_params(key)
+        samp_rad = min(np.pi, cap_rad + 0.3)  # covers A ∪ B
+        cap_area = 2.0 * np.pi * (1.0 - np.cos(samp_rad))
+        # uniform-AREA cap sampling: cos(r) uniform on [cos R, 1]
+        c = np.array([cx, cy, cz])
+        u = np.array(E.ortho(tuple(c)))
+        v = np.cross(c, u)
+        n = 40000
+        cosr = rng.uniform(np.cos(samp_rad), 1.0, n)
+        sinr = np.sqrt(1.0 - cosr**2)
+        ang = rng.uniform(0, 2 * np.pi, n)
+        pts = (
+            cosr[:, None] * c
+            + sinr[:, None]
+            * (np.cos(ang)[:, None] * u + np.sin(ang)[:, None] * v)
+        )
+        pts /= np.linalg.norm(pts, axis=1)[:, None]
+        for op in OPS + ("symmetric_difference",):
+            rings = B.loop_boolean(a, b, op)
+            frac = float(np.mean(_membership(rings, pts)))
+            mc = frac * cap_area
+            got = B.rings_area(rings)
+            # MC standard error ~ sqrt(p(1-p)/n)*cap_area
+            se = np.sqrt(max(frac * (1 - frac), 1e-6) / 40000) * cap_area
+            assert abs(got - mc) < 5 * se + 1e-6, (op, got, mc, se)
