@@ -203,12 +203,10 @@ def near_loop_sql(
     loop_edges_cte provides loop_edges(region_id, cx..dz,
     origin_inside) with literal vertices.
     """
-    import math
-
     from ..kernels.edges import DBL_EPS, ORIGIN
+    from ..operators.spatial_join import near_chord2
 
-    s = math.sin(0.5 * min(radius_rad, math.pi))
-    r2 = repr(min(4.0, 4 * s * s))
+    r2 = repr(near_chord2(radius_rad))
     k_err1 = repr(4.75 * DBL_EPS)           # folded scalar, as numpy does
     k_err2 = repr(8 * DBL_EPS * DBL_EPS)
     ax, ay, az = (f"CAST('{v!r}' AS DOUBLE)" for v in ORIGIN)

@@ -147,6 +147,20 @@ def loop_near_udf(loops_by_id: dict, radius_chord2: float):
     from ..kernels import edges as E
     from ..kernels import polyline as PL
 
+    # hoist the per-edge endpoint tuples out of the UDF: rebuilding them
+    # inside costs O(vertices) Python-tuple churn per region per Arrow
+    # batch; the values (float() of the same doubles) are bit-identical
+    edge_tuples = {
+        rid: [
+            (
+                tuple(float(v) for v in verts[k]),
+                tuple(float(v) for v in verts[(k + 1) % len(verts)]),
+            )
+            for k in range(len(verts))
+        ]
+        for rid, (verts, _oi) in loops_by_id.items()
+    }
+
     @pandas_udf(BooleanType())
     def _near(rid: pd.Series, ux: pd.Series, uy: pd.Series, uz: pd.Series) -> pd.Series:
         rids = rid.to_numpy()
@@ -164,10 +178,7 @@ def loop_near_udf(loops_by_id: dict, radius_chord2: float):
                 ^ int(origin_inside)
             ).astype(bool)
             min_d2 = np.full(len(idx), np.inf)
-            n = len(verts)
-            for k in range(n):
-                a = tuple(float(v) for v in verts[k])
-                b = tuple(float(v) for v in verts[(k + 1) % n])
+            for a, b in edge_tuples[srt[si]]:
                 d2 = PL.edge_distance2_batch(px[idx], py[idx], pz[idx], a, b)
                 min_d2 = np.minimum(min_d2, d2)
             out[idx] = inside | (min_d2 <= radius_chord2)
@@ -188,6 +199,19 @@ def polyline_near_udf(lines_by_id: dict, radius_chord2: float):
 
     from ..kernels import polyline as PL
 
+    # hoisted per-edge endpoint tuples (see loop_near_udf): values are
+    # bit-identical, built once instead of per region per Arrow batch
+    edge_tuples = {
+        lid: [
+            (
+                tuple(float(v) for v in verts[k]),
+                tuple(float(v) for v in verts[k + 1]),
+            )
+            for k in range(len(verts) - 1)
+        ]
+        for lid, verts in lines_by_id.items()
+    }
+
     @pandas_udf(BooleanType())
     def _near(lid: pd.Series, ux: pd.Series, uy: pd.Series, uz: pd.Series) -> pd.Series:
         lids = lid.to_numpy()
@@ -199,11 +223,8 @@ def polyline_near_udf(lines_by_id: dict, radius_chord2: float):
         bounds = np.r_[starts, len(srt)]
         for si, ei in zip(bounds[:-1], bounds[1:]):
             idx = order[si:ei]
-            verts = lines_by_id[srt[si]]
             min_d2 = np.full(len(idx), np.inf)
-            for k in range(len(verts) - 1):
-                a = tuple(float(v) for v in verts[k])
-                b = tuple(float(v) for v in verts[k + 1])
+            for a, b in edge_tuples[srt[si]]:
                 d2 = PL.edge_distance2_batch(px[idx], py[idx], pz[idx], a, b)
                 min_d2 = np.minimum(min_d2, d2)
             out[idx] = min_d2 <= radius_chord2

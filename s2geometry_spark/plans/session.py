@@ -22,7 +22,14 @@ def package_zip(out_path: str | None = None) -> str:
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     root = os.path.dirname(pkg_dir)
     if out_path is None:
-        out_path = os.path.join(tempfile.gettempdir(), "s2geometry_spark.zip")
+        # unique per call: a fixed path under /tmp races with any other
+        # session building the zip at the same moment (executors can
+        # fetch a half-written archive) and collides across users; the
+        # stable basename is what executors see via addPyFile.
+        out_path = os.path.join(
+            tempfile.mkdtemp(prefix="s2geometry_spark_pyfiles_"),
+            "s2geometry_spark.zip",
+        )
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for dirpath, _dirnames, filenames in os.walk(pkg_dir):
             if "__pycache__" in dirpath:
