@@ -12,6 +12,7 @@ recursive-CTE Hilbert implementation) agree bit-for-bit on cell ids.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -297,23 +298,6 @@ def q_s2_edgeclip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bx").isNotNull())
     )
     return EC.edge_face_clips(edges)
-
-
-def q_s2_rect_bounder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conservative polyline lat/lng bounds (S2LatLngRectBounder.cs)
-    via the grouped chain kernel.  Oracle: driver recompute (literal
-    table)."""
-    _ensure_pkg(spark)
-    import pandas as pd
-
-    from s2geometry_spark.functions import literal_oracle as LO
-    from s2geometry_spark.operators import measures_op as MO
-
-    pdf = pd.DataFrame(
-        LO.polyline_measure_vertices(),
-        columns=["line_id", "vtx_idx", "x", "y", "z"],
-    )
-    return MO.rect_bounds(spark.createDataFrame(pdf))
 
 
 def q_s2_earth_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,18 +680,26 @@ def q_crossing_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _polyline_edge_groups() -> list:
+    """The 25 deterministic polylines as (line_id, [(a, b), ...]) edge
+    groups — the ONE edge collection shared by the closest/furthest
+    polyline arms (and re-derived edge-wise by their oracles)."""
+    from s2geometry_spark.sources import regions_src as R
+
+    by_line: dict[int, list] = {}
+    for lid, _eid, a, b in R.polyline_edges(range(25)):
+        by_line.setdefault(lid, []).append((a, b))
+    return sorted(by_line.items())
+
+
 def q_closest_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest polyline per order point (closest-edge query over an
     edge collection; broadcast-evaluate, vectorized edge distances)."""
     _ensure_pkg(spark)
     from s2geometry_spark.operators import knn as KNN
-    from s2geometry_spark.sources import regions_src as R
 
     pts = _orders_points(spark, sf_dir)
-    by_line: dict[int, list] = {}
-    for lid, eid, a, b in R.polyline_edges(range(25)):
-        by_line.setdefault(lid, []).append((a, b))
-    return KNN.closest_polyline(pts, sorted(by_line.items()))
+    return KNN.closest_polyline(pts, _polyline_edge_groups())
 
 
 def q_hausdorff_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,16 +741,11 @@ FRACTAL_REGIONS = 8
 FRACTAL_VERTICES = 512
 
 
+@functools.lru_cache(maxsize=1)
 def _fractal_loops_cached():
-    import functools
+    from s2geometry_spark.sources import regions_src as R
 
-    @functools.lru_cache(maxsize=1)
-    def build():
-        from s2geometry_spark.sources import regions_src as R
-
-        return R.fractal_loops(range(FRACTAL_REGIONS), FRACTAL_VERTICES)
-
-    return build()
+    return tuple(R.fractal_loops(range(FRACTAL_REGIONS), FRACTAL_VERTICES))
 
 
 def q_pip_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,31 +771,26 @@ def q_furthest_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     collection, antipodal closest-edge trick)."""
     _ensure_pkg(spark)
     from s2geometry_spark.operators import knn as KNN
-    from s2geometry_spark.sources import regions_src as R
 
     pts = _orders_points(spark, sf_dir)
-    by_line: dict[int, list] = {}
-    for lid, eid, a, b in R.polyline_edges(range(25)):
-        by_line.setdefault(lid, []).append((a, b))
-    return KNN.furthest_polyline(pts, sorted(by_line.items()))
+    return KNN.furthest_polyline(pts, _polyline_edge_groups())
+
+
+@functools.lru_cache(maxsize=1)
+def _cap_cover_entries_cached() -> tuple:
+    from s2geometry_spark.kernels.coverer import RegionCoverer
+    from s2geometry_spark.sources import regions_src as R
+
+    rc = RegionCoverer()
+    entries = []
+    for rid, cap in R.synthetic_caps(range(25)):
+        for cid in rc.get_covering(cap):
+            entries.append((cid, rid))
+    return tuple(entries)
 
 
 def _cap_cover_entries():
-    import functools
-
-    @functools.lru_cache(maxsize=1)
-    def build():
-        from s2geometry_spark.kernels.coverer import RegionCoverer
-        from s2geometry_spark.sources import regions_src as R
-
-        rc = RegionCoverer()
-        entries = []
-        for rid, cap in R.synthetic_caps(range(25)):
-            for cid in rc.get_covering(cap):
-                entries.append((cid, rid))
-        return tuple(entries)
-
-    return list(build())
+    return list(_cap_cover_entries_cached())
 
 
 N_IMAGES = 2000
@@ -946,6 +928,7 @@ def q_doc_dedup_exact(spark, sf_dir):
     stages as per-stage survivor sets with md5 fingerprints),
     stage-tagged under one (stage, doc_id, fp, n) shape — the
     curation pipeline's driver-gate row."""
+    _ensure_pkg(spark)
     from s2geometry_spark.operators import textops as TX
 
     docs = _docs(spark, sf_dir)
@@ -962,16 +945,19 @@ def q_doc_dedup_exact(spark, sf_dir):
 
 
 def q_doc_near_dup(spark, sf_dir):
+    _ensure_pkg(spark)
     from s2geometry_spark.operators import textops as TX
     return TX.near_dup_pairs(_docs(spark, sf_dir))
 
 
 def q_embed_cosine_topk(spark, sf_dir):
+    _ensure_pkg(spark)
     from s2geometry_spark.operators import similarity as SIM
     return SIM.cosine_topk(_emb(spark, sf_dir), EMBED_K)
 
 
 def q_embed_ann_lsh(spark, sf_dir):
+    _ensure_pkg(spark)
     from s2geometry_spark.operators import similarity as SIM
     return SIM.ann_lsh_topk(_emb(spark, sf_dir), EMBED_K)
 
@@ -979,6 +965,7 @@ def q_embed_ann_lsh(spark, sf_dir):
 def q_embed_ann_ivf(spark, sf_dir):
     """IVF coarse-quantizer ANN: deterministic spherical k-means lists
     trained on a bounded sample, probe + exact rerank."""
+    _ensure_pkg(spark)
     from s2geometry_spark.operators import similarity as SIM
     return SIM.ann_ivf_topk(_emb(spark, sf_dir), EMBED_K, sf_dir)
 
@@ -986,6 +973,7 @@ def q_embed_ann_ivf(spark, sf_dir):
 def q_embed_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup grouping (LSH candidates -> exact
     cosine threshold -> min-root fold)."""
+    _ensure_pkg(spark)
     from s2geometry_spark.operators import similarity as SIM
     return SIM.embed_near_dup(_emb(spark, sf_dir), EMBED_DUP_TAU)
 

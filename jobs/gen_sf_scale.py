@@ -58,15 +58,12 @@ def scale(src: str, dst: str, factor: int) -> None:
                 "(FORMAT PARQUET)"
             )
             continue
+        cols = duckdb.sql(f"SELECT * FROM '{src_path}' LIMIT 0").columns
         parts = []
         for c in range(factor):
             shifted = ", ".join(
-                [
-                    f"({k} + {c * stride}) AS {k}" if k in keys else k
-                    for k in duckdb.sql(
-                        f"SELECT * FROM '{src_path}' LIMIT 0"
-                    ).columns
-                ]
+                f"({k} + {c * stride}) AS {k}" if k in keys else k
+                for k in cols
             )
             parts.append(f"SELECT {shifted} FROM '{src_path}'")
         union = " UNION ALL ".join(parts)
@@ -133,7 +130,10 @@ def gen_skew(
     xyz = {}
     for axis in ("x", "y", "z"):
         m, p = P.MUL[axis], P.MOD[axis]
-        xyz[axis] = (key * m % p).astype(np.float64) / (p / 2.0) - 1.0
+        # reduce mod p BEFORE multiplying, exactly like
+        # points.component_col: key*m silently wraps int64 for keys
+        # past ~2.8e9, diverging from the operators' derivation
+        xyz[axis] = (key % p * m % p).astype(np.float64) / (p / 2.0) - 1.0
     hot_mask = key % 10 < 3
     mx, my, mz = metro_center()
     for axis, v in zip("xyz", (mx, my, mz)):

@@ -37,6 +37,11 @@ def main() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         spark = active
+    elif os.environ.get("PYSPARK_GATEWAY_PORT"):
+        # launched by spark-submit: the JVM gateway already carries
+        # --master and the executor confs, so attach to it instead of
+        # building a local[] session that would clobber spark.master
+        spark = SparkSession.builder.appName("s2_pipeline").getOrCreate()
     else:
         from s2geometry_spark.plans.session import build_session
 
@@ -65,23 +70,26 @@ def main() -> None:
         inputs=(tiled,),
     )
 
-    def region_join(df):
+    def unit_points(df):
+        """(key, cell_id, x, y, z) unit vectors from the geotag."""
         from pyspark.sql import functions as F
-
-        from s2geometry_spark.operators import spatial_join as SJ
-        from s2geometry_spark.sources import regions_src as R
 
         lat = F.radians(F.col("lat"))
         lon = F.radians(F.col("lon"))
-        pts = df.select(
+        return df.select(
             F.col("image_id").alias("key"),
             "cell_id",
             (F.cos(lon) * F.cos(lat)).alias("x"),
             (F.sin(lon) * F.cos(lat)).alias("y"),
             F.sin(lat).alias("z"),
         )
+
+    def region_join(df):
+        from s2geometry_spark.operators import spatial_join as SJ
+        from s2geometry_spark.sources import regions_src as R
+
         return SJ.point_in_cap_join(
-            spark, pts, R.synthetic_caps(range(25))
+            spark, unit_points(df), R.synthetic_caps(range(25))
         )
 
     joined = pipe.stage(
@@ -92,22 +100,13 @@ def main() -> None:
     )
 
     def route_near(df):
-        from pyspark.sql import functions as F
-
         from s2geometry_spark.operators import spatial_join as SJ
         from s2geometry_spark.sources import regions_src as R
 
-        lat = F.radians(F.col("lat"))
-        lon = F.radians(F.col("lon"))
-        pts = df.select(
-            F.col("image_id").alias("key"),
-            "cell_id",
-            (F.cos(lon) * F.cos(lat)).alias("x"),
-            (F.sin(lon) * F.cos(lat)).alias("y"),
-            F.sin(lat).alias("z"),
-        )
         lines = [(k, R.polyline_vertices(k)) for k in range(25)]
-        return SJ.point_near_polyline_join(spark, pts, lines, 0.08)
+        return SJ.point_near_polyline_join(
+            spark, unit_points(df), lines, 0.08
+        )
 
     near_routes = pipe.stage(
         "route_near",
