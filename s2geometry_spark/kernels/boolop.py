@@ -106,11 +106,15 @@ def _intersection_stable_sorted(a0, a1, b0, b1):
 
 def _compare_edges(a0, a1, b0, b1) -> bool:
     """Reversal-invariant total order on edges
-    (S2EdgeCrossings.CompareEdges)."""
-    a = min(a0, a1)
+    (S2EdgeCrossings.CompareEdges): sort each edge's endpoints, then
+    compare (min, max) lexicographically — both endpoints participate,
+    so edges sharing their min vertex still order consistently in
+    either argument order."""
+    if a0 >= a1:
+        a0, a1 = a1, a0
     if b0 >= b1:
         b0, b1 = b1, b0
-    return a < b0 or (a == b0 and b0 < b1)
+    return a0 < b0 or (a0 == b0 and a1 < b1)
 
 
 def _normalize_exact(xf):
@@ -149,15 +153,24 @@ def edge_intersection_exact(a0, a1, b0, b1):
         a_norm = E.ortho(a0)
     if b_norm == (0.0, 0.0, 0.0):
         b_norm = E.ortho(b0)
-    x = (10.0, 10.0, 10.0)
-    if E.ordered_ccw(b0, a0, b1, b_norm) and a0 < x:
+    x = None
+    if E.ordered_ccw(b0, a0, b1, b_norm) and (x is None or a0 < x):
         x = a0
-    if E.ordered_ccw(b0, a1, b1, b_norm) and a1 < x:
+    if E.ordered_ccw(b0, a1, b1, b_norm) and (x is None or a1 < x):
         x = a1
-    if E.ordered_ccw(a0, b0, a1, a_norm) and b0 < x:
+    if E.ordered_ccw(a0, b0, a1, a_norm) and (x is None or b0 < x):
         x = b0
-    if E.ordered_ccw(a0, b1, a1, a_norm) and b1 < x:
+    if E.ordered_ccw(a0, b1, a1, a_norm) and (x is None or b1 < x):
         x = b1
+    if x is None:
+        # no endpoint lies interior to the other edge: the collinear
+        # configuration has no well-defined intersection point (the
+        # reference DCHECKs here) — raise rather than hand a non-unit
+        # sentinel to downstream ring construction
+        raise ValueError(
+            "edge_intersection_exact: exactly-collinear edges with no "
+            "interior endpoint (degenerate crossing configuration)"
+        )
     return x
 
 
@@ -223,17 +236,61 @@ def _split_arcs(verts, crossings_by_edge):
     return arcs
 
 
-def _arc_midpoint(points):
-    # a point strictly inside the arc: midpoint of its longest segment
+def _longest_segment(points):
+    """Endpoints of the arc's longest segment — its midpoint is a
+    point strictly inside the arc, and the segment direction gives the
+    arc's local left side (shared with kernels.winding)."""
     best, best_len = None, -1.0
     for a, b in zip(points, points[1:]):
         d = sum((a[i] - b[i]) ** 2 for i in range(3))
         if d > best_len:
             best_len = d
-            best = _normalize(
-                (a[0] + b[0], a[1] + b[1], a[2] + b[2])
-            )
+            best = (a, b)
     return best
+
+
+def _arc_midpoint(points):
+    # a point strictly inside the arc: midpoint of its longest segment
+    a, b = _longest_segment(points)
+    return _normalize((a[0] + b[0], a[1] + b[1], a[2] + b[2]))
+
+
+def stitch_arcs(kept) -> list[np.ndarray]:
+    """Stitch kept arcs (points, start_xid, end_xid) end-to-end into
+    closed rings: follow end_xid -> next arc's start_xid, drop each
+    arc's duplicated endpoint, then consecutive duplicates and the
+    closure vertex.  Shared by loop_boolean step 4 and
+    kernels.winding's boundary assembly (one walk, no drift)."""
+    by_start: dict[object, list] = {}
+    for arc in kept:
+        by_start.setdefault(arc[1], []).append(arc)
+    rings = []
+    used: set[int] = set()
+    for arc in kept:
+        if id(arc) in used:
+            continue
+        ring_pts: list = []
+        cur = arc
+        while True:
+            used.add(id(cur))
+            ring_pts.extend(cur[0][:-1])
+            nxt_candidates = [
+                c for c in by_start.get(cur[2], []) if id(c) not in used
+            ]
+            if not nxt_candidates:
+                break
+            cur = nxt_candidates[0]
+        # dedup consecutive duplicates (arc endpoints repeat), and the
+        # closure vertex when the walk ends where it started
+        dedup = [ring_pts[0]]
+        for p in ring_pts[1:]:
+            if p != dedup[-1]:
+                dedup.append(p)
+        if len(dedup) > 1 and dedup[-1] == dedup[0]:
+            dedup.pop()
+        if len(dedup) >= 3:
+            rings.append(np.asarray(dedup))
+    return rings
 
 
 def _probe_point(verts):
@@ -322,6 +379,24 @@ def loop_boolean(a: Loop, b: Loop, op: str) -> list[np.ndarray]:
     if not crossings:
         a_in_b = b.contains_point(_probe_point(averts))
         b_in_a = a.contains_point(_probe_point(bverts))
+        if a_in_b and b_in_a:
+            # each boundary lies inside the other's interior with no
+            # crossings: A u B covers the sphere (the configuration
+            # loop_contains_loop guards the same way).  Intersection
+            # is the band bounded by BOTH boundaries (a mutually-
+            # containing ring pair — rings_area recognizes it);
+            # difference A - B is the complement of B (B's ring
+            # reversed so its interior-on-the-left is the kept
+            # region); union has no ring-set representation.
+            if op == "intersection":
+                return [np.asarray(averts), np.asarray(bverts)]
+            if op == "union":
+                raise ValueError(
+                    "loop_boolean: union covers the full sphere "
+                    "(area 4*pi, empty boundary) — no ring-set "
+                    "representation"
+                )
+            return [np.asarray(list(reversed(bverts)))]
         if op == "intersection":
             if a_in_b:
                 return [np.asarray(averts)]
@@ -367,36 +442,7 @@ def loop_boolean(a: Loop, b: Loop, op: str) -> list[np.ndarray]:
         kept = keep(a_arcs, b, False, False) + keep(b_arcs, a, True, True)
 
     # 4. stitch arcs: start xid -> arc
-    by_start: dict[object, list] = {}
-    for arc in kept:
-        by_start.setdefault(arc[1], []).append(arc)
-    rings = []
-    used = set()
-    for arc in kept:
-        if id(arc) in used:
-            continue
-        ring_pts: list = []
-        cur = arc
-        while True:
-            used.add(id(cur))
-            ring_pts.extend(cur[0][:-1])
-            nxt_candidates = [
-                c for c in by_start.get(cur[2], []) if id(c) not in used
-            ]
-            if not nxt_candidates:
-                break
-            cur = nxt_candidates[0]
-        # dedup consecutive duplicates (arc endpoints repeat), and the
-        # closure vertex when the walk ends where it started
-        dedup = [ring_pts[0]]
-        for p in ring_pts[1:]:
-            if p != dedup[-1]:
-                dedup.append(p)
-        if len(dedup) > 1 and dedup[-1] == dedup[0]:
-            dedup.pop()
-        if len(dedup) >= 3:
-            rings.append(np.asarray(dedup))
-    return rings
+    return stitch_arcs(kept)
 
 
 def rings_area(rings) -> float:
@@ -422,12 +468,22 @@ def rings_area(rings) -> float:
     loops = [Loop(np.asarray(r)) for r in rings]
     probes = [_probe_point([tuple(map(float, v)) for v in r])
               for r in rings]
+    contains = [
+        [j != i and loops[j].contains_point(probes[i])
+         for j in range(len(rings))]
+        for i in range(len(rings))
+    ]
+    # mutually-containing ring pair (each boundary inside the other's
+    # interior): the no-crossing intersection of two loops whose union
+    # covers the sphere — a band, not a nest.  Its area is
+    # area(A) + area(B) - 4*pi; the depth-parity model below assumes a
+    # containment FOREST and would subtract both rings.
+    if len(rings) == 2 and contains[0][1] and contains[1][0]:
+        return (
+            M.loop_area(rings[0]) + M.loop_area(rings[1]) - M.M_4_PI
+        )
     with_depth = []
     for i, r in enumerate(rings):
-        depth = sum(
-            1
-            for j, lp in enumerate(loops)
-            if j != i and lp.contains_point(probes[i])
-        )
+        depth = sum(contains[i])
         with_depth.append((depth, r))
     return M.polygon_area(with_depth)

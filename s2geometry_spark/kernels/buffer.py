@@ -224,12 +224,7 @@ def buffer_loop(
                 cand.append((k, 0.9 + 0.0999 * float(s), _unit(q)))
     pts = np.stack([p for _, _, p in cand])
     # trim: drop candidates closer than (r - tol) to any boundary edge
-    min_d2 = np.full(len(pts), np.inf)
-    for k in range(n):
-        a = tuple(float(x) for x in verts[k])
-        b = tuple(float(x) for x in verts[(k + 1) % n])
-        d2 = edge_distance2_batch(pts[:, 0], pts[:, 1], pts[:, 2], a, b)
-        min_d2 = np.minimum(min_d2, d2)
+    min_d2 = _loop_min_dist2(np.asarray(verts), pts)
     s_lim = math.sin(0.5 * max(radius - tolerance, 0.0))
     keep = min_d2 >= 4 * s_lim * s_lim - 1e-15
     order = sorted(
@@ -245,9 +240,25 @@ def buffer_loop(
 
 
 def _validate_ring(verts, radius, tolerance, ring) -> None:
-    """Monte-Carlo agreement check between the emitted ring and the
-    within-distance predicate, ignoring a band of 4*tol around the
-    true buffered boundary."""
+    """Monte-Carlo agreement check between the emitted single ring and
+    the within-distance predicate (see _validate_rings)."""
+    _validate_rings(
+        verts, radius, tolerance, [np.asarray(ring)],
+        hint=(
+            "; the loop's concave features are below the buffer "
+            "radius — use the within-distance join, or reduce the "
+            "radius"
+        ),
+    )
+
+
+def _validate_rings(verts, radius, tolerance, rings,
+                    hint: str = "") -> None:
+    """Monte-Carlo agreement check: the winding-positive region from
+    the emitted rings (parity XOR over disjoint simple rings bounding
+    a 0/1-winding region — _rings_contain) must match the
+    within-distance predicate outside a band of 4*tol around the true
+    buffered boundary."""
     from .loop import Loop
 
     rng = np.random.default_rng(0)
@@ -259,75 +270,19 @@ def _validate_ring(verts, radius, tolerance, ring) -> None:
     P = P / np.linalg.norm(P, axis=1)[:, None]
     lp = Loop(np.asarray(verts))
     want = buffered_contains(lp.verts, radius, P, lp.origin_inside)
-    got = Loop(ring).contains_points(P)
+    got = _rings_contain(rings, P)
     bad = want != got
     if not bad.any():
         return
     # tolerance band: |dist(x, boundary) - r| <= 4*tol is acceptable
-    n = len(verts)
-    min_d2 = np.full(len(P), np.inf)
-    for k in range(n):
-        a = tuple(float(x) for x in verts[k])
-        b = tuple(float(x) for x in verts[(k + 1) % n])
-        min_d2 = np.minimum(
-            min_d2, edge_distance2_batch(P[:, 0], P[:, 1], P[:, 2], a, b)
-        )
+    min_d2 = _loop_min_dist2(np.asarray(verts), P)
     d = 2 * np.arcsin(np.sqrt(np.clip(min_d2, 0, 4)) / 2)
     out_of_band = bad & (np.abs(d - radius) > 4 * tolerance)
     if out_of_band.any():
         raise ValueError(
-            "buffer_loop: offset-curve construction failed validation "
-            f"({int(out_of_band.sum())} probes disagree beyond 4*tol); "
-            "the loop's concave features are below the buffer radius — "
-            "use the within-distance join, or reduce the radius"
-        )
-
-
-def _validate_rings(verts, radius, tolerance, rings) -> None:
-    """Monte-Carlo agreement check for the multi-ring (concave) path:
-    the winding-positive region from the emitted rings (XOR of ring
-    parities — rings are disjoint simple curves bounding a 0/1-winding
-    region) must match the within-distance predicate outside a band of
-    4*tol around the true buffered boundary."""
-    from .loop import Loop
-
-    rng = np.random.default_rng(0)
-    center = _unit(np.asarray(verts).mean(axis=0))
-    spread = 4 * (radius + float(
-        np.linalg.norm(np.asarray(verts) - center, axis=1).max()
-    ))
-    P = center[None, :] + spread * rng.standard_normal((1500, 3))
-    P = P / np.linalg.norm(P, axis=1)[:, None]
-    lp = Loop(np.asarray(verts))
-    want = buffered_contains(lp.verts, radius, P, lp.origin_inside)
-    got = np.zeros(len(P), dtype=bool)
-    for ring in rings:
-        arr = np.asarray(ring)
-        from .measures import loop_signed_area
-
-        if loop_signed_area(arr) < 0:
-            # CW hole ring: the S2 left-interior is the unbounded side;
-            # parity containment needs the CCW orientation
-            arr = arr[::-1]
-        got ^= Loop(arr).contains_points(P)
-    bad = want != got
-    if not bad.any():
-        return
-    n = len(verts)
-    min_d2 = np.full(len(P), np.inf)
-    for k in range(n):
-        a = tuple(float(x) for x in verts[k])
-        b = tuple(float(x) for x in verts[(k + 1) % n])
-        min_d2 = np.minimum(
-            min_d2, edge_distance2_batch(P[:, 0], P[:, 1], P[:, 2], a, b)
-        )
-    d = 2 * np.arcsin(np.sqrt(np.clip(min_d2, 0, 4)) / 2)
-    out_of_band = bad & (np.abs(d - radius) > 4 * tolerance)
-    if out_of_band.any():
-        raise ValueError(
-            "buffer_loop_rings: winding-walk construction failed "
-            f"validation ({int(out_of_band.sum())} probes disagree "
-            "beyond 4*tol)"
+            "buffer_loop: ring construction failed validation "
+            f"({int(out_of_band.sum())} probes disagree beyond 4*tol)"
+            f"{hint}"
         )
 
 
@@ -339,16 +294,8 @@ def buffered_contains(verts: np.ndarray, radius: float, points: np.ndarray,
     inside = (
         E.crossing_parity_fast(verts, px, py, pz) ^ int(origin_inside)
     ).astype(bool)
-    n = len(verts)
-    min_d2 = np.full(len(points), np.inf)
-    for k in range(n):
-        a = tuple(float(x) for x in verts[k])
-        b = tuple(float(x) for x in verts[(k + 1) % n])
-        min_d2 = np.minimum(
-            min_d2, edge_distance2_batch(px, py, pz, a, b)
-        )
-    s = math.sin(0.5 * radius)
-    return inside | (min_d2 <= 4 * s * s)
+    min_d2 = _loop_min_dist2(verts, points)
+    return inside | (min_d2 <= _chord2(radius))
 
 
 # ---------------------------------------------------------------------

@@ -140,8 +140,17 @@ def _strictly_on_edge(u, v, w) -> bool:
         return False  # definitely off the great circle
     if E.exact_sign(u, v, w, perturb=False) != 0:
         return False
-    duv = E.dot(u, v)
-    return E.dot(u, w) > duv and E.dot(v, w) > duv
+    # minor-arc betweenness by rotation sign: with z = u x v the edge's
+    # great-circle normal, a collinear w = cos(t) u + sin(t) n lies
+    # strictly between u and v (0 < t < arc(u, v) < pi) iff
+    # (u x w) . z > 0 and (w x v) . z > 0.  A dot-threshold test
+    # (dot(u, w) > dot(u, v) and dot(v, w) > dot(u, v)) wrongly accepts
+    # points on the COMPLEMENTARY arc once arc(u, v) > 2*pi/3 — e.g.
+    # edge 0:0 -> 0:170 with w = 0:-80.
+    z = E.cross(u, v)
+    return (
+        E.dot(E.cross(u, w), z) > 0.0 and E.dot(E.cross(w, v), z) > 0.0
+    )
 
 
 def _arc_param(u, w) -> float:
@@ -229,6 +238,18 @@ def _split_edge(u, v, cross_edges, t_vertices, options):
     for (p, q) in cross_edges:
         if p == q or (p, q) == (u, v) or (q, p) == (u, v):
             continue
+        # exact T-junction: a cross-edge endpoint lying in the open
+        # interior of (u, v) IS the cut.  The perturbed crossing_sign
+        # below would otherwise also fire for the piercing edge and
+        # edge_intersection would add a SECOND cut within ~1 ulp of the
+        # vertex (the two points need not be bit-identical), leaving a
+        # sliver sub-edge in the arrangement.  Registered here rather
+        # than skipped so self-split polyline edges — whose endpoints
+        # are not in t_vertices — still cut at the junction.
+        ts = [w for w in (p, q) if _strictly_on_edge(u, v, w)]
+        if ts:
+            cuts.update(ts)
+            continue
         if E.crossing_sign(u, v, p, q) > 0:
             cuts.add(options.snap_point(edge_intersection(u, v, p, q)))
     for w in t_vertices:
@@ -300,13 +321,20 @@ class Region:
         self.poly_degen_vertices = set()
         self.poly_degen_edges = set()
         self.full = False
-        self.pip_loops = []  # parity loops per polygon
+        # per-polygon parity units: (full_base, [Loop, ...]) — a "full"
+        # loop inverts that POLYGON's parity base (its other loops are
+        # holes), it does not short-circuit the whole region: a
+        # full-with-holes polygon ("## full; 0:0, ...") contains
+        # everything EXCEPT the hole interiors.
+        self.pip_polys = []
         self.vertex_wedges: dict = {}  # v -> list[(neighbor, dir)]
         for poly in geom.polygons:
             loops = []
+            poly_full = False
             for loop in poly:
                 if loop == "full":
                     self.full = True
+                    poly_full = True
                     continue
                 degen = _loop_is_degenerate(loop)
                 if degen:
@@ -322,21 +350,23 @@ class Region:
                     self.vertex_wedges.setdefault(v, []).append((u, -1))
                 if not degen and len(loop) >= 3:
                     loops.append(np.asarray(loop, dtype=np.float64))
-            if loops:
-                self.pip_loops.append([Loop(l) for l in loops])
+            if loops or poly_full:
+                self.pip_polys.append(
+                    (poly_full, [Loop(l) for l in loops])
+                )
 
     # -- polygon interior / boundary ----------------------------------
 
     def strictly_inside(self, p) -> bool:
         """p in the open interior of this region's polygons (parity
-        over each polygon's non-degenerate loops)."""
-        if self.full:
-            return True
+        over each polygon's non-degenerate loops; a "full" loop flips
+        the polygon's parity base, so full-with-holes polygons exclude
+        their hole interiors)."""
         if self._on_poly_boundary(p):
             return False
         pa = np.asarray(p)
-        for loops in self.pip_loops:
-            inside = False
+        for full_base, loops in self.pip_polys:
+            inside = full_base
             for lp in loops:
                 if lp.contains_point(pa):
                     inside = not inside
@@ -360,9 +390,9 @@ class Region:
 
     def polygon_contains_point(self, p) -> bool:
         """Point containment per PolygonModel; degenerate features are
-        closed point sets in every model."""
-        if self.full:
-            return True
+        closed point sets in every model.  Full-base polygons flow
+        through the same boundary/parity ladder (a bare "full" polygon
+        has no boundary features, so strictly_inside answers True)."""
         model = self.options.polygon_model
         if self._on_degen_poly_feature(p):
             return True
@@ -584,9 +614,10 @@ def _keep_poly_edge(src: Region, other: Region, s, t, op: str,
     if not other.polygons and not other.full:
         cls = "out"
     else:
+        # classify_edge's midpoint parity handles full-base polygons
+        # (including full-with-holes, where an edge in the hole is
+        # genuinely "out") — no full fix-up here
         cls = other.classify_edge(s, t)
-        if other.full and cls == "out":
-            cls = "in"
     if op == UNION:
         if cls == "same":
             return primary, False  # secondary copy deduplicated
@@ -597,6 +628,11 @@ def _keep_poly_edge(src: Region, other: Region, s, t, op: str,
         return (cls == "in" or (cls == "rev" and model == CLOSED)), False
     # DIFFERENCE
     if primary:
+        # NOTE: cls == "rev" is kept even inside the symmetric-
+        # difference composition — the reference's symdiff of adjacent
+        # polygons emits BOTH sides of the shared edge (two separate
+        # result polygons, sibling pair retained; golden
+        # PolygonEdgeSemiOpenPolygonEdgeOverlap expects it).
         return (cls == "out" or cls == "rev"), False
     return cls == "in", True  # subtrahend boundary reversed inside A
 
@@ -632,7 +668,6 @@ def _clip_chain(src: Region, other: Region, chain, dims,
         else:
             contained = (
                 (1 in dims and other.edge_in_polylines(u, v))
-                or (2 in dims and other.full)
                 or (2 in dims and bool(other.polygons)
                     and other.edge_in_polygons(u, v))
             )

@@ -26,11 +26,12 @@ import numpy as np
 
 from . import edges as E
 from .boolop import (
-    _arc_midpoint,
     _edge_param,
+    _longest_segment,
     _normalize,
     _split_arcs,
     edge_intersection,
+    stitch_arcs,
 )
 
 RULE_POSITIVE = "positive"
@@ -38,7 +39,7 @@ RULE_NONZERO = "nonzero"
 RULE_ODD = "odd"
 
 
-def _rule_fn(rule, n_loops: int):
+def _rule_fn(rule):
     if callable(rule):
         return rule
     if rule == RULE_POSITIVE:
@@ -112,7 +113,7 @@ def winding_operation(
             "the operation per group inside the distributed kernels, "
             "or raise edge_budget explicitly if you accept the cost)"
         )
-    rule_f = _rule_fn(rule, len(loop_list))
+    rule_f = _rule_fn(rule)
 
     # 1. all crossings: between loops and within each loop
     xid = 0
@@ -140,10 +141,11 @@ def winding_operation(
     kept = []
     for li, vt in enumerate(loop_list):
         for points, s, e in _split_arcs(vt, by_edge[li]):
-            mid = _arc_midpoint(points)
-            # displace slightly off the curve to each side: left of the
-            # local edge direction
-            a, b = _nearest_seg(points, mid)
+            # probe at the midpoint of the arc's longest segment,
+            # displaced slightly off the curve to each side (left of
+            # the local edge direction) — one segment scan gives both
+            a, b = _longest_segment(points)
+            mid = _normalize((a[0] + b[0], a[1] + b[1], a[2] + b[2]))
             u = _normalize(E.cross(a, b))  # left side of the arc
             eps = 1e-9
             m_left = _normalize(
@@ -171,44 +173,8 @@ def winding_operation(
                     pts = pts[:-1]
                 rings.append(np.asarray(pts))
         kept = [a for a in kept if a[1] is not None]
-        return rings + _stitch(kept)
-    return _stitch(kept)
-
-
-def _nearest_seg(points, mid):
-    best, bl = None, -1.0
-    for a, b in zip(points, points[1:]):
-        d = sum((a[i] - b[i]) ** 2 for i in range(3))
-        if d > bl:
-            bl, best = d, (a, b)
-    return best
-
-
-def _stitch(kept) -> list[np.ndarray]:
-    by_start: dict[object, list] = {}
-    for arc in kept:
-        by_start.setdefault(arc[1], []).append(arc)
-    rings = []
-    used: set[int] = set()
-    for arc in kept:
-        if id(arc) in used:
-            continue
-        ring_pts: list = []
-        cur = arc
-        while True:
-            used.add(id(cur))
-            ring_pts.extend(cur[0][:-1])
-            nxt = [c for c in by_start.get(cur[2], []) if id(c) not in used]
-            if not nxt:
-                break
-            cur = nxt[0]
-        dedup = [ring_pts[0]]
-        for p in ring_pts[1:]:
-            if p != dedup[-1]:
-                dedup.append(p)
-        if len(dedup) >= 3:
-            rings.append(np.asarray(dedup))
-    return rings
+        return rings + stitch_arcs(kept)
+    return stitch_arcs(kept)
 
 
 def polygon_contains(a_rings: list, b_rings: list) -> bool:
@@ -235,8 +201,6 @@ def polygon_intersects(a_rings: list, b_rings: list) -> bool:
     # non-empty ring set for rule >= 2 unless they are disjoint; an
     # empty result with one polygon's probe inside the other covers the
     # identical-region edge case
-    from .loop import Loop
-
     probe = _probe_of(b_rings)
     if probe is not None and _polygon_contains_point(a_rings, probe):
         return True

@@ -109,3 +109,58 @@ class TestSymmetricDifference:
         assert abs(
             sarea(s) - (A_AREA + M.loop_area(far.verts))
         ) < 1e-14
+
+
+class TestMutualContainment:
+    """No crossings, each boundary inside the other's interior: the
+    union covers the sphere (the configuration loop_contains_loop
+    guards at loop.py's union-is-sphere branch)."""
+
+    def setup_method(self):
+        # everything north of lat -20 (interior-on-left; area > 2*pi,
+        # so the signed area is negative by the (-2pi, 2pi] convention
+        # and mkloop's CCW assert does not apply)
+        self.a = Loop(np.asarray(
+            [ll(-20, 0), ll(-20, 90), ll(-20, 180), ll(-20, -90)]
+        ))
+        # everything south of lat +20
+        self.b = Loop(np.asarray(
+            [ll(20, 0), ll(20, -90), ll(20, 180), ll(20, 90)]
+        ))
+        self.a_area = M.loop_area(self.a.verts)
+        self.b_area = M.loop_area(self.b.verts)
+        assert self.a_area > 2 * math.pi and self.b_area > 2 * math.pi
+        assert self.a_area + self.b_area > 4 * math.pi  # overlapping band
+
+    def test_intersection_is_band(self):
+        rings = B.loop_boolean(self.a, self.b, "intersection")
+        assert len(rings) == 2
+        want = self.a_area + self.b_area - 4 * math.pi
+        assert abs(B.rings_area(rings) - want) < 1e-12
+
+    def test_union_raises(self):
+        with pytest.raises(ValueError, match="full sphere"):
+            B.loop_boolean(self.a, self.b, "union")
+
+    def test_difference_is_complement_of_b(self):
+        rings = B.loop_boolean(self.a, self.b, "difference")
+        assert len(rings) == 1
+        want = 4 * math.pi - self.b_area
+        assert abs(B.rings_area(rings) - want) < 1e-12
+
+
+def test_compare_edges_total_order():
+    """CompareEdges must weigh BOTH endpoints: edges sharing their min
+    vertex order by max vertex, and exactly one of (a,b), (b,a) is
+    True for distinct edges (S2EdgeCrossings.CompareEdges)."""
+    p0, p1, p2 = ll(0, 0), ll(0, 1), ll(0, 2)
+    assert B._compare_edges(p0, p1, p0, p2) != B._compare_edges(
+        p0, p2, p0, p1
+    )
+    # reversal invariance
+    assert B._compare_edges(p1, p0, p2, p0) == B._compare_edges(
+        p0, p1, p0, p2
+    )
+    # irreflexive on the same edge either way round
+    assert not B._compare_edges(p0, p1, p1, p0)
+    assert not B._compare_edges(p0, p1, p0, p1)

@@ -564,3 +564,82 @@ def test_self_intersecting_polylines_split_all():
     expect(SYM, a, b,
            "# 0:2, 2:2, 4:2, 2:0, 2:2, 2:4, 2:5 "
            "| 0:4, 2:4, 3:4, 5:4, 3:6, 3:4, 3:3 #", **kw)
+
+
+# ---------------------------------------------------------------------
+# hardening regressions: long-edge betweenness, exact T-junctions,
+# full-with-holes polygons
+# ---------------------------------------------------------------------
+
+
+def _pt(lat, lng):
+    import math
+
+    phi, th = math.radians(lat), math.radians(lng)
+    return (
+        math.cos(th) * math.cos(phi),
+        math.sin(th) * math.cos(phi),
+        math.sin(phi),
+    )
+
+
+def test_strictly_on_edge_rejects_complementary_arc():
+    """Collinear points on the FAR arc of an edge longer than 120 deg
+    must not count as interior (the old dot-threshold test accepted
+    them)."""
+    u, v = _pt(0, 0), _pt(0, 170)  # equator points: exactly coplanar
+    assert MB._strictly_on_edge(u, v, _pt(0, 85))
+    assert not MB._strictly_on_edge(u, v, _pt(0, -80))  # far arc
+    assert not MB._strictly_on_edge(u, v, _pt(0, 175))  # beyond v
+    assert not MB._strictly_on_edge(u, v, u)
+    assert not MB._strictly_on_edge(u, v, v)
+
+
+def test_exact_t_junction_single_cut():
+    """B's vertex lies EXACTLY on A's equatorial edge: the junction
+    must appear as exactly one cut (the perturbed crossing_sign path
+    would add a second point within ~1 ulp -> sliver edges)."""
+    a = "# # 0:0, 0:10, 5:10, 5:0"
+    b = "# # 0:5, -5:0, -5:10"  # apex exactly on A's bottom edge
+    expect(
+        UNION, a, b,
+        "# # 0:0, 0:5, 0:10, 5:10, 5:0; 0:5, -5:0, -5:10",
+    )
+    # no sliver edges in the raw output
+    got = MB.boolean_operation(
+        MB.parse_index(a), MB.parse_index(b), UNION, MB.Options()
+    )
+    for (p, q) in got[2]:
+        d2 = sum((p[i] - q[i]) ** 2 for i in range(3))
+        assert d2 > 1e-12, f"sliver edge {p} -> {q}"
+
+
+def test_full_with_hole_point_containment():
+    """A 'full' loop flips its polygon's parity base: the sphere-minus-
+    square polygon excludes the hole interior instead of short-
+    circuiting to the whole sphere."""
+    full_hole = "# # full; 10:10, 10:12, 12:12, 12:10"
+    expect(INT, "11:11 # #", full_hole, "# #")  # in the hole
+    expect(INT, "0:0 # #", full_hole, "0:0 # #")  # outside the hole
+    expect(DIFF, "11:11 # #", full_hole, "11:11 # #")
+    expect(DIFF, "0:0 # #", full_hole, "# #")
+
+
+def test_full_with_hole_vs_polygon_edges():
+    full_hole = "# # full; 10:10, 10:20, 20:20, 20:10"
+    sq_in_hole = "# # 12:12, 12:14, 14:14, 14:12"
+    # square entirely inside the hole: intersection empty
+    expect(INT, sq_in_hole, full_hole, "# #")
+    # union: sphere minus (hole minus square) -> both rings survive
+    expect(
+        UNION, sq_in_hole, full_hole,
+        "# # 10:10, 10:20, 20:20, 20:10; 12:12, 12:14, 14:14, 14:12",
+    )
+    # full-with-hole minus the square: unchanged (square is in the hole)
+    expect(DIFF, full_hole, sq_in_hole,
+           "# # 10:10, 10:20, 20:20, 20:10")
+
+
+def test_bare_full_polygon_still_contains_everything():
+    expect(INT, "3:7 # #", "# # full", "3:7 # #")
+    expect(DIFF, "3:7 # #", "# # full", "# #")
