@@ -693,17 +693,18 @@ class _VertexMaps:
 
     def __init__(self, g: Graph):
         n_v = g.num_vertices
-        self.out_begins = [0] * (n_v + 1)
-        srcs = [e[0] for e in g.edges]
-        for v in range(n_v + 1):
-            self.out_begins[v] = int(
-                np.searchsorted(srcs, v, side="left"))
+        vs = np.arange(n_v + 1)
+        srcs = np.fromiter(
+            (e[0] for e in g.edges), dtype=np.int64, count=len(g.edges)
+        )
+        self.out_begins = np.searchsorted(srcs, vs, side="left").tolist()
         self.in_edge_ids = g.get_in_edge_ids()
-        dsts = [g.edges[e][1] for e in self.in_edge_ids]
-        self.in_begins = [0] * (n_v + 1)
-        for v in range(n_v + 1):
-            self.in_begins[v] = int(
-                np.searchsorted(dsts, v, side="left"))
+        dsts = np.fromiter(
+            (g.edges[e][1] for e in self.in_edge_ids),
+            dtype=np.int64,
+            count=len(self.in_edge_ids),
+        )
+        self.in_begins = np.searchsorted(dsts, vs, side="left").tolist()
 
     def out_edge_ids(self, v):
         return range(self.out_begins[v], self.out_begins[v + 1])

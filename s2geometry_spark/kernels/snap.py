@@ -360,9 +360,12 @@ class Builder:
                     )
                 )
             )
-        # when the edge snap radius exceeds the vertex snap radius
-        # (intersection tolerance) we must check topology explicitly
-        # around every site, not just forced ones (S2Builder.cs:252-254)
+        # check topology around EVERY site (not just forced ones) when
+        # a snapped edge can deviate further than the edge-vertex
+        # separation guarantee covers; per the reference this only
+        # happens when intersection_tolerance > 0 AND snap_radius is
+        # tiny (≤ kIntersectionError/1.19) — almost never
+        # (S2Builder.cs:252-254 and the comment block above it)
         self.check_all_site_crossings = self.max_edge_deviation > (
             edge_snap_radius
             + self.snap_function.min_edge_vertex_separation()
@@ -472,8 +475,12 @@ class Builder:
             self.add_edge(pts[i], pts[(i + 1) % len(pts)])
 
     def force_vertex(self, p) -> None:
-        # ForceVertex overrides idempotency (S2Builder.cs:461-471)
-        self.snapping_needed = True
+        # ForceVertex only records the site (S2Builder.cs:559-563);
+        # it overrides idempotency indirectly: ChooseInitialSites sets
+        # snapping_needed when any input vertex falls within
+        # min_site_separation of a forced site.  With a zero snap
+        # radius (snapping never requested) forced sites are dropped
+        # by ChooseAllVerticesAsSites, exactly as in the reference.
         self.forced.append(tuple(map(float, p)))
 
     # -- site selection -------------------------------------------------
@@ -553,7 +560,6 @@ class Builder:
         edge_site_query_radius sorted by distance to the edge start
         (S2Builder.CollectSiteEdges)."""
         self.edge_sites: list[list[int]] = []
-        sites_arr = np.asarray(self.sites) if self.sites else None
         for e, (i0, i1) in enumerate(self.input_edges):
             v0 = self.input_vertices[i0]
             v1 = self.input_vertices[i1]
@@ -574,7 +580,6 @@ class Builder:
             # (S2Builder.SiteIdsComp uses S2Pred.CompareDistances)
             near.sort(key=cmp_to_key(self._site_cmp(v0)))
             self.edge_sites.append(near)
-        _ = sites_arr
 
     def _site_cmp(self, v0):
         def cmp(i: int, j: int) -> int:
@@ -906,6 +911,11 @@ class Builder:
             self.input_edges = [
                 (vmap[a], vmap[b]) for a, b in self.input_edges
             ]
+            # the reference also rebinds input_vertices_ = sites_ so
+            # that InputVertexId == SiteId afterwards
+            # (S2Builder.cs:765); get_snapped_winding_delta relies on
+            # input_vertices[va] being valid for renumbered edge ids.
+            self.input_vertices = list(self.sites)
             self._chains = [
                 [a, b] if a != b else [a] for a, b in self.input_edges
             ]

@@ -582,6 +582,72 @@ class TestTopologyPreservation:
         assert tuple(lines[0][3]) == TF.ll_to_point(0.99 * kdeg, 45)
 
 
+class TestNoSnappingPath:
+    """Regression coverage for the no-snapping (idempotent) exit of
+    build(): vertex ids are renumbered to site ids, so downstream
+    consumers that index input_vertices by the renumbered edge ids
+    must see the rebound site array (S2Builder.cs
+    ChooseAllVerticesAsSites assigns input_vertices_ = sites_)."""
+
+    def test_force_vertex_with_zero_snap_radius(self):
+        # ForceVertex only records the site (S2Builder.cs:559-563);
+        # with snapping never requested, build() must take the
+        # no-snapping path and drop the forced site, exactly like
+        # ChooseAllVerticesAsSites in the reference — previously this
+        # crashed in _snap_edge (edge_sites never populated).
+        b = S.Builder()
+        p, q = pts("0:0, 0:1")
+        b.add_edge(p, q)
+        b.force_vertex(pts("1:0.5")[0])
+        b.build()
+        assert not b.snapping_needed
+        assert len(b.sites) == 2
+        assert set(b.sites) == {p, q}
+
+    def test_force_vertex_overrides_idempotency(self):
+        # a forced site within snap_radius of an input vertex must
+        # still trigger snapping (S2Builder.ChooseInitialSites)
+        b = S.Builder(S.IdentitySnapFunction(math.radians(1.0)))
+        p, q, f = pts("0:0, 0:5, 0.2:0")
+        b.force_vertex(f)
+        b.add_edge(p, q)
+        b.build()
+        assert b.snapping_needed
+        assert b.num_forced_sites == 1
+        assert b.sites[0] == f
+
+    def test_winding_delta_zero_on_idempotent_build(self):
+        # get_snapped_winding_delta indexes input_vertices with the
+        # RENUMBERED edge ids after the no-snapping path; before the
+        # input_vertices = sites rebind this mis-paired endpoints and
+        # reported a nonzero delta for geometry that never moved.
+        import random
+
+        rng = random.Random(7)
+        for _ in range(25):
+            corners = [
+                (rng.uniform(-40, 40), rng.uniform(-170, 170))
+                for _ in range(4)
+            ]
+            clat = sum(c[0] for c in corners) / 4
+            clng = sum(c[1] for c in corners) / 4
+            corners.sort(
+                key=lambda c: math.atan2(c[0] - clat, c[1] - clng)
+            )
+            verts = [TF.ll_to_point(la, ln) for la, ln in corners]
+            b = S.Builder(S.IdentitySnapFunction(1e-10))
+            ref = TF.ll_to_point(clat, clng)
+            b.add_edge(ref, ref)
+            b.add_loop(verts)
+            va, _ = b.input_edges[0]
+            ref_in = b.input_vertices[va]
+            b.build()
+            if b.snapping_needed:
+                continue
+            rv = S.find_first_site(b, 0)
+            assert S.get_snapped_winding_delta(b, ref_in, rv) == 0
+
+
 class TestBooleanOperationGoldens:
     """Snap-rounded boolean golden cases from
     S2BooleanOperationTests.cs (PolygonEdgePolygonEdgeCrossing,
