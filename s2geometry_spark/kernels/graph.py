@@ -991,3 +991,70 @@ def assemble_chains(mode: str, chains) -> list[tuple[str, int]]:
     else:
         raise ValueError(f"unknown assembly mode {mode}")
     return out
+
+
+def cancel_and_stitch(
+    edges,
+    *,
+    turn_key=None,
+    drop_self_edges: bool = False,
+) -> list[list[int]]:
+    """Cancel sibling pairs among directed edges, then stitch the
+    remainder into rings — the shared SiblingPairs.DISCARD assembly
+    used by both the builder's polygon layer (snap.Builder.layer_loops,
+    S2PolygonLayer) and the lax-polygon layer (nesting.lax_polygon_layer,
+    LaxPolygonLayer.cs DISCARD modes).
+
+    ``edges``: directed (src, dst) vertex-id pairs.  Each (a, b)
+    cancels one (b, a).  ``drop_self_edges`` removes degenerate
+    (a, a) edges from the stitch (the lax layer handles those as
+    separate degenerate loops).  ``turn_key``: optional callable
+    (vin_id, vat_id, vout_id) -> sort key applied at fan-out vertices
+    (the builder stitcher passes the sharpest-left-turn angle on site
+    coordinates; without it the first unused edge in input order
+    wins, which is LaxPolygonLayer's deterministic behavior).
+
+    Returns rings as vertex-id lists with >= 3 vertices.
+    """
+    from collections import Counter
+
+    count = Counter(edges)
+    for (a, b) in list(count):
+        if a < b and (b, a) in count:
+            k = min(count[(a, b)], count[(b, a)])
+            count[(a, b)] -= k
+            count[(b, a)] -= k
+    remaining: list[tuple[int, int]] = []
+    for e, k in count.items():
+        if drop_self_edges and e[0] == e[1]:
+            continue
+        remaining.extend([e] * k)
+    by_src: dict[int, list[int]] = {}
+    for idx, (a, _b) in enumerate(remaining):
+        by_src.setdefault(a, []).append(idx)
+    used = [False] * len(remaining)
+    rings: list[list[int]] = []
+    for start in range(len(remaining)):
+        if used[start]:
+            continue
+        ring = [remaining[start][0]]
+        cur = start
+        used[start] = True
+        while True:
+            nxt_v = remaining[cur][1]
+            if nxt_v == ring[0]:
+                break
+            ring.append(nxt_v)
+            cands = [k for k in by_src.get(nxt_v, []) if not used[k]]
+            if not cands:
+                break
+            if turn_key is not None and len(cands) > 1:
+                vin = remaining[cur][0]
+                cands.sort(
+                    key=lambda k: turn_key(vin, nxt_v, remaining[k][1])
+                )
+            cur = cands[0]
+            used[cur] = True
+        if len(ring) >= 3:
+            rings.append(ring)
+    return rings

@@ -532,40 +532,10 @@ def lax_polygon_layer(
                 degen_loops.append([a, b])
 
     # cancel sibling pairs within the normal part (filament removal),
-    # then stitch the remaining directed edges into loops
-    from collections import Counter
+    # then stitch the remaining directed edges into loops; LaxPolygon
+    # assembly resolves fan-out vertices in input-edge order, so no
+    # turn_key (unlike the builder's polygon layer)
+    from .graph import cancel_and_stitch
 
-    count = Counter(normal_edges)
-    for (a, b) in list(count):
-        if a < b and (b, a) in count:
-            k = min(count[(a, b)], count[(b, a)])
-            count[(a, b)] -= k
-            count[(b, a)] -= k
-    remaining: list[tuple[int, int]] = []
-    for e, k in count.items():
-        if e[0] != e[1]:
-            remaining.extend([e] * k)
-    by_src: dict[int, list[int]] = {}
-    for idx, (a, _b) in enumerate(remaining):
-        by_src.setdefault(a, []).append(idx)
-    used = [False] * len(remaining)
-    loops: list[list[int]] = []
-    for start in range(len(remaining)):
-        if used[start]:
-            continue
-        ring = [remaining[start][0]]
-        cur = start
-        used[start] = True
-        while True:
-            nxt = remaining[cur][1]
-            if nxt == ring[0]:
-                break
-            ring.append(nxt)
-            cands = [k for k in by_src.get(nxt, []) if not used[k]]
-            if not cands:
-                break
-            cur = cands[0]
-            used[cur] = True
-        if len(ring) >= 3:
-            loops.append(ring)
+    loops = cancel_and_stitch(normal_edges, drop_self_edges=True)
     return loops + degen_loops, is_full_polygon

@@ -1179,59 +1179,27 @@ class Builder:
         SiblingPairs.DISCARD graph options).  With ``undirected`` each
         ring is re-oriented CCW (EdgeType.UNDIRECTED polygon-validity
         normalization) — only valid when no ring is a hole."""
+        from .graph import cancel_and_stitch
+
         edges = self._layer_directed_edges(layer)
-        # cancel sibling pairs (each (a,b) cancels one (b,a))
-        from collections import Counter
-
-        count = Counter(edges)
-        for (a, b) in list(count):
-            if a < b and (b, a) in count:
-                k = min(count[(a, b)], count[(b, a)])
-                count[(a, b)] -= k
-                count[(b, a)] -= k
-        remaining: list[tuple[int, int]] = []
-        for e, k in count.items():
-            remaining.extend([e] * k)
-        # stitch: walk outgoing edges; at fan-out vertices prefer the
-        # edge making the sharpest left turn (Graph.GetLeftTurnMap
-        # simplified — golden inputs are simple loops)
-        by_src: dict[int, list[int]] = {}
-        for idx, (a, _b) in enumerate(remaining):
-            by_src.setdefault(a, []).append(idx)
-        used = [False] * len(remaining)
+        # at fan-out vertices prefer the edge making the sharpest
+        # left turn (Graph.GetLeftTurnMap simplified — golden inputs
+        # are simple loops)
+        ring_ids = cancel_and_stitch(
+            edges,
+            turn_key=lambda vin, vat, vout: _turn_angle(
+                self.sites[vin], self.sites[vat], self.sites[vout]
+            ),
+        )
         rings = []
-        for start in range(len(remaining)):
-            if used[start]:
-                continue
-            ring = [remaining[start][0]]
-            cur = start
-            used[start] = True
-            while True:
-                nxt_v = remaining[cur][1]
-                if nxt_v == ring[0]:
-                    break
-                ring.append(nxt_v)
-                cands = [k for k in by_src.get(nxt_v, []) if not used[k]]
-                if not cands:
-                    break
-                if len(cands) > 1:
-                    vin = self.sites[remaining[cur][0]]
-                    vat = self.sites[nxt_v]
-                    cands.sort(
-                        key=lambda k: _turn_angle(
-                            vin, vat, self.sites[remaining[k][1]]
-                        )
-                    )
-                cur = cands[0]
-                used[cur] = True
-            if len(ring) >= 3:
-                arr = np.asarray([self.sites[s] for s in ring])
-                if undirected:
-                    from . import measures as M
+        for ring in ring_ids:
+            arr = np.asarray([self.sites[s] for s in ring])
+            if undirected:
+                from . import measures as M
 
-                    if M.loop_signed_area(arr) < 0:
-                        arr = arr[::-1]
-                rings.append(arr)
+                if M.loop_signed_area(arr) < 0:
+                    arr = arr[::-1]
+            rings.append(arr)
         return rings
 
 
