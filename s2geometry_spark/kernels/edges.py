@@ -128,9 +128,18 @@ def sign(a, b, c, a_cross_b=None) -> int:
     return exact_sign(a, b, c)
 
 
+def largest_abs_component(a) -> int:
+    """Index of the largest |component|; ties prefer the LATER axis
+    (Vector3.cs:71-90 — x > y, not >=), unlike np.argmax."""
+    x, y, z = abs(a[0]), abs(a[1]), abs(a[2])
+    if x > y:
+        return 0 if x > z else 2
+    return 1 if y > z else 2
+
+
 def ortho(a):
     """Deterministic unit vector orthogonal to a (S2PointUtil.cs:54-67)."""
-    k = int(np.argmax(np.abs(a))) - 1
+    k = largest_abs_component(a) - 1
     if k < 0:
         k = 2
     temp = [0.012, 0.0053, 0.00457]
@@ -419,7 +428,9 @@ def normalize_rows(p: np.ndarray) -> np.ndarray:
     return p / np.sqrt((p * p).sum(axis=1))[:, None]
 
 
-def loop_origin_inside(verts: np.ndarray) -> bool:
+def loop_origin_inside(
+    verts: np.ndarray, prep: "ParityPrep | None" = None
+) -> bool:
     """origin_inside bit per S2Loop.InitOriginAndBound: guess outside,
     check containment of vertex 1 against AngleContainsVertex."""
     v0 = tuple(float(x) for x in verts[0])
@@ -427,7 +438,7 @@ def loop_origin_inside(verts: np.ndarray) -> bool:
     v2 = tuple(float(x) for x in verts[2])
     v1_inside = v0 != v1 and v2 != v1 and angle_contains_vertex(v0, v1, v2)
     # parity of crossings Origin->v1 (with origin_inside == False)
-    par = int(crossing_parity_robust(verts, verts[1:2])[0])
+    par = int(crossing_parity_robust(verts, verts[1:2], prep)[0])
     contains_v1 = bool(par)  # inside = False ^ parity
     return v1_inside != contains_v1
 

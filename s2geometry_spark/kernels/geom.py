@@ -505,6 +505,57 @@ def _get_v_axis(face: int):
 # Regions
 # ---------------------------------------------------------------------
 
+def intersects_lng_edge(a, b, lat: R1Interval, lng: float) -> bool:
+    """Segment AB vs a constant-longitude edge (a geodesic;
+    S2LatLngRect.IntersectsLngEdge)."""
+    from .edges import crossing_sign
+
+    p1 = ll_to_point(lat.lo, lng)
+    p2 = ll_to_point(lat.hi, lng)
+    return crossing_sign(
+        tuple(map(float, a)), tuple(map(float, b)), p1, p2
+    ) > 0
+
+
+def intersects_lat_edge(a, b, lat: float, lng: S1Interval) -> bool:
+    """Segment AB vs a constant-latitude curve
+    (S2LatLngRect.IntersectsLatEdge: 0, 1 or 2 intersections)."""
+    from .polyline_ops import robust_cross_prod
+
+    z = normalize(robust_cross_prod(tuple(a), tuple(b)))
+    if z[2] < 0:
+        z = neg(z)
+    y = normalize(robust_cross_prod(z, (0.0, 0.0, 1.0)))
+    x = cross(y, z)
+    sin_lat = math.sin(lat)
+    if abs(sin_lat) >= x[2]:
+        return False
+    cos_theta = sin_lat / x[2]
+    sin_theta = math.sqrt(1 - cos_theta * cos_theta)
+    theta = math.atan2(sin_theta, cos_theta)
+    ab_theta = S1Interval.from_point_pair(
+        math.atan2(dot(a, y), dot(a, x)),
+        math.atan2(dot(b, y), dot(b, x)),
+    )
+    if ab_theta.contains(theta):
+        isect = (
+            x[0] * cos_theta + y[0] * sin_theta,
+            x[1] * cos_theta + y[1] * sin_theta,
+            x[2] * cos_theta + y[2] * sin_theta,
+        )
+        if lng.contains(math.atan2(isect[1], isect[0])):
+            return True
+    if ab_theta.contains(-theta):
+        isect = (
+            x[0] * cos_theta - y[0] * sin_theta,
+            x[1] * cos_theta - y[1] * sin_theta,
+            x[2] * cos_theta - y[2] * sin_theta,
+        )
+        if lng.contains(math.atan2(isect[1], isect[0])):
+            return True
+    return False
+
+
 class Region:
     """Covering/pruning contract (IS2Region.cs:28-75)."""
 
@@ -513,99 +564,6 @@ class Region:
 
     def get_cell_union_bound(self) -> list[int]:
         return self.get_cap_bound().get_cell_union_bound()
-
-    @staticmethod
-    def intersects_lng_edge(a, b, lat: R1Interval, lng: float) -> bool:
-        """Segment AB vs a constant-longitude edge (a geodesic;
-        S2LatLngRect.IntersectsLngEdge)."""
-        from .edges import crossing_sign
-
-        p1 = ll_to_point(lat.lo, lng)
-        p2 = ll_to_point(lat.hi, lng)
-        return crossing_sign(
-            tuple(map(float, a)), tuple(map(float, b)), p1, p2
-        ) > 0
-
-    @staticmethod
-    def intersects_lat_edge(a, b, lat: float, lng: S1Interval) -> bool:
-        """Segment AB vs a constant-latitude curve
-        (S2LatLngRect.IntersectsLatEdge: 0, 1 or 2 intersections)."""
-        from .polyline_ops import robust_cross_prod
-
-        z = normalize(robust_cross_prod(tuple(a), tuple(b)))
-        if z[2] < 0:
-            z = neg(z)
-        y = normalize(robust_cross_prod(z, (0.0, 0.0, 1.0)))
-        x = cross(y, z)
-        sin_lat = math.sin(lat)
-        if abs(sin_lat) >= x[2]:
-            return False
-        cos_theta = sin_lat / x[2]
-        sin_theta = math.sqrt(1 - cos_theta * cos_theta)
-        theta = math.atan2(sin_theta, cos_theta)
-        ab_theta = S1Interval.from_point_pair(
-            math.atan2(dot(a, y), dot(a, x)),
-            math.atan2(dot(b, y), dot(b, x)),
-        )
-        if ab_theta.contains(theta):
-            isect = (
-                x[0] * cos_theta + y[0] * sin_theta,
-                x[1] * cos_theta + y[1] * sin_theta,
-                x[2] * cos_theta + y[2] * sin_theta,
-            )
-            if lng.contains(math.atan2(isect[1], isect[0])):
-                return True
-        if ab_theta.contains(-theta):
-            isect = (
-                x[0] * cos_theta - y[0] * sin_theta,
-                x[1] * cos_theta - y[1] * sin_theta,
-                x[2] * cos_theta - y[2] * sin_theta,
-            )
-            if lng.contains(math.atan2(isect[1], isect[0])):
-                return True
-        return False
-
-    def intersects_cell(self, cell: Cell) -> bool:
-        """EXACT rectangle-cell intersection
-        (S2LatLngRect.Intersects(S2Cell): containment shortcuts, vertex
-        membership both ways, then boundary crossings against the two
-        straight lng edges and two curved lat edges)."""
-        if self.is_empty():
-            return False
-        if self.contains_point(cell.center_raw()):
-            return True
-        rect_center = ll_to_point(
-            0.5 * (self.lat.lo + self.lat.hi), self.lng.get_center()
-        )
-        if cell.contains_point(rect_center):
-            return True
-        if not self.intersects_rect(cell.get_rect_bound()):
-            return False
-        cell_v = [cell.vertex(i) for i in range(4)]
-        cell_ll = [(latitude(v), longitude(v)) for v in cell_v]
-        for i in range(4):
-            if self.contains_ll(*cell_ll[i]):
-                return True
-            if cell.contains_point(self.get_vertex(i)):
-                return True
-        for i in range(4):
-            edge_lng = S1Interval.from_point_pair(
-                cell_ll[i][1], cell_ll[(i + 1) & 3][1]
-            )
-            if not self.lng.intersects(edge_lng):
-                continue
-            a, b = cell_v[i], cell_v[(i + 1) & 3]
-            if edge_lng.contains(self.lng.lo):
-                if self.intersects_lng_edge(a, b, self.lat, self.lng.lo):
-                    return True
-            if edge_lng.contains(self.lng.hi):
-                if self.intersects_lng_edge(a, b, self.lat, self.lng.hi):
-                    return True
-            if self.intersects_lat_edge(a, b, self.lat.lo, self.lng):
-                return True
-            if self.intersects_lat_edge(a, b, self.lat.hi, self.lng):
-                return True
-        return False
 
     def contains_cell(self, cell: Cell) -> bool:
         raise NotImplementedError
@@ -721,98 +679,10 @@ class Cap(Region):
         )
         return [int(v) for v in CI.vertex_neighbors(center_id, level)[0]]
 
-    @staticmethod
-    def intersects_lng_edge(a, b, lat: R1Interval, lng: float) -> bool:
-        """Segment AB vs a constant-longitude edge (a geodesic;
-        S2LatLngRect.IntersectsLngEdge)."""
-        from .edges import crossing_sign
-
-        p1 = ll_to_point(lat.lo, lng)
-        p2 = ll_to_point(lat.hi, lng)
-        return crossing_sign(
-            tuple(map(float, a)), tuple(map(float, b)), p1, p2
-        ) > 0
-
-    @staticmethod
-    def intersects_lat_edge(a, b, lat: float, lng: S1Interval) -> bool:
-        """Segment AB vs a constant-latitude curve
-        (S2LatLngRect.IntersectsLatEdge: 0, 1 or 2 intersections)."""
-        from .polyline_ops import robust_cross_prod
-
-        z = normalize(robust_cross_prod(tuple(a), tuple(b)))
-        if z[2] < 0:
-            z = neg(z)
-        y = normalize(robust_cross_prod(z, (0.0, 0.0, 1.0)))
-        x = cross(y, z)
-        sin_lat = math.sin(lat)
-        if abs(sin_lat) >= x[2]:
-            return False
-        cos_theta = sin_lat / x[2]
-        sin_theta = math.sqrt(1 - cos_theta * cos_theta)
-        theta = math.atan2(sin_theta, cos_theta)
-        ab_theta = S1Interval.from_point_pair(
-            math.atan2(dot(a, y), dot(a, x)),
-            math.atan2(dot(b, y), dot(b, x)),
-        )
-        if ab_theta.contains(theta):
-            isect = (
-                x[0] * cos_theta + y[0] * sin_theta,
-                x[1] * cos_theta + y[1] * sin_theta,
-                x[2] * cos_theta + y[2] * sin_theta,
-            )
-            if lng.contains(math.atan2(isect[1], isect[0])):
-                return True
-        if ab_theta.contains(-theta):
-            isect = (
-                x[0] * cos_theta - y[0] * sin_theta,
-                x[1] * cos_theta - y[1] * sin_theta,
-                x[2] * cos_theta - y[2] * sin_theta,
-            )
-            if lng.contains(math.atan2(isect[1], isect[0])):
-                return True
-        return False
-
     def intersects_cell(self, cell: Cell) -> bool:
-        """EXACT rectangle-cell intersection
-        (S2LatLngRect.Intersects(S2Cell): containment shortcuts, vertex
-        membership both ways, then boundary crossings against the two
-        straight lng edges and two curved lat edges)."""
-        if self.is_empty():
-            return False
-        if self.contains_point(cell.center_raw()):
-            return True
-        rect_center = ll_to_point(
-            0.5 * (self.lat.lo + self.lat.hi), self.lng.get_center()
-        )
-        if cell.contains_point(rect_center):
-            return True
-        if not self.intersects_rect(cell.get_rect_bound()):
-            return False
-        cell_v = [cell.vertex(i) for i in range(4)]
-        cell_ll = [(latitude(v), longitude(v)) for v in cell_v]
-        for i in range(4):
-            if self.contains_ll(*cell_ll[i]):
-                return True
-            if cell.contains_point(self.get_vertex(i)):
-                return True
-        for i in range(4):
-            edge_lng = S1Interval.from_point_pair(
-                cell_ll[i][1], cell_ll[(i + 1) & 3][1]
-            )
-            if not self.lng.intersects(edge_lng):
-                continue
-            a, b = cell_v[i], cell_v[(i + 1) & 3]
-            if edge_lng.contains(self.lng.lo):
-                if self.intersects_lng_edge(a, b, self.lat, self.lng.lo):
-                    return True
-            if edge_lng.contains(self.lng.hi):
-                if self.intersects_lng_edge(a, b, self.lat, self.lng.hi):
-                    return True
-            if self.intersects_lat_edge(a, b, self.lat.lo, self.lng):
-                return True
-            if self.intersects_lat_edge(a, b, self.lat.hi, self.lng):
-                return True
-        return False
+        """Exact cap-cell intersection: S2Cap.MayIntersect
+        (S2Cap.cs:467-478) is an exact test, so Intersects == it."""
+        return self.may_intersect_cell(cell)
 
     def contains_cell(self, cell: Cell) -> bool:
         """S2Cap.cs:449-465."""
@@ -939,57 +809,6 @@ class LatLngRect(Region):
         lng = self.lng.hi if i else self.lng.lo
         return ll_to_point(lat, lng)
 
-    @staticmethod
-    def intersects_lng_edge(a, b, lat: R1Interval, lng: float) -> bool:
-        """Segment AB vs a constant-longitude edge (a geodesic;
-        S2LatLngRect.IntersectsLngEdge)."""
-        from .edges import crossing_sign
-
-        p1 = ll_to_point(lat.lo, lng)
-        p2 = ll_to_point(lat.hi, lng)
-        return crossing_sign(
-            tuple(map(float, a)), tuple(map(float, b)), p1, p2
-        ) > 0
-
-    @staticmethod
-    def intersects_lat_edge(a, b, lat: float, lng: S1Interval) -> bool:
-        """Segment AB vs a constant-latitude curve
-        (S2LatLngRect.IntersectsLatEdge: 0, 1 or 2 intersections)."""
-        from .polyline_ops import robust_cross_prod
-
-        z = normalize(robust_cross_prod(tuple(a), tuple(b)))
-        if z[2] < 0:
-            z = neg(z)
-        y = normalize(robust_cross_prod(z, (0.0, 0.0, 1.0)))
-        x = cross(y, z)
-        sin_lat = math.sin(lat)
-        if abs(sin_lat) >= x[2]:
-            return False
-        cos_theta = sin_lat / x[2]
-        sin_theta = math.sqrt(1 - cos_theta * cos_theta)
-        theta = math.atan2(sin_theta, cos_theta)
-        ab_theta = S1Interval.from_point_pair(
-            math.atan2(dot(a, y), dot(a, x)),
-            math.atan2(dot(b, y), dot(b, x)),
-        )
-        if ab_theta.contains(theta):
-            isect = (
-                x[0] * cos_theta + y[0] * sin_theta,
-                x[1] * cos_theta + y[1] * sin_theta,
-                x[2] * cos_theta + y[2] * sin_theta,
-            )
-            if lng.contains(math.atan2(isect[1], isect[0])):
-                return True
-        if ab_theta.contains(-theta):
-            isect = (
-                x[0] * cos_theta - y[0] * sin_theta,
-                x[1] * cos_theta - y[1] * sin_theta,
-                x[2] * cos_theta - y[2] * sin_theta,
-            )
-            if lng.contains(math.atan2(isect[1], isect[0])):
-                return True
-        return False
-
     def intersects_cell(self, cell: Cell) -> bool:
         """EXACT rectangle-cell intersection
         (S2LatLngRect.Intersects(S2Cell): containment shortcuts, vertex
@@ -1021,14 +840,14 @@ class LatLngRect(Region):
                 continue
             a, b = cell_v[i], cell_v[(i + 1) & 3]
             if edge_lng.contains(self.lng.lo):
-                if self.intersects_lng_edge(a, b, self.lat, self.lng.lo):
+                if intersects_lng_edge(a, b, self.lat, self.lng.lo):
                     return True
             if edge_lng.contains(self.lng.hi):
-                if self.intersects_lng_edge(a, b, self.lat, self.lng.hi):
+                if intersects_lng_edge(a, b, self.lat, self.lng.hi):
                     return True
-            if self.intersects_lat_edge(a, b, self.lat.lo, self.lng):
+            if intersects_lat_edge(a, b, self.lat.lo, self.lng):
                 return True
-            if self.intersects_lat_edge(a, b, self.lat.hi, self.lng):
+            if intersects_lat_edge(a, b, self.lat.hi, self.lng):
                 return True
         return False
 
@@ -1096,99 +915,6 @@ class RegionUnion(Region):
             )
         return cap
 
-    @staticmethod
-    def intersects_lng_edge(a, b, lat: R1Interval, lng: float) -> bool:
-        """Segment AB vs a constant-longitude edge (a geodesic;
-        S2LatLngRect.IntersectsLngEdge)."""
-        from .edges import crossing_sign
-
-        p1 = ll_to_point(lat.lo, lng)
-        p2 = ll_to_point(lat.hi, lng)
-        return crossing_sign(
-            tuple(map(float, a)), tuple(map(float, b)), p1, p2
-        ) > 0
-
-    @staticmethod
-    def intersects_lat_edge(a, b, lat: float, lng: S1Interval) -> bool:
-        """Segment AB vs a constant-latitude curve
-        (S2LatLngRect.IntersectsLatEdge: 0, 1 or 2 intersections)."""
-        from .polyline_ops import robust_cross_prod
-
-        z = normalize(robust_cross_prod(tuple(a), tuple(b)))
-        if z[2] < 0:
-            z = neg(z)
-        y = normalize(robust_cross_prod(z, (0.0, 0.0, 1.0)))
-        x = cross(y, z)
-        sin_lat = math.sin(lat)
-        if abs(sin_lat) >= x[2]:
-            return False
-        cos_theta = sin_lat / x[2]
-        sin_theta = math.sqrt(1 - cos_theta * cos_theta)
-        theta = math.atan2(sin_theta, cos_theta)
-        ab_theta = S1Interval.from_point_pair(
-            math.atan2(dot(a, y), dot(a, x)),
-            math.atan2(dot(b, y), dot(b, x)),
-        )
-        if ab_theta.contains(theta):
-            isect = (
-                x[0] * cos_theta + y[0] * sin_theta,
-                x[1] * cos_theta + y[1] * sin_theta,
-                x[2] * cos_theta + y[2] * sin_theta,
-            )
-            if lng.contains(math.atan2(isect[1], isect[0])):
-                return True
-        if ab_theta.contains(-theta):
-            isect = (
-                x[0] * cos_theta - y[0] * sin_theta,
-                x[1] * cos_theta - y[1] * sin_theta,
-                x[2] * cos_theta - y[2] * sin_theta,
-            )
-            if lng.contains(math.atan2(isect[1], isect[0])):
-                return True
-        return False
-
-    def intersects_cell(self, cell: Cell) -> bool:
-        """EXACT rectangle-cell intersection
-        (S2LatLngRect.Intersects(S2Cell): containment shortcuts, vertex
-        membership both ways, then boundary crossings against the two
-        straight lng edges and two curved lat edges)."""
-        if self.is_empty():
-            return False
-        if self.contains_point(cell.center_raw()):
-            return True
-        rect_center = ll_to_point(
-            0.5 * (self.lat.lo + self.lat.hi), self.lng.get_center()
-        )
-        if cell.contains_point(rect_center):
-            return True
-        if not self.intersects_rect(cell.get_rect_bound()):
-            return False
-        cell_v = [cell.vertex(i) for i in range(4)]
-        cell_ll = [(latitude(v), longitude(v)) for v in cell_v]
-        for i in range(4):
-            if self.contains_ll(*cell_ll[i]):
-                return True
-            if cell.contains_point(self.get_vertex(i)):
-                return True
-        for i in range(4):
-            edge_lng = S1Interval.from_point_pair(
-                cell_ll[i][1], cell_ll[(i + 1) & 3][1]
-            )
-            if not self.lng.intersects(edge_lng):
-                continue
-            a, b = cell_v[i], cell_v[(i + 1) & 3]
-            if edge_lng.contains(self.lng.lo):
-                if self.intersects_lng_edge(a, b, self.lat, self.lng.lo):
-                    return True
-            if edge_lng.contains(self.lng.hi):
-                if self.intersects_lng_edge(a, b, self.lat, self.lng.hi):
-                    return True
-            if self.intersects_lat_edge(a, b, self.lat.lo, self.lng):
-                return True
-            if self.intersects_lat_edge(a, b, self.lat.hi, self.lng):
-                return True
-        return False
-
     def contains_cell(self, cell: Cell) -> bool:
         return any(r.contains_cell(cell) for r in self.regions)
 
@@ -1212,99 +938,6 @@ class RegionIntersection(Region):
         # any member's bound contains the intersection; pick the smallest
         caps = [r.get_cap_bound() for r in self.regions]
         return min(caps, key=lambda c: c.radius2)
-
-    @staticmethod
-    def intersects_lng_edge(a, b, lat: R1Interval, lng: float) -> bool:
-        """Segment AB vs a constant-longitude edge (a geodesic;
-        S2LatLngRect.IntersectsLngEdge)."""
-        from .edges import crossing_sign
-
-        p1 = ll_to_point(lat.lo, lng)
-        p2 = ll_to_point(lat.hi, lng)
-        return crossing_sign(
-            tuple(map(float, a)), tuple(map(float, b)), p1, p2
-        ) > 0
-
-    @staticmethod
-    def intersects_lat_edge(a, b, lat: float, lng: S1Interval) -> bool:
-        """Segment AB vs a constant-latitude curve
-        (S2LatLngRect.IntersectsLatEdge: 0, 1 or 2 intersections)."""
-        from .polyline_ops import robust_cross_prod
-
-        z = normalize(robust_cross_prod(tuple(a), tuple(b)))
-        if z[2] < 0:
-            z = neg(z)
-        y = normalize(robust_cross_prod(z, (0.0, 0.0, 1.0)))
-        x = cross(y, z)
-        sin_lat = math.sin(lat)
-        if abs(sin_lat) >= x[2]:
-            return False
-        cos_theta = sin_lat / x[2]
-        sin_theta = math.sqrt(1 - cos_theta * cos_theta)
-        theta = math.atan2(sin_theta, cos_theta)
-        ab_theta = S1Interval.from_point_pair(
-            math.atan2(dot(a, y), dot(a, x)),
-            math.atan2(dot(b, y), dot(b, x)),
-        )
-        if ab_theta.contains(theta):
-            isect = (
-                x[0] * cos_theta + y[0] * sin_theta,
-                x[1] * cos_theta + y[1] * sin_theta,
-                x[2] * cos_theta + y[2] * sin_theta,
-            )
-            if lng.contains(math.atan2(isect[1], isect[0])):
-                return True
-        if ab_theta.contains(-theta):
-            isect = (
-                x[0] * cos_theta - y[0] * sin_theta,
-                x[1] * cos_theta - y[1] * sin_theta,
-                x[2] * cos_theta - y[2] * sin_theta,
-            )
-            if lng.contains(math.atan2(isect[1], isect[0])):
-                return True
-        return False
-
-    def intersects_cell(self, cell: Cell) -> bool:
-        """EXACT rectangle-cell intersection
-        (S2LatLngRect.Intersects(S2Cell): containment shortcuts, vertex
-        membership both ways, then boundary crossings against the two
-        straight lng edges and two curved lat edges)."""
-        if self.is_empty():
-            return False
-        if self.contains_point(cell.center_raw()):
-            return True
-        rect_center = ll_to_point(
-            0.5 * (self.lat.lo + self.lat.hi), self.lng.get_center()
-        )
-        if cell.contains_point(rect_center):
-            return True
-        if not self.intersects_rect(cell.get_rect_bound()):
-            return False
-        cell_v = [cell.vertex(i) for i in range(4)]
-        cell_ll = [(latitude(v), longitude(v)) for v in cell_v]
-        for i in range(4):
-            if self.contains_ll(*cell_ll[i]):
-                return True
-            if cell.contains_point(self.get_vertex(i)):
-                return True
-        for i in range(4):
-            edge_lng = S1Interval.from_point_pair(
-                cell_ll[i][1], cell_ll[(i + 1) & 3][1]
-            )
-            if not self.lng.intersects(edge_lng):
-                continue
-            a, b = cell_v[i], cell_v[(i + 1) & 3]
-            if edge_lng.contains(self.lng.lo):
-                if self.intersects_lng_edge(a, b, self.lat, self.lng.lo):
-                    return True
-            if edge_lng.contains(self.lng.hi):
-                if self.intersects_lng_edge(a, b, self.lat, self.lng.hi):
-                    return True
-            if self.intersects_lat_edge(a, b, self.lat.lo, self.lng):
-                return True
-            if self.intersects_lat_edge(a, b, self.lat.hi, self.lng):
-                return True
-        return False
 
     def contains_cell(self, cell: Cell) -> bool:
         return all(r.contains_cell(cell) for r in self.regions)

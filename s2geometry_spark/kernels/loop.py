@@ -146,7 +146,11 @@ class Loop(Region):
         verts = np.asarray(verts, dtype=np.float64)
         assert verts.ndim == 2 and verts.shape[1] == 3 and len(verts) >= 3
         self.verts = verts
-        self.origin_inside = E.loop_origin_inside(verts)
+        # per-loop parity constants FIRST — origin_inside and the two
+        # pole checks below all reuse them (rebuilding ParityPrep per
+        # call is O(edges) and was paid 3x per Loop)
+        self._parity_prep = E.ParityPrep(verts)
+        self.origin_inside = E.loop_origin_inside(verts, self._parity_prep)
         bound = edge_chain_bound(verts)
         # S2Loop.InitBound: the edge-chain bound misses interiors that
         # wrap a pole — expand to the pole + full longitude when the
@@ -174,8 +178,6 @@ class Loop(Region):
         self._eb_lat_hi = np.array([b.lat.hi for b in self._edge_bounds])
         self._eb_lng_lo = np.array([b.lng.lo for b in self._edge_bounds])
         self._eb_lng_hi = np.array([b.lng.hi for b in self._edge_bounds])
-        # per-loop parity constants, shared by every containment call
-        self._parity_prep = E.ParityPrep(verts)
 
     @property
     def edges(self) -> list:
@@ -285,15 +287,16 @@ class Polygon(Region):
             # bound for proper polygons; union keeps it safe regardless
             bound = bound.union_rect(lp.bound)
         self.bound = bound
-        self._edge_bounds = [
-            eb for lp in self.loops for eb in lp._edge_bounds
-        ]
 
     def contains_points(self, points: np.ndarray) -> np.ndarray:
-        par = E.crossing_parity_fast_edges(
-            self.edges, points[:, 0], points[:, 1], points[:, 2]
-        )
-        return (par ^ int(self.origin_inside)).astype(bool)
+        # XOR of per-ring robust containment == total crossing parity
+        # of the multi-ring boundary (the same triage->exact kernel
+        # Loop uses; the fast general-position kernel gave arbitrary
+        # answers for points on/near a ring's great circle)
+        res = self.loops[0].contains_points(points)
+        for lp in self.loops[1:]:
+            res = res ^ lp.contains_points(points)
+        return res
 
     def contains_point(self, p) -> bool:
         if not self.bound.contains_ll(latitude(p), longitude(p)):
@@ -309,7 +312,12 @@ class Polygon(Region):
         return self.bound.get_cap_bound()
 
     def _boundary_may_intersect(self, cell_bound: LatLngRect) -> bool:
-        return any(eb.intersects_rect(cell_bound) for eb in self._edge_bounds)
+        # per-ring vectorized rect test — the O(edges) Python any()
+        # loop is the coverer hot path for many-edge polygons
+        return any(
+            bool(lp.edges_intersecting_rect(cell_bound).any())
+            for lp in self.loops
+        )
 
     def may_intersect_cell(self, cell: Cell) -> bool:
         cb = cell.get_rect_bound()

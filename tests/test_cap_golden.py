@@ -243,3 +243,30 @@ class TestRectCellOps:
             cell202,
             2,
         )
+
+
+class TestCapIntersectsCell:
+    """Cap.intersects_cell must be the exact cap test (an alias of
+    S2Cap.MayIntersect, which is exact — S2Cap.cs:467-478), not the
+    rectangle boundary-crossing algorithm; the old copy-pasted rect
+    body crashed on Cap's slots."""
+
+    def test_no_crash_and_matches_may_intersect(self):
+        cell = Cell(int(np.atleast_1d(CI.from_face(0))[0]))
+        for radians, center in [
+            (0.01, (0.0, 0.0, 1.0)),
+            (0.5, normalize((1.0, 1.0, 1.0))),
+            (1.2, (1.0, 0.0, 0.0)),
+            (0.2, (-1.0, 0.0, 0.0)),
+        ]:
+            cap = Cap.from_center_radians(center, radians)
+            assert cap.intersects_cell(cell) == cap.may_intersect_cell(
+                cell
+            )
+
+    def test_disjoint_and_overlapping(self):
+        cell = Cell(int(np.atleast_1d(CI.from_face(0))[0]))  # +x face
+        far = Cap.from_center_radians((-1.0, 0.0, 0.0), 0.05)
+        assert not far.intersects_cell(cell)
+        near = Cap.from_center_radians((1.0, 0.0, 0.0), 0.05)
+        assert near.intersects_cell(cell)

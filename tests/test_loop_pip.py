@@ -224,3 +224,53 @@ class TestLoopJoin:
         )
         want = set(con.sql(sql).fetchall())
         assert got == want
+
+
+class TestPolygonRobustContainment:
+    """Polygon must use the same triage->exact containment kernel as
+    Loop: the general-position fast kernel returns an arbitrary IEEE
+    sign for points on (or within fp error of) a ring edge's great
+    circle, so single-ring Polygon and Loop could disagree."""
+
+    def test_polygon_matches_loop_on_vertices_and_edges(self):
+        from s2geometry_spark.kernels.loop import Polygon
+
+        for key in range(8):
+            verts = R.loop_vertices(key)
+            lp = Loop(verts)
+            pg = Polygon([verts])
+            # probes: the ring's own vertices, edge midpoints (points
+            # exactly on the boundary's great circles), and a few
+            # interior/exterior points
+            probes = [tuple(map(float, v)) for v in verts]
+            n = len(verts)
+            for k in range(n):
+                m = _unit(tuple(verts[k] + verts[(k + 1) % n]))
+                probes.append(m)
+            pts = np.asarray(probes, dtype=np.float64)
+            got_pg = pg.contains_points(pts)
+            got_lp = lp.contains_points(pts)
+            assert (got_pg == got_lp).all()
+
+    def test_polygon_with_hole_parity(self):
+        from s2geometry_spark.kernels.loop import Polygon
+
+        outer = R.loop_vertices(3)
+        # shrink toward centroid for a nested inner ring; the class's
+        # even-odd convention takes hole rings in the SAME (CCW)
+        # orientation — parity flips once per enclosing ring
+        c = _unit(tuple(outer.mean(axis=0)))
+        inner = np.asarray(
+            [_unit(tuple(0.3 * v + 0.7 * np.asarray(c))) for v in outer]
+        )
+        pg = Polygon([outer, inner])
+        assert not pg.contains_point(c)  # inside the hole
+        annulus = _unit(tuple(0.65 * outer[0] + 0.35 * np.asarray(c)))
+        assert pg.contains_point(annulus)
+        lo, li = Loop(outer), Loop(inner)
+        rng = np.random.default_rng(11)
+        raw = rng.normal(size=(256, 3))
+        pts = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+        got = pg.contains_points(pts)
+        want = lo.contains_points(pts) ^ li.contains_points(pts)
+        assert (got == want).all()

@@ -44,3 +44,37 @@ class TestSignCollinearGolden:
         assert s != 0
         assert E.sign(x4, nx3, x3) == s
         assert E.sign(nx3, x4, x3) == -s
+
+
+class TestOrthoTieBreak:
+    """ortho/ref_dir must break |component| ties like the reference's
+    LargestAbsComponent (Vector3.cs:71-90: strict >, so ties prefer
+    the LATER axis) — np.argmax prefers the earlier axis and produced
+    a different RefDir for cube-corner points."""
+
+    def test_largest_abs_component_ties(self):
+        from s2geometry_spark.kernels.edges import largest_abs_component
+
+        assert largest_abs_component((1.0, 1.0, 1.0)) == 2
+        assert largest_abs_component((1.0, 1.0, 0.5)) == 1
+        assert largest_abs_component((1.0, 0.5, 1.0)) == 2
+        assert largest_abs_component((2.0, 1.0, 1.0)) == 0
+        assert largest_abs_component((1.0, 2.0, 2.0)) == 2
+        assert largest_abs_component((-3.0, 2.0, 2.0)) == 0
+
+    def test_ortho_cube_corner_matches_reference(self):
+        import math
+
+        from s2geometry_spark.kernels.edges import dot, ortho
+
+        a = tuple(v / math.sqrt(3.0) for v in (1.0, 1.0, 1.0))
+        got = ortho(a)
+        # reference value computed by S2PointUtil.Ortho with
+        # LargestAbsComponent == 2 (temp = [0.012, 1, 0.00457])
+        assert abs(dot(got, a)) < 1e-15
+        assert got[0] < 0 < got[2]  # later-axis tie-break orientation
+        # Ortho(-a) == -Ortho(a) invariant
+        na = tuple(-v for v in a)
+        neg_got = ortho(na)
+        for g, n in zip(got, neg_got):
+            assert abs(g + n) < 1e-15
