@@ -21,6 +21,25 @@ def _cost_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (diff * diff).sum(axis=2)
 
 
+def _dp_row(cost_row: np.ndarray, prev_row: np.ndarray) -> np.ndarray:
+    """One DTW row without a Python inner loop.
+
+    The recurrence cur[j] = c[j] + min(seed[j], cur[j-1]) with
+    seed[j] = min(prev[j-1], prev[j]) (prev[-1] = inf, so seed[0]
+    degenerates to prev[0]) unrolls to
+
+        cur[j] = min over k <= j of (seed[k] + c[k] + ... + c[j])
+               = S[j] + min-prefix of (seed[k] - S[k-1]),
+
+    with S the cost prefix sum — one cumsum plus one
+    minimum.accumulate."""
+    seed = np.minimum(
+        np.concatenate(([np.inf], prev_row[:-1])), prev_row
+    )
+    s = np.cumsum(cost_row)
+    return s + np.minimum.accumulate(seed - (s - cost_row))
+
+
 def alignment_cost(a: np.ndarray, b: np.ndarray) -> float:
     """GetExactVertexAlignmentCost: two-row rolling DP (vectorized
     column-scan per row; min-prefix forms keep it O(n*m))."""
@@ -28,15 +47,10 @@ def alignment_cost(a: np.ndarray, b: np.ndarray) -> float:
     b = np.asarray(b, dtype=np.float64)
     assert len(a) and len(b)
     cost_mat = _cost_matrix(a, b)
-    prev = np.empty(len(b))
     # row 0: cumulative (only left moves possible)
-    prev[:] = np.cumsum(cost_mat[0])
+    prev = np.cumsum(cost_mat[0])
     for i in range(1, len(a)):
-        cur = np.empty(len(b))
-        cur[0] = prev[0] + cost_mat[i, 0]
-        for j in range(1, len(b)):
-            cur[j] = cost_mat[i, j] + min(prev[j - 1], prev[j], cur[j - 1])
-        prev = cur
+        prev = _dp_row(cost_mat[i], prev)
     return float(prev[-1])
 
 
@@ -49,11 +63,7 @@ def alignment(a: np.ndarray, b: np.ndarray) -> tuple[float, list[tuple[int, int]
     table = np.full((n, m), np.inf)
     table[0] = np.cumsum(cost_mat[0])
     for i in range(1, n):
-        table[i, 0] = table[i - 1, 0] + cost_mat[i, 0]
-        for j in range(1, m):
-            table[i, j] = cost_mat[i, j] + min(
-                table[i - 1, j - 1], table[i - 1, j], table[i, j - 1]
-            )
+        table[i] = _dp_row(cost_mat[i], table[i - 1])
     # backtrack (prefer diagonal, then up, then left — deterministic)
     path = [(n - 1, m - 1)]
     i, j = n - 1, m - 1
@@ -175,14 +185,25 @@ def windowed_alignment(
         s, e = window.strides[i]
         diff = a[i][None, :] - b[s:e]
         cost_row = (diff * diff).sum(axis=1)
-        row = np.empty(e - s)
-        for j in range(s, e):
-            row[j - s] = cost_row[j - s] + min(
-                tc(i - 1, j - 1), tc(i - 1, j), row[j - s - 1]
-                if j > s
-                else tc(i, j - 1)
-            )
-        vals[i] = row
+        # previous row's values aligned to this stride (INF outside),
+        # then the same min-prefix row form as the dense DP
+        if i == 0:
+            seed = np.full(e - s, INF)
+            seed[0] = 0.0  # tc(-1, -1) == 0: the DP origin
+        else:
+            ps, pe = window.strides[i - 1]
+            up = np.full(e - s + 1, INF)  # tc(i-1, j-1..j) for j in [s,e)
+            lo = max(s - 1, ps)
+            hi = min(e, pe)
+            if lo < hi:
+                up[lo - (s - 1):hi - (s - 1)] = vals[i - 1][
+                    lo - ps:hi - ps
+                ]
+            seed = np.minimum(up[:-1], up[1:])
+        csum = np.cumsum(cost_row)
+        vals[i] = csum + np.minimum.accumulate(
+            seed - (csum - cost_row)
+        )
     # backtrack, diagonal-preferred (same tie order as the reference)
     path = []
     i, j = n - 1, m - 1

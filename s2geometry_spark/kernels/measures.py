@@ -190,14 +190,37 @@ def canonical_loop_order(verts) -> tuple[int, int]:
     return best
 
 
+def prune_degeneracies(vt: list) -> list:
+    """Remove duplicate vertices and ABA edge pairs; returns [] for a
+    completely degenerate loop (S2LoopMeasures.PruneDegeneracies)."""
+    vertices: list = []
+    for v in vt:
+        if not vertices or v != vertices[-1]:
+            if len(vertices) >= 2 and v == vertices[-2]:
+                vertices.pop()
+            else:
+                vertices.append(v)
+    if len(vertices) < 3:
+        return []
+    if vertices[0] == vertices[-1]:
+        vertices.pop()
+    # ABA pairs wrapping the end/start of the loop
+    k = 0
+    while vertices[k + 1] == vertices[-(k + 1)]:
+        k += 1
+    return vertices[k:len(vertices) - k]
+
+
 def loop_curvature(verts) -> float:
     """Sum of turn angles in canonical order, Kahan-compensated
     (S2LoopMeasures.GetCurvature)."""
     vt = _vt(verts)
+    if len(vt) == 0:
+        # a loop with no vertices contains the whole sphere
+        return -M_2_PI
+    vt = prune_degeneracies(vt)
     n = len(vt)
     if n == 0:
-        return -M_2_PI
-    if n < 3:
         # fully-degenerate loops prune to empty -> +2pi
         return M_2_PI
     first, direction = canonical_loop_order(vt)

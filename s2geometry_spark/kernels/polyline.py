@@ -110,8 +110,11 @@ def edge_distance2_batch(
     interior = (inner_lo < 0) & (inner_hi > 0)
     max_error = 4.75 * DBL_EPS * (xa2 + xb2 + ab2) + 8 * DBL_EPS * DBL_EPS
     near = np.abs(xa2 - xb2) < ab2 + max_error
-    qr = 1 - np.sqrt((cxx * cxx + cxy * cxy + cxz * cxz) / c2)
-    d_int = (x_dot_c * x_dot_c / c2) + qr * qr
+    # degenerate edge (a == b): c2 == 0, interior is all-False and the
+    # np.where discards d_int — silence the division like the rows twin
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qr = 1 - np.sqrt((cxx * cxx + cxy * cxy + cxz * cxz) / c2)
+        d_int = (x_dot_c * x_dot_c / c2) + qr * qr
     return np.where(near & interior, d_int, np.minimum(xa2, xb2))
 
 
@@ -209,12 +212,28 @@ class Polyline:
         return closest, min_index + (1 if closest == v[min_index] else 0)
 
     def is_on_right(self, point) -> bool:
-        """RHS test w.r.t. the closest segment (S2Polyline.IsOnRight)."""
+        """RHS test w.r.t. the closest segment
+        (S2Polyline.cs:340-366 IsOnRight)."""
         point = tuple(float(x) for x in point)
-        _, next_vertex = self.project(point)
-        # on the right iff Sign(point, prev, next) < 0
-        i = min(max(next_vertex, 1), len(self.verts) - 1)
-        return E.sign(point, self.verts[i - 1], self.verts[i]) < 0
+        v = self.verts
+        closest, next_vertex = self.project(point)
+        # if the closest point C is an INTERIOR vertex, P is on the
+        # right iff (prev, P, next) are ordered CCW around C — testing
+        # a single adjacent edge's great circle gives the wrong side
+        # at reflex corners (S2Polyline.cs:351-360)
+        if (
+            closest == v[next_vertex - 1]
+            and 1 < next_vertex < len(v)
+        ):
+            if point == v[next_vertex - 1]:
+                return False  # polyline vertices are not on the RHS
+            return E.ordered_ccw(
+                v[next_vertex - 2], point, v[next_vertex],
+                v[next_vertex - 1],
+            )
+        # otherwise C is incident to exactly one edge; test against it
+        i = min(max(next_vertex, 1), len(v) - 1)
+        return E.sign(point, v[i - 1], v[i]) < 0
 
 
 def edge_true_centroid(a, b):

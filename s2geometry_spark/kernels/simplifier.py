@@ -186,8 +186,19 @@ def simplify_polyline(verts, tolerance_rad: float) -> list[int]:
     i = 1
     while i < len(V):
         if not s.extend(V[i]):
-            out.append(i - 1)
+            if out[-1] != i - 1:
+                out.append(i - 1)
             s = PolylineSimplifier(V[i - 1])
+            if not s.extend(V[i]):
+                # the single original edge is unsupported (> 90 deg,
+                # extend's precondition): emit its endpoint and
+                # restart from it — target_disc on such an edge would
+                # leave asin's domain in _semiwidth
+                if out[-1] != i:
+                    out.append(i)
+                s = PolylineSimplifier(V[i])
+                i += 1
+                continue
         s.target_disc(V[i], r2)
         i += 1
     if out[-1] != len(V) - 1:
@@ -228,9 +239,10 @@ def simplify_polyline_avoiding(
         become relevant along edge (c_vert, d_vert)."""
         ok = True
         for x in X:
-            if compare_distances(x, src, c_vert) <= 0:
+            # compare_distances(a, x, b) == sign(|AX| - |AB|)
+            if compare_distances(src, x, c_vert) <= 0:
                 continue  # |AX| <= |AC|: already considered
-            if compare_distances(x, src, d_vert) >= 0:
+            if compare_distances(src, x, d_vert) >= 0:
                 continue  # |AX| >= |AD|: not relevant yet
             on_left = ordered_ccw(src, d_vert, x, c_vert)
             ok = s.avoid_disc(x, r2, on_left) and ok
@@ -243,7 +255,8 @@ def simplify_polyline_avoiding(
     while i < len(V):
         add_avoids(s, src, V[i - 1], V[i])
         if not s.extend(V[i]):
-            out.append(i - 1)
+            if out[-1] != i - 1:
+                out.append(i - 1)
             src = V[i - 1]
             s = PolylineSimplifier(src)
             add_avoids(s, src, src, V[i])
@@ -251,7 +264,8 @@ def simplify_polyline_avoiding(
                 # the single original edge violates a constraint only
                 # when an avoid point is within tolerance of it, which
                 # the precondition excludes; keep the vertex and move on
-                out.append(i)
+                if out[-1] != i:
+                    out.append(i)
                 src = V[i]
                 s = PolylineSimplifier(src)
                 i += 1

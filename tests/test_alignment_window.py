@@ -120,7 +120,10 @@ class TestApproxAlignment:
         b = wiggle_line(280, seed + 100)
         ce, _ = AL.alignment(a, b)
         ca, _ = AL.approx_alignment(a, b)
-        assert ca >= ce - 1e-15
+        # >= holds mathematically; the dense and windowed DPs use
+        # min-prefix rows whose cumsums start at different columns, so
+        # allow fp-association noise of a few ulps per row length
+        assert ca >= ce * (1 - 1e-10)
         assert ca <= 1.1 * ce
 
     def test_path_endpoints_and_monotone(self):

@@ -154,3 +154,46 @@ class TestDistributedMeasures:
             assert r["curvature"] == M.loop_curvature(lp.verts)
             cen = M.loop_centroid(lp.verts)
             assert (r["centroid_x"], r["centroid_y"], r["centroid_z"]) == cen
+
+
+class TestCurvatureDegeneracies:
+    """GetCurvature conventions (S2LoopMeasures.cs:70-110): no
+    vertices -> -2pi (full-sphere convention); a loop that PRUNES to
+    empty (duplicates, ABA pairs) -> +2pi; otherwise the curvature of
+    the pruned loop."""
+
+    A = (1.0, 0.0, 0.0)
+    B = (0.0, 1.0, 0.0)
+    C = (0.0, 0.0, 1.0)
+
+    def test_conventions(self):
+        assert M.loop_curvature([]) == -2 * math.pi
+        assert M.loop_curvature([self.A]) == 2 * math.pi
+        assert M.loop_curvature([self.A, self.B]) == 2 * math.pi
+        assert M.loop_curvature([self.A, self.B, self.A]) == 2 * math.pi
+
+    def test_pruning_matches_clean_loop(self):
+        clean = M.loop_curvature([self.A, self.B, self.C])
+        dup = M.loop_curvature(
+            [self.A, self.A, self.B, self.B, self.C, self.C]
+        )
+        aba = M.loop_curvature(
+            [self.A, self.B, self.C, self.B, self.C]
+        )
+        assert dup == clean
+        assert aba == clean
+
+    def test_prune_degeneracies(self):
+        # B->A->B->C closes as edges BA, AB, BC, CB — every edge has
+        # its sibling, so the loop is fully degenerate
+        assert M.prune_degeneracies(
+            [self.B, self.A, self.B, self.C]
+        ) == []
+        # an ABA spur hanging off a real triangle prunes to the core
+        assert M.prune_degeneracies(
+            [self.A, self.B, (0.0, -1.0, 0.0), self.B, self.C]
+        ) == [self.A, self.B, self.C]
+        # wrapping pair: closing vertex equal to the first
+        assert M.prune_degeneracies(
+            [self.A, self.B, self.C, self.A]
+        ) == [self.A, self.B, self.C]

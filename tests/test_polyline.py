@@ -130,3 +130,46 @@ class TestPolylineCentroid:
         c = polyline_centroid(verts)
         assert abs(c[1]) < 1e-15  # y components cancel by symmetry
         assert c[0] > 0
+
+
+class TestIsOnRightInteriorVertex:
+    """S2Polyline.cs:351-360: when the closest point is an INTERIOR
+    vertex, sidedness is OrderedCCW(prev, P, next, C) — testing one
+    adjacent edge's great circle gives the wrong answer at reflex
+    corners (found in review by fuzzing against the reference rule)."""
+
+    @staticmethod
+    def _reference_is_on_right(pl, p):
+        from s2geometry_spark.kernels import edges as E
+
+        closest, nv = pl.project(p)
+        v = pl.verts
+        if closest == v[nv - 1] and 1 < nv < len(v):
+            if p == v[nv - 1]:
+                return False
+            return E.ordered_ccw(v[nv - 2], p, v[nv], v[nv - 1])
+        i = min(max(nv, 1), len(v) - 1)
+        return E.sign(p, v[i - 1], v[i]) < 0
+
+    def test_fuzz_matches_reference_rule(self):
+        rng = np.random.default_rng(3)
+        for _ in range(400):
+            n = int(rng.integers(3, 7))
+            raw = rng.normal(size=(n, 3))
+            raw /= np.linalg.norm(raw, axis=1, keepdims=True)
+            pl = PL.Polyline(raw)
+            q = rng.normal(size=3)
+            q /= np.linalg.norm(q)
+            q = tuple(float(x) for x in q)
+            assert pl.is_on_right(q) == self._reference_is_on_right(
+                pl, q
+            )
+
+    def test_reflex_corner(self):
+        # right-angle corner at B: A=(1,0,0) -> B=(0,1,0) -> C=(0,1,1)/n
+        a = (1.0, 0.0, 0.0)
+        b = (0.0, 1.0, 0.0)
+        c = _unit((0.0, 1.0, 1.0))
+        pl = PL.Polyline([a, b, c])
+        # polyline vertices are never on the right
+        assert not pl.is_on_right(b)

@@ -293,3 +293,94 @@ class TestSimplifyAvoiding:
                 assert not self._enclosed(verts, idx, x), (
                     f"trial {trial}: obstacle enclosed"
                 )
+
+
+class TestUsageLoopHardening:
+    """Regression coverage for the module-level usage loops (found in
+    review): restart must re-check extend's >90-degree precondition,
+    never emit duplicate adjacent indices, and the avoid-point
+    relevance filter must compare |AX| against |AC| / |AD|."""
+
+    def test_near_antipodal_edge_does_not_crash(self):
+        from s2geometry_spark.kernels.simplifier import simplify_polyline
+
+        v = [
+            (1.0, 0.0, 0.0),
+            (math.cos(math.pi - 0.01), math.sin(math.pi - 0.01), 0.0),
+        ]
+        assert simplify_polyline(v, 0.1) == [0, 1]
+
+    def test_no_duplicate_indices_on_long_first_edge(self):
+        from s2geometry_spark.kernels.simplifier import simplify_polyline
+
+        a = (1.0, 0.0, 0.0)
+        b = (math.cos(2.0), math.sin(2.0), 0.0)
+        c = (math.cos(2.2), math.sin(2.2), 0.0)
+        out = simplify_polyline([a, b, c], 1e-3)
+        assert out == [0, 1, 2]
+        assert all(x != y for x, y in zip(out, out[1:]))
+
+    def test_avoid_points_constrain_the_edge(self):
+        import s2geometry_spark.kernels.simplifier as SS
+        from s2geometry_spark.kernels.simplifier import (
+            simplify_polyline_avoiding,
+        )
+
+        def ll(lat, lng):
+            return (
+                math.cos(lng) * math.cos(lat),
+                math.sin(lng) * math.cos(lat),
+                math.sin(lat),
+            )
+
+        chain = [
+            ll(0, 0), ll(0.05, 0.2), ll(0, 0.4),
+            ll(0.05, 0.6), ll(0, 0.8),
+        ]
+        obstacle = [ll(-0.25, 0.15)]  # |AC| < |AX| < |AE|
+        calls = []
+        orig = SS.PolylineSimplifier.avoid_disc
+
+        def spy(self, p, r2, on_left):
+            calls.append(on_left)
+            return orig(self, p, r2, on_left)
+
+        SS.PolylineSimplifier.avoid_disc = spy
+        try:
+            out = simplify_polyline_avoiding(chain, 0.12, obstacle)
+        finally:
+            SS.PolylineSimplifier.avoid_disc = orig
+        # the buggy |XA|-vs-|XC| relevance filter never called
+        # avoid_disc for this obstacle
+        assert len(calls) >= 1
+        # obstacle is south (right) of the west-to-east chain
+        assert calls[0] is False
+        assert out[0] == 0 and out[-1] == len(chain) - 1
+
+    def test_avoided_simplification_preserves_side(self):
+        from s2geometry_spark.kernels import edges as E
+        from s2geometry_spark.kernels.simplifier import (
+            simplify_polyline_avoiding,
+        )
+
+        def ll(lat, lng):
+            return (
+                math.cos(lng) * math.cos(lat),
+                math.sin(lng) * math.cos(lat),
+                math.sin(lat),
+            )
+
+        rng = np.random.default_rng(17)
+        for _ in range(40):
+            lats = rng.uniform(-0.03, 0.03, size=6)
+            chain = [
+                ll(float(lats[k]), 0.15 * k) for k in range(6)
+            ]
+            # obstacle safely below the chain but within the corridor
+            obstacle = ll(-0.3, float(rng.uniform(0.1, 0.65)))
+            out = simplify_polyline_avoiding(chain, 0.1, [obstacle])
+            # every output edge must keep the obstacle on the right
+            for u, v in zip(out, out[1:]):
+                assert (
+                    E.sign(obstacle, chain[u], chain[v]) < 0
+                ), (out, u, v)
