@@ -66,18 +66,17 @@ def q_cellid_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent DuckDB HUGEINT re-implementation
     (duckdb_oracle.cellid_nav_sql), not a literal table."""
     _ensure_pkg(spark)
-    from pyspark.sql import Window
-
     from s2geometry_spark.functions import sparkfns as S
     from s2geometry_spark.functions import udfs as U
     from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.operators.sliding import with_global_leads
 
     df = T.assign_cellids(_orders_points(spark, sf_dir)).select(
         "key", S.cell_parent(F.col("cell_id"), 12).alias("p12")
     )
-    w = Window.orderBy("key")
     df = (
-        df.withColumn("q12", F.lead("p12").over(w))
+        with_global_leads(df, "key", ["p12"], 1)
+        .withColumnRenamed("p12_lead1", "q12")
         .where(F.col("q12").isNotNull())
         .withColumn("steps", F.col("key") % 1001 - 500)
     )
@@ -149,19 +148,18 @@ def q_s2_cell_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.  Oracle: driver recompute through the golden-tested
     kernels (literal table)."""
     _ensure_pkg(spark)
-    from pyspark.sql import Window
-
     from s2geometry_spark.functions import sparkfns as S
     from s2geometry_spark.operators import cell_dist_op as CD
     from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.operators.sliding import with_global_leads
 
     pts = _orders_points(spark, sf_dir).where(F.col("key") % 25 == 0)
     df = T.assign_cellids(pts).select(
         "key", S.cell_parent(F.col("cell_id"), 8).alias("cell_a")
     )
-    w = Window.orderBy("key")
     pairs = (
-        df.withColumn("cell_b", F.lead("cell_a").over(w))
+        with_global_leads(df, "key", ["cell_a"], 1)
+        .withColumnRenamed("cell_a_lead1", "cell_b")
         .where(F.col("cell_b").isNotNull())
         .select("key", "cell_a", "cell_b")
     )
@@ -190,21 +188,21 @@ def q_s2_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit points.  Outcomes are exact ints/bools/enums; oracle is the
     driver recompute through the same exact-arithmetic kernels."""
     _ensure_pkg(spark)
-    from pyspark.sql import Window
-
     from s2geometry_spark.operators import predicates_op as PR
+    from s2geometry_spark.operators.sliding import with_global_leads
     from s2geometry_spark.operators.spatial_join import normalized_cols
 
     pts = normalized_cols(
         _orders_points(spark, sf_dir).where(F.col("key") % 10 == 0)
     )
-    w = Window.orderBy("key")
-    df = pts.select("key", "ux", "uy", "uz")
+    df = with_global_leads(
+        pts.select("key", "ux", "uy", "uz"), "key", ["ux", "uy", "uz"], 4
+    )
     names = ["a", "b", "c", "d", "e"]
     for j, p in enumerate(names):
         for ax in ("x", "y", "z"):
-            col = F.col(f"u{ax}") if j == 0 else F.lead(f"u{ax}", j).over(w)
-            df = df.withColumn(f"{p}{ax}", col)
+            src = f"u{ax}" if j == 0 else f"u{ax}_lead{j}"
+            df = df.withColumn(f"{p}{ax}", F.col(src))
     df = df.where(F.col("ex").isNotNull())
     return PR.predicate_columns(df)
 
@@ -276,24 +274,28 @@ def q_s2_edgeclip(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive sampled unit-point edges against all six cube faces.
     Oracle: driver recompute through the same kernel (literal table)."""
     _ensure_pkg(spark)
-    from pyspark.sql import Window
-
     from s2geometry_spark.operators import edgeclip_op as EC
+    from s2geometry_spark.operators.sliding import with_global_leads
     from s2geometry_spark.operators.spatial_join import normalized_cols
 
     pts = normalized_cols(
         _orders_points(spark, sf_dir).where(F.col("key") % 25 == 0)
     )
-    w = Window.orderBy("key")
     edges = (
-        pts.select(
+        with_global_leads(
+            pts.select("key", "ux", "uy", "uz"),
+            "key",
+            ["ux", "uy", "uz"],
+            1,
+        )
+        .select(
             "key",
             F.col("ux").alias("ax"),
             F.col("uy").alias("ay"),
             F.col("uz").alias("az"),
-            F.lead("ux").over(w).alias("bx"),
-            F.lead("uy").over(w).alias("by"),
-            F.lead("uz").over(w).alias("bz"),
+            F.col("ux_lead1").alias("bx"),
+            F.col("uy_lead1").alias("by"),
+            F.col("uz_lead1").alias("bz"),
         )
         .where(F.col("bx").isNotNull())
     )
@@ -347,20 +349,20 @@ def q_s2_triangle_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     TrueCentroid over sliding triples of sampled unit points.  Oracle:
     driver recompute (literal table)."""
     _ensure_pkg(spark)
-    from pyspark.sql import Window
-
     from s2geometry_spark.operators import measures_op as MO
+    from s2geometry_spark.operators.sliding import with_global_leads
     from s2geometry_spark.operators.spatial_join import normalized_cols
 
     pts = normalized_cols(
         _orders_points(spark, sf_dir).where(F.col("key") % 25 == 0)
     )
-    w = Window.orderBy("key")
-    df = pts.select("key", "ux", "uy", "uz")
+    df = with_global_leads(
+        pts.select("key", "ux", "uy", "uz"), "key", ["ux", "uy", "uz"], 2
+    )
     for j, p in enumerate(("a", "b", "c")):
         for ax in ("x", "y", "z"):
-            col = F.col(f"u{ax}") if j == 0 else F.lead(f"u{ax}", j).over(w)
-            df = df.withColumn(f"{p}{ax}", col)
+            src = f"u{ax}" if j == 0 else f"u{ax}_lead{j}"
+            df = df.withColumn(f"{p}{ax}", F.col(src))
     df = df.where(F.col("cx").isNotNull())
     return MO.triangle_measures(df)
 
@@ -388,19 +390,18 @@ def q_s2_cell_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     level-12 ancestors of sampled orders.  Oracle: driver recompute
     (literal table)."""
     _ensure_pkg(spark)
-    from pyspark.sql import Window
-
     from s2geometry_spark.functions import sparkfns as S
     from s2geometry_spark.operators import cell_geometry_op as CG
     from s2geometry_spark.operators import tile as T
+    from s2geometry_spark.operators.sliding import with_global_leads
 
     pts = _orders_points(spark, sf_dir).where(F.col("key") % 25 == 0)
     df = T.assign_cellids(pts).select(
         "key", S.cell_parent(F.col("cell_id"), 12).alias("cell")
     )
-    w = Window.orderBy("key")
     cells = (
-        df.withColumn("nxt", F.lead("cell").over(w))
+        with_global_leads(df, "key", ["cell"], 1)
+        .withColumnRenamed("cell_lead1", "nxt")
         .where(F.col("nxt").isNotNull())
         .withColumn(
             "dist",
