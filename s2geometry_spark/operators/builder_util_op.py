@@ -492,7 +492,7 @@ def builder_util_rows(case_df: DataFrame) -> DataFrame:
     """Evaluate every builder-util case distributed (one applyInPandas
     group per (family, case_id))."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         fam, cid = key
         rows = builder_util_case_result(str(fam), pdf.iloc[0]["payload"])
         return pd.DataFrame(

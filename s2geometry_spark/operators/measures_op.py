@@ -42,7 +42,7 @@ def loops_vertex_df(spark: SparkSession, loops) -> DataFrame:
 def loop_measures(vertex_df: DataFrame) -> DataFrame:
     """(region_id, area, signed_area, perimeter, curvature, centroid)."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import measures as M
 
         (rid,) = key
@@ -87,7 +87,7 @@ def polyline_measures(vertex_df: DataFrame, probe=(0.0, 0.0, 1.0)) -> DataFrame:
     uninterpolate round trip / squared-chord distance of the projection
     of a fixed probe point (kernels.polyline; S2Polyline.cs:211-340)."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import polyline as PL
 
         (lid,) = key
@@ -129,7 +129,7 @@ def boolean_pairs(vertex_df: DataFrame) -> DataFrame:
     distributed over pairs; outputs ring counts + total area
     (general-position arc-walk kernel, kernels.boolop)."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..functions.literal_oracle import SNAP_PAIR_BASE
         from ..kernels import boolop as B
         from ..kernels import snap as SN
@@ -186,7 +186,7 @@ def dtw_align_pairs(vertex_df: DataFrame) -> DataFrame:
     windowed approximation (GetApproxVertexAlignment) in a grouped
     Arrow kernel (the distributed axis is the number of pairs)."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import alignment as AL
 
         (lid,) = key
@@ -224,7 +224,7 @@ def group_convex_hull(points: DataFrame, group_col: str = "grp") -> DataFrame:
     Query/S2ConvexHullQuery.cs) — exploded CCW hull vertices
     (grp, vtx_idx, x, y, z).  Input needs unit (x, y, z) + group."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import hull as H
 
         (g,) = key
@@ -270,7 +270,7 @@ def polyline_relations(vertex_df: DataFrame) -> DataFrame:
     cover its own subsampled simplification; simplified vertex count.
     Input columns: (line_id, which in {0,1}, vtx_idx, x, y, z)."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import polyline_ops as PO
 
         (lid,) = key
@@ -333,7 +333,7 @@ def buffer_shapes(vertex_df: DataFrame, radius: float,
     (~4x cost); the golden tests run with it on, the product query
     relies on the oracle gate + goldens instead."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import buffer as BUF
         from ..kernels import measures as M
 
@@ -414,7 +414,7 @@ def winding_groups(vertex_df: DataFrame) -> DataFrame:
     the union (w>0), majority (w>=2) and odd (symmetric-difference)
     winding rules — the N-way booleans pairwise ops cannot express."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import measures as M
         from ..kernels import winding as W
 
@@ -462,7 +462,7 @@ def shape_nesting_groups(vertex_df: DataFrame) -> DataFrame:
     shells) and hole count.  The distributed axis is the number of
     shapes."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels.nesting import shape_nesting
 
         (sid,) = key
@@ -507,7 +507,7 @@ def simplify_lines(vertex_df: DataFrame, tolerance_rad: float) -> DataFrame:
     (kernels/simplifier.simplify_polyline_avoiding) in a grouped Arrow
     kernel; the distributed axis is the number of polylines."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels.simplifier import simplify_polyline_avoiding
 
         (lid,) = key
@@ -549,7 +549,7 @@ def shape_measures_rows(vertex_df: DataFrame) -> DataFrame:
     shape_id, dim, chain_id, vtx_idx, x, y, z) — S2ShapeMeasures in a
     grouped Arrow kernel; the distributed axis is the shape count."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import shape_measures as SM
 
         (sid,) = key
@@ -593,7 +593,7 @@ def polygon_boundary_faces(vertex_df: DataFrame) -> DataFrame:
     canonical 'comp.loop|...' signature — grouped Arrow kernel; the
     distributed axis is the group count."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..functions.literal_oracle import _boundary_faces
 
         (gid,) = key
@@ -629,7 +629,7 @@ def graph_assembly_rows(vertex_df: DataFrame) -> DataFrame:
     Arrow group — the distributed axis is the case count, the same way
     snapped-geometry assembly shards per geometry at scale."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import graph as G
 
         cid, mode = int(key[0]), str(key[1])
@@ -672,7 +672,7 @@ def mixed_boolean_rows(case_df: DataFrame) -> DataFrame:
     per-dimension normalized signatures — the distributed axis is the
     (case x op) count, the way region-pair booleans shard at scale."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import mixed_boolop as MBK
 
         cid, op = int(key[0]), str(key[1])
@@ -722,7 +722,7 @@ def polygon_validate(vertex_df: DataFrame) -> DataFrame:
     CrossingType.ALL pair count — the distributed axis is the polygon
     count, the way validation shards over a geometry table at scale."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import validity as V
 
         (pid,) = key
@@ -765,7 +765,7 @@ def builder_simplify_rows(case_df: DataFrame) -> DataFrame:
     The distributed axis is the case count — the way snap+simplify
     shards per geometry group at scale."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import math
 
         from ..kernels import builder_layers as BLK
@@ -827,7 +827,7 @@ def rect_bounds(vertex_df: DataFrame) -> DataFrame:
     like the other chain measures — chain-level parallelism scales,
     the per-chain pass is O(vertices)."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels.loop import RectBounder
 
         (lid,) = key
@@ -907,7 +907,7 @@ def polygon_areas(vertex_df: DataFrame) -> DataFrame:
     rows (region_id, depth, loop_idx, vtx_idx, x, y, z) gathered per
     polygon in one applyInPandas group."""
 
-    def compute(key, pdf: pd.DataFrame):
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import measures as M
 
         (rid,) = key

@@ -58,7 +58,7 @@ def tile_mosaics(
     """Per-tile mosaic: a (grid*patch)^2 RGB raster of per-image
     patches (decoded + box-downsampled), PNG-encoded."""
 
-    def compose(key, pdf: pd.DataFrame):
+    def compose(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (tile_id,) = key
         pdf = pdf.sort_values("image_id").head(max_images_per_tile)
         n = len(pdf)

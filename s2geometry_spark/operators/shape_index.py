@@ -231,7 +231,7 @@ def build_index_df(vertex_df: DataFrame) -> DataFrame:
     the driver-side kernel above).  The scale axis is the number of
     regions — the pattern a 10^6-polygon admin-boundary table needs."""
 
-    def build(key, pdf: pd.DataFrame):
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels.loop import Loop
 
         (rid,) = key
