@@ -7,29 +7,40 @@ reducer (``WindowExec: No Partition Defined for Window operation``),
 which is the canonical does-not-survive-100x plan.  This helper computes
 bit-identical lead values with bounded per-reducer work:
 
-1. range-partition the rows by ``key`` (Spark samples the boundaries,
-   so partitions are balanced and key-contiguous);
-2. compute every lead inside each range partition — correct everywhere
-   except the last ``max_lead`` rows of each partition, where the
-   within-partition lead is NULL;
+1. bucket the rows by a DETERMINISTIC key-contiguous expression —
+   ``width_bucket(key, min, max)`` over the key range (one column-pruned
+   min/max scan).  Determinism matters: both consumers of the bucketed
+   rows canonicalize to the same plan, so Catalyst reuses ONE shuffle
+   (``ReusedExchange``) instead of recomputing the upstream per branch
+   (``spark_partition_id()`` after ``repartitionByRange`` is the obvious
+   alternative but is nondeterministic, which defeats exchange reuse);
+2. compute every lead inside each bucket — correct everywhere except
+   the last ``max_lead`` rows of each bucket, where the within-bucket
+   lead is NULL;
 3. repair those boundary rows from a *slim* table holding only the
-   first and last ``max_lead`` rows of every partition.  The slim table
-   has O(num_partitions * max_lead) rows — independent of rows per
-   partition — and preserves true global adjacency exactly where the
-   repair is consulted: the j-th successor of a partition-tail row is
-   either a later tail row of the same partition or a head row of one
-   of the following partitions (a partition smaller than ``max_lead``
-   contributes ALL its rows to both its head and its tail, so successor
-   chains that span several partitions stay intact).  Only rows in a
-   partition tail (``rn > cnt - j``) consult the repair, so the middle
-   rows the slim table skips can never corrupt a result.
+   first and last ``max_lead`` rows of every bucket.  The slim table
+   has O(num_buckets * max_lead) rows — independent of rows per
+   bucket — and preserves true global adjacency exactly where the
+   repair is consulted: the j-th successor of a bucket-tail row is
+   either a later tail row of the same bucket or a head row of one of
+   the following buckets (a bucket smaller than ``max_lead``
+   contributes ALL its rows to both its head and its tail, and empty
+   buckets contribute nothing, so successor chains that span several
+   buckets stay intact).  Only rows in a bucket tail (``rn > cnt - j``)
+   consult the repair, so the middle rows the slim table skips can
+   never corrupt a result.
 
 The repair itself does use an unpartitioned window, but over the slim
-table only: its size is bounded by the partition count, not the data
-volume, so the single-reducer sort stays O(P * max_lead) at any scale.
+table only: its size is bounded by the bucket count, not the data
+volume, so the single-reducer sort stays O(buckets * max_lead) at any
+scale.
 
-Requires ``key`` values to be globally unique (the repair is joined
-back by key); the fixture keys here are primary keys.
+Buckets are uniform in key VALUE, so a heavily skewed key distribution
+degrades toward fewer effective reducers — never below the naive
+single-reducer plan it replaces.  Keys only need a monotonic cast to
+double (order-preserving for every numeric type), and must be globally
+unique (the repair is joined back by key); the fixture keys here are
+primary keys.
 """
 
 from __future__ import annotations
@@ -39,7 +50,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_PID = "__gl_pid"
+_BKT = "__gl_bkt"
 _RN = "__gl_rn"
 _CNT = "__gl_cnt"
 
@@ -72,21 +83,36 @@ def with_global_leads(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
 
-    ranged = df.repartitionByRange(num_partitions, F.col(key)).withColumn(
-        _PID, F.spark_partition_id()
-    )
-    w = Window.partitionBy(_PID).orderBy(key)
-    wp = Window.partitionBy(_PID)
+    # One column-pruned scan for the key range; the deterministic
+    # bucket expression is what lets Catalyst reuse the bucket shuffle
+    # across the fact and slim branches below.
+    rng = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+    lo = None if rng["lo"] is None else float(rng["lo"])
+    hi = None if rng["hi"] is None else float(rng["hi"])
+    if lo is None or not hi > lo:  # empty, single key, or double-collapsed
+        bucket = F.lit(1)
+    else:
+        bucket = F.width_bucket(
+            F.col(key).cast("double"),
+            F.lit(lo),
+            # +one bucket width so the max key lands in the last bucket
+            # (width_bucket maps v == upper bound to num_partitions + 1)
+            F.lit(hi + (hi - lo) / num_partitions),
+            F.lit(num_partitions),
+        )
+    bucketed = df.withColumn(_BKT, bucket)
+    w = Window.partitionBy(_BKT).orderBy(key)
+    wb = Window.partitionBy(_BKT)
 
-    base = ranged.withColumn(_RN, F.row_number().over(w)).withColumn(
-        _CNT, F.count(F.lit(1)).over(wp)
+    base = bucketed.withColumn(_RN, F.row_number().over(w)).withColumn(
+        _CNT, F.count(F.lit(1)).over(wb)
     )
     for c in cols:
         for j in range(1, max_lead + 1):
             base = base.withColumn(lead_col(c, j), F.lead(c, j).over(w))
 
-    # Slim boundary table: first and last max_lead rows of each range
-    # partition, in global key order.  O(P * max_lead) rows.
+    # Slim boundary table: first and last max_lead rows of each bucket,
+    # in global key order.  O(num_partitions * max_lead) rows.
     slim = base.where(
         (F.col(_RN) <= max_lead) | (F.col(_RN) > F.col(_CNT) - max_lead)
     ).select(key, *cols)
@@ -99,9 +125,9 @@ def with_global_leads(
             )
     fixes = slim.select(*fix_cols)
 
-    # Repair exactly the rows whose within-partition lead-j ran off the
-    # end of the partition (rn > cnt - j) — never by NULL-coalescing,
-    # so legitimately-NULL column values pass through untouched.
+    # Repair exactly the rows whose within-bucket lead-j ran off the
+    # end of the bucket (rn > cnt - j) — never by NULL-coalescing, so
+    # legitimately-NULL column values pass through untouched.
     out = base.join(F.broadcast(fixes), on=key, how="left")
     for c in cols:
         for j in range(1, max_lead + 1):
@@ -113,4 +139,4 @@ def with_global_leads(
                     F.col(f"__gl_fix_{c}_{j}"),
                 ).otherwise(F.col(name)),
             ).drop(f"__gl_fix_{c}_{j}")
-    return out.drop(_PID, _RN, _CNT)
+    return out.drop(_BKT, _RN, _CNT)

@@ -80,19 +80,23 @@ def test_null_values_pass_through(spark):
 
 
 def test_plan_has_no_unpartitioned_fact_window(spark):
-    """The window over the fact rows is partitioned (by the range
-    partition id); the only unpartitioned window consumes the slim
-    boundary table, bounded by O(partitions * max_lead)."""
+    """The window over the fact rows is partitioned (by the key-range
+    bucket); the only unpartitioned window consumes the slim boundary
+    table, bounded by O(partitions * max_lead); and the bucket shuffle
+    is computed ONCE and reused by the slim branch (the deterministic
+    bucket expression is what makes the two branches canonalize equal)."""
     pdf = pd.DataFrame({"key": list(range(0, 3000, 3))})
     pdf["a"] = pdf["key"] * 1.5
     df = spark.createDataFrame(pdf)
     out = with_global_leads(df, "key", ["a"], 2, num_partitions=16)
+    out.collect()  # materialize THIS QueryExecution so AQE finalizes it
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # The partitioned fact window carries the pid in its spec.
-    assert "__gl_pid" in plan
-    # The fact side was range-partitioned, not globally sorted into one
-    # partition: a rangepartitioning exchange with >1 partitions exists.
-    assert "rangepartitioning(key" in plan
+    assert "isFinalPlan=true" in plan
+    # The partitioned fact window carries the bucket in its spec.
+    assert "__gl_bkt" in plan
+    # The slim branch reuses the fact bucket shuffle instead of
+    # recomputing the upstream.
+    assert "ReusedExchange" in plan
     # The repair joins broadcast-side, never shuffling the fact rows
     # a second time by key.
     assert "BroadcastHashJoin" in plan
