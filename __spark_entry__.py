@@ -21,10 +21,20 @@ from pyspark.sql import functions as F
 TILE_LEVEL = 8
 
 
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Fact-side parquet read with the scan-width guard: the local
+    fixture files are single-row-group (unsplittable), which would
+    serialize every per-row kernel downstream on ONE core; at
+    production scale the guard is a no-op (sources/read.py)."""
+    from s2geometry_spark.sources.read import spread_scan
+
+    return spread_scan(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+
+
 def _orders_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.sources import points as P
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _read(spark, sf_dir, "orders")
     return P.with_xyz(orders.select(F.col("o_orderkey").alias("key")))
 
 
@@ -134,6 +144,8 @@ def q_s2_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators import coverings as COV
 
     keys = (
+        # plain read: the explicit repartition below already spreads
+        # the filtered key set (adding spread_scan would double-shuffle)
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         .select(F.col("c_custkey").alias("key"))
         .where(F.col("key") % 150 == 0)
@@ -310,7 +322,7 @@ def q_s2_earth_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     from s2geometry_spark.operators import earth_metrics_op as EM
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _read(spark, sf_dir, "orders")
     df = (
         orders.select(F.col("o_orderkey").alias("key"))
         .where(F.col("key") % 10 == 0)
@@ -659,7 +671,7 @@ def q_convex_hull_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators import tile as T
     from s2geometry_spark.sources import points as P
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _read(spark, sf_dir, "customer")
     pts = T.assign_cellids(
         P.with_xyz(cust.select(F.col("c_custkey").alias("key")))
     ).withColumn("grp", S.cell_parent(F.col("cell_id"), 1))
@@ -711,8 +723,8 @@ def q_hausdorff_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators import knn as KNN
     from s2geometry_spark.sources import points as P
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = _read(spark, sf_dir, "customer")
+    sup = _read(spark, sf_dir, "supplier")
     a = P.with_xyz(
         cust.select(
             F.col("c_custkey").alias("key"), F.col("c_nationkey").alias("grp")
@@ -760,7 +772,7 @@ def q_pip_index_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.operators import tile as T
     from s2geometry_spark.sources import points as P
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _read(spark, sf_dir, "customer")
     pts = T.assign_cellids(
         P.with_xyz(cust.select(F.col("c_custkey").alias("key")))
     )
@@ -807,11 +819,11 @@ EMBED_DUP_TAU = 0.40
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read(spark, sf_dir, "embeddings")
 
 
 def q_winding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1146,7 +1158,7 @@ def q_knn_supplier_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geometry_spark.sources import points as P
 
     q = T.assign_cellids(_orders_points(spark, sf_dir)).localCheckpoint()
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sup = _read(spark, sf_dir, "supplier")
     idx = T.assign_cellids(
         P.with_xyz(sup.select(F.col("s_suppkey").alias("key")))
     ).localCheckpoint()

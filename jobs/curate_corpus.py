@@ -88,6 +88,7 @@ def main() -> None:
         spark = build_session(app_name="s2_curate")
 
     from s2geometry_spark.operators import textops as TX
+    from s2geometry_spark.sources.read import spread_scan
     from s2geometry_spark.plans.checkpoint import CheckpointedPipeline
 
     pipe = CheckpointedPipeline(spark, args.checkpoint_root)
@@ -99,7 +100,7 @@ def main() -> None:
     src_path = f"{args.sf_dir}/documents.parquet"
     docs = pipe.source(
         "docs",
-        spark.read.parquet(src_path),
+        spread_scan(spark.read.parquet(src_path)),
         version=_source_version(src_path),
     )
     n_docs = _parquet_rows(src_path)

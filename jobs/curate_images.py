@@ -92,6 +92,7 @@ def main() -> None:
         spark = build_session(app_name="s2_curate_images")
 
     from s2geometry_spark.operators import image_dedup as ID
+    from s2geometry_spark.sources.read import spread_scan
     from s2geometry_spark.operators import image_features as IF
     from s2geometry_spark.operators import textops as TX
     from s2geometry_spark.plans.checkpoint import CheckpointedPipeline
@@ -106,7 +107,7 @@ def main() -> None:
         # silently resuming a stale copy
         imgs = pipe.source(
             "images",
-            spark.read.parquet(args.images_path),
+            spread_scan(spark.read.parquet(args.images_path)),
             version=_source_version(args.images_path),
         )
         n_images = _parquet_rows(args.images_path)

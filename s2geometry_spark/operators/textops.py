@@ -680,45 +680,93 @@ UNION ALL SELECT 'near' AS stage, doc_id, md5(text) AS fp FROM ndocs"""
 SIMHASH_BITS = 32  # 8 md5 hex nibbles
 
 
-def _simhash_col() -> Column:
-    toks = F.expr("array_distinct(split(text, ' '))")
-    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-    def bit_vote(b: int) -> Column:
-        mask = F.lit(1 << b)
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-        return F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+def _simhash_bit_aggs() -> list[Column]:
+    """Partial-agg state for the simhash vote: per-bit set counts over
+    the doc's distinct-token hashes, plus the token count.  sum and
+    count are map-side combinable, so the explode multiplicity
+    collapses to one slim row per doc BEFORE the shuffle."""
+    return [F.count("__sh_h").alias("__sh_n")] + [
+        F.sum(F.shiftright("__sh_h", b).bitwiseAND(F.lit(1))).alias(f"__sh_s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
 
-    bit_cols = [bit_vote(b) for b in range(SIMHASH_BITS)]
+
+def _simhash_from_votes() -> Column:
+    """Recombine the bit-count aggregates into the simhash long.
+    Vote rule: bit b is set iff set_b - unset_b > 0, i.e. 2*set_b > n
+    (bit-identical to the reference +-1 vote); a doc with no tokens
+    (NULL text) has n = 0, so every vote fails and simhash is 0 —
+    matching the projection form's NULL-fold behavior."""
+    bit_cols = [
+        F.when(F.col(f"__sh_s{b}") * 2 > F.col("__sh_n"), F.lit(1 << b))
+        .otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    ]
     total = bit_cols[0]
     for c in bit_cols[1:]:
         total = total + c
     return total.cast("long").alias("simhash")
 
 
+def _with_token_hash(docs: DataFrame, *carry: Column) -> DataFrame:
+    """Explode distinct whitespace tokens and hash each once (md5 ->
+    first 8 hex nibbles -> long) as ``__sh_h``, carrying *carry*
+    columns computed ONCE per doc (the projection feeding the
+    generator runs per input row, not per exploded row).
+    ``explode_outer`` keeps token-less (NULL-text) docs."""
+    return docs.select(
+        "doc_id",
+        *carry,
+        F.explode_outer(F.expr("array_distinct(split(text, ' '))")).alias(
+            "__sh_t"
+        ),
+    ).withColumn(
+        "__sh_h",
+        F.conv(F.substring(F.md5("__sh_t"), 1, 8), 16, 10).cast("long"),
+    )
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash long): per-token md5 -> first 8 hex nibbles ->
-    bitwise +-1 vote -> sign bits.  Pure JVM (conv + bit ops)."""
-    return docs.select("doc_id", _simhash_col())
+    bitwise +-1 vote -> sign bits.
+
+    Shape: explode distinct tokens -> scalar md5 + bit ops (all
+    whole-stage codegen) -> map-side-combined bit-count agg -> one
+    slim shuffle.  The previous spelling — 32 ``F.aggregate`` folds in
+    one projection — was shuffle-free but ran interpreted (higher-order
+    functions don't codegen), measuring ~11x the CPU per doc of this
+    form at sf1; one slim (doc_id, 33 longs) shuffle buys back an
+    order of magnitude of compute at any scale."""
+    votes = _with_token_hash(docs).groupBy("doc_id").agg(*_simhash_bit_aggs())
+    return votes.select("doc_id", _simhash_from_votes())
 
 
 def doc_profile(docs: DataFrame) -> DataFrame:
     """One wide row per doc — token/quality stats, language id,
-    exact+min fingerprints, simhash — in ONE projection: a single pass
-    over the text with zero joins (each component operator is a narrow
-    select over the same (doc_id, text), so reassembling their outputs
-    with doc_id joins would pay corpus-wide shuffles for nothing)."""
-    return docs.select(
+    exact+min fingerprints, simhash — as a single-projection scalar
+    pass joined (on doc_id) with the explode-agg simhash pass.
+
+    Why not one pass?  Two measured dead ends at sf1:
+
+    - folding simhash into the projection (32 ``F.aggregate`` HOF
+      folds, the pre-round-5 form) is shuffle-free but interpreted —
+      ~11x the CPU per doc of the explode-agg form;
+    - carrying the scalar columns through the token generator into
+      the agg (``first`` per group) makes the optimizer re-evaluate
+      the expensive fingerprint/lang HOF expressions per EXPLODED row
+      (measured 22 s vs 5 s for the fp_min column alone at sf1).
+
+    The join costs one slim-row shuffle per side (the simhash side is
+    already hash-partitioned on doc_id by its agg) and reads the text
+    column twice — both linear, both far below the 11x interpreted-CPU
+    tax at any scale."""
+    base = docs.select(
         "doc_id",
         *_token_stats_cols(),
         _lang_id_col(),
         *_fingerprint_cols(),
-        _simhash_col(),
     )
+    return base.join(simhash(docs), "doc_id")
 
 
 def simhash_sql(table: str = "documents") -> str:
