@@ -21,14 +21,30 @@ from pyspark.sql import functions as F
 TILE_LEVEL = 8
 
 
+_TABLE_KEYS = {
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+    "lineitem": "l_orderkey",
+    "part": "p_partkey",
+}
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Fact-side parquet read with the scan-width guard: the local
     fixture files are single-row-group (unsplittable), which would
     serialize every per-row kernel downstream on ONE core; at
-    production scale the guard is a no-op (sources/read.py)."""
+    production scale the guard is a no-op (sources/read.py).  Spread
+    by hash on the table key (skips round-robin's per-partition sort)."""
     from s2geometry_spark.sources.read import spread_scan
 
-    return spread_scan(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+    return spread_scan(
+        spark.read.parquet(f"{sf_dir}/{table}.parquet"),
+        key=_TABLE_KEYS.get(table),
+    )
 
 
 def _orders_points(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,7 +56,9 @@ def _points(spark, sf_dir: str):
 
     from s2geometry_spark.sources.read import spread_scan
 
-    li = spread_scan(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    li = spread_scan(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), key="l_orderkey"
+    )
     key = (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).alias("key")
     return P.with_xyz(li.select(key))
 

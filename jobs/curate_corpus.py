@@ -100,7 +100,7 @@ def main() -> None:
     src_path = f"{args.sf_dir}/documents.parquet"
     docs = pipe.source(
         "docs",
-        spread_scan(spark.read.parquet(src_path)),
+        spread_scan(spark.read.parquet(src_path), key="doc_id"),
         version=_source_version(src_path),
     )
     n_docs = _parquet_rows(src_path)

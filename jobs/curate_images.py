@@ -107,7 +107,7 @@ def main() -> None:
         # silently resuming a stale copy
         imgs = pipe.source(
             "images",
-            spread_scan(spark.read.parquet(args.images_path)),
+            spread_scan(spark.read.parquet(args.images_path), key="image_id"),
             version=_source_version(args.images_path),
         )
         n_images = _parquet_rows(args.images_path)
