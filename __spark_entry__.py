@@ -839,7 +839,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _read(spark, sf_dir, "embeddings")
+    # no spread guard: the similarity operators re-key their work onto
+    # slim (vec_id, band, bucket) rows and repartition those; spreading
+    # the wide embedding-array rows first only pays an extra shuffle
+    # (measured +30% on ann_lsh/near_dup at sf0.1)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def q_winding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
