@@ -170,6 +170,9 @@ def bench_once(cores: int, sf_dir: str) -> dict:
     spark = build_session(app_name=f"s2bench[{cores}]", cores=cores)
     try:
         timings, oracle_timings, reruns, n_rows = run_suite(spark, sf_dir)
+        # second probe AFTER the suite: neighbor load swings 2-3x within
+        # one run, so a single leading sample can mis-qualify the wall
+        probe_end = _contention_probe()
         total = sum(timings.values())
         return {
             "metric": "s2_suite_wall_seconds",
@@ -185,6 +188,7 @@ def bench_once(cores: int, sf_dir: str) -> dict:
             "cores": cores,
             "tile_assign_rows_per_sec": round(n_rows / timings["tile_assign"], 1),
             "probe_mrows_per_sec": probe,
+            "probe_end_mrows_per_sec": probe_end,
         }
     finally:
         spark.stop()
