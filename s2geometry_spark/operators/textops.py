@@ -270,9 +270,69 @@ def _minhash_sig_udf():
     return _sigs
 
 
+def _minhash_sig_agg(docs: DataFrame) -> DataFrame:
+    """Batch form of the minhash signature: explode shingle POSITIONS
+    -> scalar substring/md5/conv (all whole-stage codegen) -> the
+    MINHASH_N affine minima as map-side-combined ``min`` aggs, one
+    slim (doc_id, h0..h{N-1}) row per doc after the shuffle.
+
+    Three equivalences make this bit-identical to the projection form
+    (`_shingle_words` + `_minhash_sig_udf`):
+
+    - min over positions == min over DISTINCT shingles (duplicates
+      cannot change a minimum), so ``array_distinct`` drops out;
+    - ``pmod(w1 + w2*k, P)`` on non-negative int64 == the pUDF's
+      ``(a + b*k) % p`` (w2*k < 2^36, no overflow);
+    - the per-position substring/md5 words are the same scalar
+      arithmetic the HOF lambdas evaluate — but compiled, not
+      interpreted (higher-order functions never enter codegen; the
+      same finding moved simhash off HOFs this round, ~11x CPU).
+
+    Batch-only: the groupBy is an aggregation, which a stateless
+    append stream cannot run — streaming consumers keep the
+    projection form, and the stream-vs-batch replay parity tests pin
+    the two forms together."""
+    k = SHINGLE_K
+    pos = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("text") - F.lit(k - 1), F.lit(1)),
+            )
+        ).alias("__mh_i"),
+    )
+    words = pos.select(
+        "doc_id",
+        F.md5(F.expr(f"substring(text, __mh_i, {k})")).alias("__mh_h"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring("__mh_h", 1, 8), 16, 10)
+        .cast("long")
+        .alias("w1"),
+        F.conv(F.substring("__mh_h", 9, 8), 16, 10)
+        .cast("long")
+        .alias("w2"),
+    )
+    p = F.lit(MINHASH_P)
+    return words.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("w1") + F.col("w2") * F.lit(i), p)).alias(
+                f"h{i}"
+            )
+            for i in range(MINHASH_N)
+        ]
+    )
+
+
 def minhash_signature(docs: DataFrame) -> DataFrame:
     """(doc_id, h0..h{N-1}): minhash signature over k-char shingles,
-    one-hash affine family h_i = min((w1 + w2*i) mod P)."""
+    one-hash affine family h_i = min((w1 + w2*i) mod P).  Batch inputs
+    take the codegen explode-agg path; streams keep the pure-projection
+    Arrow form (aggs are not streamable in a stateless append plan)."""
+    if not docs.isStreaming:
+        return _minhash_sig_agg(_spread(docs))
     shingled = _shingle_words(doc_shingles(_spread(docs)))
     sig = shingled.select(
         "doc_id",
@@ -322,7 +382,24 @@ def _banded(docs: DataFrame, keep_shingles: bool = False) -> DataFrame:
     ``keep_shingles`` carries the shingle array through (one
     projection chain — a streaming consumer CANNOT re-derive shingles
     and join them back, because joining two derivations of the same
-    stream is a stateful stream-stream join)."""
+    stream is a stateful stream-stream join).
+
+    Two physically different plans, one semantics (pinned by the
+    stream-vs-batch replay tests and the shared band expression):
+    batch without shingles rides the codegen explode-agg signature
+    (`_minhash_sig_agg`); streams and keep-shingles consumers stay on
+    the single projection chain a stateless stream requires."""
+    if not docs.isStreaming and not keep_shingles:
+        sigs = _minhash_sig_agg(_spread(docs))
+        agg_band_cols = []
+        for b in range(LSH_BANDS):
+            parts = [
+                F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)
+            ]
+            agg_band_cols.append(
+                F.md5(F.concat_ws("|", *parts)).alias(f"band{b}")
+            )
+        return sigs.select("doc_id", *agg_band_cols)
     shingled = _shingle_words(doc_shingles(_spread(docs)))
     extra = ["shingles"] if keep_shingles else []
     sigs = shingled.select(

@@ -86,3 +86,47 @@ def test_minhash_signature_matches_driver_recompute(spark):
 
     for doc_id, text in rows:
         assert got[doc_id] == expected(text), doc_id
+
+
+def test_agg_and_projection_band_forms_agree(spark):
+    """The batch explode-agg banding (`_minhash_sig_agg`) must emit
+    bit-identical band keys to the streaming projection form
+    (`_shingle_words` + `_minhash_sig_udf`) on a corpus exercising the
+    edge shapes: duplicate shingles, text shorter than SHINGLE_K,
+    empty text, unicode, and exact duplicates."""
+    rows = [
+        (1, "abababababababababab"),        # heavy duplicate shingles
+        (2, "ab"),                           # shorter than k -> 1 shingle
+        (3, ""),                             # empty -> [""] shingle
+        (4, "das straßenfoto zeigt blauen himmel über zürich"),
+        (5, "das straßenfoto zeigt blauen himmel über zürich"),
+        (6, "a perfectly ordinary english sentence for banding"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    agg = {r["doc_id"]: r for r in TX._banded(docs).collect()}
+
+    proj_sigs = TX._shingle_words(TX.doc_shingles(docs)).select(
+        "doc_id",
+        TX._minhash_sig_udf()(F.col("w1"), F.col("w2")).alias("sig"),
+    )
+    band_cols = []
+    for b in range(TX.LSH_BANDS):
+        parts = [
+            F.col("sig")[b * TX.LSH_ROWS + r] for r in range(TX.LSH_ROWS)
+        ]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    proj = {
+        r["doc_id"]: r
+        for r in proj_sigs.select("doc_id", *band_cols).collect()
+    }
+
+    assert set(agg) == set(proj) == {1, 2, 3, 4, 5, 6}
+    for doc_id in agg:
+        for b in range(TX.LSH_BANDS):
+            assert agg[doc_id][f"band{b}"] == proj[doc_id][f"band{b}"], (
+                doc_id,
+                b,
+            )
+    # exact duplicates share every band key in both forms
+    assert all(agg[4][f"band{b}"] == agg[5][f"band{b}"] for b in range(4))
