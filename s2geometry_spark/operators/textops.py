@@ -57,9 +57,12 @@ def _token_stats_cols() -> list[Column]:
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    total_len = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    )
+    # sum of token lengths without the interpreted F.aggregate lambda:
+    # split(text, ' ') consumes exactly one space per separator, so
+    # total token chars == length(text) - (n_tokens - 1) — exact for
+    # every input including empty strings and runs of spaces (each
+    # extra space becomes a zero-length token, still one separator)
+    total_len = F.length(F.col("text")) - (n_tokens - F.lit(1))
     return [
         n_tokens.cast("long").alias("n_tokens"),
         F.expr(
