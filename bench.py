@@ -170,28 +170,32 @@ def bench_once(cores: int, sf_dir: str) -> dict:
     spark = build_session(app_name=f"s2bench[{cores}]", cores=cores)
     try:
         timings, oracle_timings, reruns, n_rows = run_suite(spark, sf_dir)
-        # second probe AFTER the suite: neighbor load swings 2-3x within
-        # one run, so a single leading sample can mis-qualify the wall
-        probe_end = _contention_probe()
-        total = sum(timings.values())
-        return {
-            "metric": "s2_suite_wall_seconds",
-            "value": round(total, 3),
-            "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in timings.items()},
-            "oracle_queries": {
-                k: round(v, 3) for k, v in oracle_timings.items()
-            },
-            "reruns": reruns,
-            "sf": _sf_of(sf_dir),
-            "rows": n_rows,
-            "cores": cores,
-            "tile_assign_rows_per_sec": round(n_rows / timings["tile_assign"], 1),
-            "probe_mrows_per_sec": probe,
-            "probe_end_mrows_per_sec": probe_end,
-        }
     finally:
         spark.stop()
+    # second probe AFTER the suite AND after spark.stop(): neighbor
+    # load swings 2-3x within one run, so a single leading sample can
+    # mis-qualify the wall — and the sample must run with the bench's
+    # own JVM gone, or its resident heap/GC would depress the probe
+    # and masquerade as neighbor load (both probes now see the same
+    # no-local-JVM context)
+    probe_end = _contention_probe()
+    total = sum(timings.values())
+    return {
+        "metric": "s2_suite_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "oracle_queries": {
+            k: round(v, 3) for k, v in oracle_timings.items()
+        },
+        "reruns": reruns,
+        "sf": _sf_of(sf_dir),
+        "rows": n_rows,
+        "cores": cores,
+        "tile_assign_rows_per_sec": round(n_rows / timings["tile_assign"], 1),
+        "probe_mrows_per_sec": probe,
+        "probe_end_mrows_per_sec": probe_end,
+    }
 
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", str(16_000_000)))

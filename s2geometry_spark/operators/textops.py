@@ -294,7 +294,14 @@ def _minhash_sig_agg(docs: DataFrame) -> DataFrame:
     Batch-only: the groupBy is an aggregation, which a stateless
     append stream cannot run — streaming consumers keep the
     projection form, and the stream-vs-batch replay parity tests pin
-    the two forms together."""
+    the two forms together.
+
+    Precondition (both forms, now load-bearing): ``doc_id`` is the
+    table's unique key (input_hint schema).  The projection form emits
+    one row per INPUT ROW, this groupBy one row per doc_id — on a
+    corpus violating uniqueness the agg would blend two texts'
+    shingles into a signature of neither, so the contract is unique
+    ids, not dedup-on-the-fly."""
     k = SHINGLE_K
     pos = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
@@ -335,7 +342,7 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
     take the codegen explode-agg path; streams keep the pure-projection
     Arrow form (aggs are not streamable in a stateless append plan)."""
     if not docs.isStreaming:
-        return _minhash_sig_agg(_spread(docs))
+        return _minhash_sig_agg(_spread_if_narrow(docs))
     shingled = _shingle_words(doc_shingles(_spread(docs)))
     sig = shingled.select(
         "doc_id",
@@ -361,12 +368,31 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def _spread_if_narrow(docs: DataFrame) -> DataFrame:
+    """Conditional spread for the explode-agg signature path: only a
+    NARROW scan (fewer partitions than the session's parallelism, i.e.
+    a small or single-row-group local file) needs the wide-text
+    repartition to parallelize the codegen md5 stage; a
+    production-scale scan is already wide, and forcing the repartition
+    there would move the full text corpus through a shuffle whose only
+    downstream exchange is otherwise the agg's slim partial-min rows.
+    Delegates to sources.read.spread_scan (the same guard the registry
+    readers use)."""
+    from ..sources.read import spread_scan
+
+    return spread_scan(docs, key="doc_id")
+
+
 def _spread(docs: DataFrame) -> DataFrame:
     """Repartition ahead of the Arrow signature stage: a small parquet
     scan yields 1-2 splits, which would run the minhash pUDF nearly
     single-threaded; hashing on doc_id spreads it across the session's
     shuffle partitions.  Skipped for streaming inputs (micro-batches
-    arrive pre-split and repartition would force a stateful shuffle)."""
+    arrive pre-split and repartition would force a stateful shuffle).
+    (The Arrow-pUDF path keeps this UNCONDITIONAL form: its CPU cost
+    is per-doc in an interpreted lambda chain, so it wants the spread
+    even on moderately wide scans; the explode-agg path uses the
+    conditional `_spread_if_narrow`.)"""
     if docs.isStreaming:
         return docs
     n = docs.sparkSession.sparkContext.defaultParallelism
@@ -393,31 +419,35 @@ def _banded(docs: DataFrame, keep_shingles: bool = False) -> DataFrame:
     (`_minhash_sig_agg`); streams and keep-shingles consumers stay on
     the single projection chain a stateless stream requires."""
     if not docs.isStreaming and not keep_shingles:
-        sigs = _minhash_sig_agg(_spread(docs))
-        agg_band_cols = []
-        for b in range(LSH_BANDS):
-            parts = [
-                F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)
-            ]
-            agg_band_cols.append(
-                F.md5(F.concat_ws("|", *parts)).alias(f"band{b}")
-            )
-        return sigs.select("doc_id", *agg_band_cols)
+        sigs = _minhash_sig_agg(_spread_if_narrow(docs))
+        return sigs.select(
+            "doc_id",
+            *_band_key_cols(lambda i: F.col(f"h{i}")),
+        )
     shingled = _shingle_words(doc_shingles(_spread(docs)))
     extra = ["shingles"] if keep_shingles else []
     sigs = shingled.select(
         "doc_id", *extra,
         _minhash_sig_udf()(F.col("w1"), F.col("w2")).alias("sig"),
     )
-    band_cols = []
+    return sigs.select(
+        "doc_id",
+        *extra,
+        *_band_key_cols(lambda i: F.col("sig")[i]),
+    )
+
+
+def _band_key_cols(sig_at) -> list[Column]:
+    """The ONE band-key expression (md5 over '|'-joined signature
+    rows), shared by the agg and projection forms of `_banded` so the
+    two plans cannot drift; ``sig_at(i)`` fetches signature element i
+    as a Column in whichever layout the caller has (h{i} columns or a
+    sig array)."""
+    cols = []
     for b in range(LSH_BANDS):
-        parts = [
-            F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)
-        ]
-        band_cols.append(
-            F.md5(F.concat_ws("|", *parts)).alias(f"band{b}")
-        )
-    return sigs.select("doc_id", *extra, *band_cols)
+        parts = [sig_at(b * LSH_ROWS + r) for r in range(LSH_ROWS)]
+        cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    return cols
 
 
 def _with_allb(banded: DataFrame) -> DataFrame:
